@@ -1,0 +1,42 @@
+"""Fixture loaders for the driver-generated parquet tables (TESTDATA.md).
+
+One function: ``table(spark, sf_dir, name)``. Reads are plain
+``spark.read.parquet`` so Catalyst's column pruning / predicate pushdown
+reach the parquet scan (verify with ``df.explain`` -> ``PushedFilters``,
+``ReadSchema``). At cluster scale the same call distributes across
+executors; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any realistic scale
+#: factor (region=5, nation=25 rows fixed by the TPC-H-ish schema).
+BROADCAST_DIMS = ("region", "nation", "supplier", "part")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    tune(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
