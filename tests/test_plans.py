@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the plan we want, not just one that passes.
+
+These are the scale guarantees — a regression here means a query still
+returns correct rows at sf0.01 but would fall over at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = load_all()[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pruned_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scan_pruned")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan, plan
+    # only the 4 referenced columns survive into the parquet ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read_schema and "l_quantity" not in read_schema, read_schema
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "limit_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_group_topk_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "win_topk_group")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_semi")
+    assert "LeftSemi" in plan, plan
+
+
+def test_theta_range_join_broadcasts_interval_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_whole_stage_codegen_on_sentiment_hot_path(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sentiment_expr")
+    # expression-form sentiment must not leave the JVM (higher-order
+    # array lambdas aren't codegen-eligible, but they evaluate JVM-side;
+    # the '*' marker confirms codegen on the surrounding stages)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "* ColumnarToRow" in plan, plan
+
+
+def test_asof_join_has_no_pairwise_join(spark, sf_dir):
+    # the as-of is a window carry-forward: exactly zero join operators
+    plan = plan_of(spark, sf_dir, "join_asof")
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan

@@ -1,1 +1,196 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar function families (SURVEY §2B fn_*).
+
+Generalizes the reference's entire scalar surface — json.loads
+(streamer.py:26), base64/str plumbing and string concat framing
+(ProcessStreamData.py:16-30) — into the full built-in function library.
+Everything here is JVM-side and whole-stage-codegen'd: zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "fn_string",
+    sql="""
+        SELECT p_partkey,
+               lower(p_name) AS name_lower,
+               upper(p_brand) AS brand_upper,
+               substr(p_type, 1, 5) AS type_prefix,
+               concat(p_brand, ':', p_type) AS brand_type,
+               trim(concat(' ', p_name, ' ')) AS name_trimmed,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               string_split(p_name, ' ')[1] AS first_word,
+               regexp_extract(p_name, '([a-z]+)', 1) AS first_alpha_run,
+               replace(p_type, ' ', '_') AS type_snake
+        FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, concat, trim, length, split,
+    regexp_extract, replace (the R7 string plumbing generalized)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_alpha_run"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+    )
+
+
+@register(
+    "fn_date",
+    sql="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(day(o_orderdate) AS INTEGER) AS order_day,
+               CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+               CAST(o_orderdate AS DATE) + 30 AS due_date,
+               CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch_start,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+        FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family over event-free batch data: extract, truncate,
+    offset, diff."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@register(
+    "fn_math",
+    sql="""
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               round(l_extendedprice, 1) AS price_r1,
+               abs(l_discount - 0.05) AS disc_dev,
+               sqrt(l_extendedprice) AS price_sqrt,
+               round(power(l_quantity, 2), 4) AS qty_sq,
+               CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor
+        FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt is IEEE-correctly-rounded (bit-identical across
+    engines); pow is not guaranteed, hence the explicit round."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.pow("l_quantity", 2), 4).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+    )
+
+
+@register(
+    "fn_cond",
+    sql="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 300000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_decoded,
+               CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS INTEGER) AS is_urgent,
+               CAST(trunc(o_totalprice) AS BIGINT) AS price_int,  -- DuckDB CAST rounds; Spark truncates
+               CAST(o_orderkey AS VARCHAR) AS key_str
+        FROM orders
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: when/otherwise, coalesce, nullif, casts."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_decoded"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+        F.col("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+    )
+
+
+@register(
+    "fn_array",
+    sql="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               list_contains(string_split(text, ' '), 'spark') AS has_spark,
+               array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted,
+               string_split(text, ' ')[1] AS head_token
+        FROM documents
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized text: size, contains, sort, slice.
+    Higher-order array functions stay inside codegen — the same trick
+    the similarity operators use for 64-d embedding math."""
+    d = table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.array_contains(tokens, "spark").alias("has_spark"),
+        F.array_join(F.slice(F.sort_array(tokens), 1, 3), ",").alias("first3_sorted"),
+        F.element_at(tokens, 1).alias("head_token"),
+    )
+
+
+@register(
+    "fn_json",
+    sql="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS absent
+        FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family — the R3 ``json.loads`` analog (ref streamer.py:26)
+    done declaratively: get_json_object path extraction, typed cast,
+    missing-key null."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+    )

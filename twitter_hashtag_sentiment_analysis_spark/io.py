@@ -39,4 +39,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     tune(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; session.tune() sets nanosAsLong so it arrives as
+        # int64 nanos. Truncate to micros exactly like DuckDB does when it
+        # coerces ns -> its native us timestamps, so oracles agree.
+        # Integer DIV (not /): ns values ~1.7e18 exceed double's 53-bit
+        # mantissa, float division would corrupt low digits.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df

@@ -1,1 +1,82 @@
-"""Placeholder — populated in a later milestone."""
+"""Set operations (SURVEY §2B).
+
+Bag and set semantics over union-compatible inputs. Spark implements
+UNION as a zero-shuffle concatenation of partitions; DISTINCT /
+INTERSECT / EXCEPT shuffle on the full row hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+
+def _high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+
+
+def _urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+
+
+@register(
+    "set_union_all",
+    sql="""
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        UNION ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union: pure partition concatenation, no shuffle at any scale."""
+    return _high_value(spark, sf_dir).unionAll(_urgent(spark, sf_dir))
+
+
+@register(
+    "set_union_distinct",
+    sql="""
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union: concat + hash-distinct (one shuffle on the row hash)."""
+    return _high_value(spark, sf_dir).union(_urgent(spark, sf_dir)).distinct()
+
+
+@register(
+    "set_intersect",
+    sql="""
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (distinct semantics, matching SQL INTERSECT)."""
+    return _high_value(spark, sf_dir).intersect(_urgent(spark, sf_dir))
+
+
+@register(
+    "set_except",
+    sql="""
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL): multiplicity-aware subtraction."""
+    return _high_value(spark, sf_dir).exceptAll(_urgent(spark, sf_dir))

@@ -1,1 +1,169 @@
-"""Placeholder — populated in a later milestone."""
+"""Window functions (SURVEY §2B).
+
+Absent from the reference (no analytics at all); mandated surface.
+Each window is a single shuffle on the partition key + one sort per
+partition. Scale note: partition keys here (custkey, orderkey) have
+cardinality that grows with data size, so partitions stay small and
+skew-free at 100 TB; we deliberately avoid windowing over 3-value keys
+like l_returnflag except where the frame semantics demand it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "win_rank",
+    sql="""
+        SELECT o_orderkey, o_custkey,
+               CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn,
+               CAST(rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS drnk,
+               CAST(ntile(4)     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS quartile,
+               round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate), 6) AS prank
+        FROM orders
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family. row_number/ntile use a fully-unique ordering
+    (date, orderkey) for determinism; rank/dense_rank/percent_rank
+    order by date alone so ties actually exercise their semantics."""
+    o = table(spark, sf_dir, "orders")
+    unique = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    tied = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(unique).cast("long").alias("rn"),
+        F.rank().over(tied).cast("long").alias("rnk"),
+        F.dense_rank().over(tied).cast("long").alias("drnk"),
+        F.ntile(4).over(unique).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(tied), 6).alias("prank"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    sql="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               lag(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+               lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+               o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta
+        FROM orders
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic offsets over a unique ordering (null at partition edges)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - prev).alias("delta"),
+    )
+
+
+@register(
+    "win_running_rows",
+    sql="""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+               round(sum(l_quantity) OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_extendedprice, l_quantity
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+               CAST(count(*) OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_extendedprice, l_quantity
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_so_far
+        FROM lineitem
+    """,
+)
+def win_running_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals with an explicit ROWS frame. Partition key is
+    l_orderkey (≤7 rows per partition at any SF) — constant memory.
+
+    (l_orderkey, l_linenumber) is NOT unique in the fixtures, so the
+    ordering includes every output-relevant column: rows that still tie
+    are fully identical, making the output multiset deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_extendedprice", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_quantity",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+        F.count("*").over(w).alias("n_so_far"),
+    )
+
+
+@register(
+    "win_range_frame",
+    sql="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(count(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_similar,
+               round(max(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS max_in_band
+        FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per customer, peers within a $10k band
+    below the current order's price. count/max are order-insensitive
+    within the frame, so results are engine-independent."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_similar"),
+        F.round(F.max("o_totalprice").over(w), 2).alias("max_in_band"),
+    )
+
+
+@register(
+    "win_topk_group",
+    sql="""
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) t WHERE rn <= 3
+    """,
+)
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via rank-filter. Catalyst 3.5+/4.x rewrites this
+    into WindowGroupLimit, pushing the k-limit below the sort so each
+    partition keeps only k rows through the shuffle — the pattern that
+    makes per-group top-k viable at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )

@@ -21,6 +21,9 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp
+    # type, so read as int64 nanos and convert in io.table().
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
