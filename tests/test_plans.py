@@ -67,3 +67,18 @@ def test_asof_join_has_no_pairwise_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_asof")
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    # with broadcast disabled, bucketed sides sort-merge with NO shuffle:
+    # the property that kills the workload's biggest Exchange at 100 TB
+    # (at fixture scale AQE rightly prefers broadcast, so disable it to
+    # observe the bucketing contract itself)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "sink_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan

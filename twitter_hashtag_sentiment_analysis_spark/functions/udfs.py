@@ -1,1 +1,124 @@
-"""Placeholder — populated in a later milestone."""
+"""UDF / UDAF / UDTF surface (SURVEY §2B).
+
+The reference's only "UDF" is the per-record Lambda transform
+(ProcessStreamData.py:12-33) — one Comprehend HTTPS call per record.
+Spark-first, the Python boundary is Arrow-batched (pandas_udf /
+applyInPandas): one columnar batch per partition instead of one call
+per row — the 10-100x difference SURVEY §3.1 points at.
+
+Every entry here still ships a DuckDB oracle: the UDFs are
+deterministic column math, so SQL can replicate them — which is exactly
+what proves the Arrow path computes the same thing the JVM path would.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "udf_pandas_scalar",
+    sql="""
+        SELECT doc_id,
+               round(n_chars / (len(string_split(text, ' ')) + 1.0), 4) AS density
+        FROM documents
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Series->Series scorer via Arrow (chars per token).
+    One Arrow batch per partition crosses the Python boundary; the
+    pandas ops inside are C-speed. This is the mandated shape for any
+    Python logic on a 100 TB hot path."""
+    import math
+
+    @F.pandas_udf("double")
+    def density(n_chars: pd.Series, text: pd.Series) -> pd.Series:
+        d = n_chars / (text.str.split(" ").str.len() + 1.0)
+        # match Spark/DuckDB half-up rounding, not numpy's half-even
+        return (d * 10**4).apply(lambda v: math.floor(v + 0.5)) / 10**4
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", density("n_chars", "text").alias("density"))
+
+
+@register(
+    "udf_grouped_map",
+    sql="""
+        SELECT o_orderkey, o_orderstatus,
+               round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderstatus))
+                     / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderstatus), 4) AS z_score
+        FROM orders
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization via applyInPandas (grouped-map): each
+    group becomes one pandas DataFrame in a Python worker. Groups are
+    o_orderstatus (3 values) — fine here, but the docstring caveat for
+    100 TB: grouped-map materializes a whole group per worker, so keys
+    must be chosen with bounded group size (or use window functions,
+    which stream)."""
+    o = table(spark, sf_dir, "orders")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        mean = pdf["o_totalprice"].mean()
+        std = pdf["o_totalprice"].std(ddof=1)
+        z = (pdf["o_totalprice"] - mean) / std
+        pdf = pdf[["o_orderkey", "o_orderstatus"]].copy()
+        pdf["z_score"] = (z * 10**4).apply(lambda v: math.floor(v + 0.5)) / 10**4
+        return pdf
+
+    return o.groupBy("o_orderstatus").applyInPandas(
+        normalize, schema="o_orderkey long, o_orderstatus string, z_score double"
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    sql="""
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS weighted_avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via pandas_udf GROUPED_AGG: quantity-weighted mean
+    price. Arrow-batched partial aggregation per group."""
+
+    @F.pandas_udf("double")
+    def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_mean("l_extendedprice", "l_quantity"), 4).alias(
+            "weighted_avg_price"
+        )
+    )
+
+
+@register(
+    "udtf_explode_tokens",
+    sql="""
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER) AS pos
+        FROM documents
+    """,
+)
+def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1->N expansion (tokenizer as a table function): posexplode over
+    split. Pure built-in — no Python worker despite being the 'UDTF'
+    surface; Spark's generator expressions run inside codegen."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", "token", (F.col("pos0") + 1).cast("int").alias("pos"))

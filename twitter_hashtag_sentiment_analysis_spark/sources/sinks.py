@@ -1,1 +1,89 @@
-"""Placeholder — populated in a later milestone."""
+"""Sources & sinks beyond plain parquet (SURVEY §2B).
+
+* ``source_stream_file`` — the R1 analog made concrete: NDJSON drops in
+  a directory, consumed by a schema'd file stream source (exactly how
+  the reference's Twitter push source is re-expressed without a Twitter
+  account: tweets-as-files).
+* ``sink_bucketed`` — the co-located-join story for 100 TB: bucketing
+  both join sides on the key lets later joins skip the shuffle
+  entirely. Registered rows-only-style with an exact oracle on the
+  read-back result.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+from ..streaming.queries import _run_to_memory
+
+
+@register(
+    "source_stream_file",
+    sql="""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 as a real file stream: documents written as NDJSON drops,
+    re-read by ``readStream.schema(...).json(dir)``, aggregated, and
+    drained via availableNow. Proves the JSON wire format roundtrips
+    (the reference's S3 objects are exactly such NDJSON drops)."""
+    docs = table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="thsa_ndjson_")
+    drop_dir = os.path.join(tmp, "drops")
+    docs.write.mode("overwrite").json(drop_dir)
+    stream = spark.readStream.schema(docs.schema).json(drop_dir)
+    agg = stream.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    # unwatermarked aggregation requires complete mode
+    name = _run_to_memory(agg, "ndjson", output_mode="complete")
+    return spark.table(name)
+
+
+@register(
+    "sink_bucketed",
+    sql="""
+        SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l.l_quantity), 2) AS total_qty
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey
+    """,
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables: write orders + lineitem bucketed on the join
+    key, then join the read-back tables. With both sides bucketed
+    identically, the join needs NO shuffle (SortMergeJoin over
+    pre-bucketed scans) — at 100 TB this converts the biggest shuffle
+    in the workload into a local merge. Oracle joins the originals."""
+    import shutil
+    from urllib.parse import urlparse
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    for t in ("thsa_orders_b", "thsa_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a fresh session's in-memory catalog forgets managed tables but
+        # their warehouse dirs persist on disk; clear them or saveAsTable
+        # fails with LOCATION_ALREADY_EXISTS
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("thsa_orders_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("thsa_lineitem_b")
+    ob = spark.table("thsa_orders_b")
+    lb = spark.table("thsa_lineitem_b")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )

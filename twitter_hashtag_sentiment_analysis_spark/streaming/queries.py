@@ -1,1 +1,233 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming operators (SURVEY §2B stream_*).
+
+Two disciplines, per SURVEY §5.2:
+
+* Event-time transforms (tumbling/sliding/session windows) are pure
+  functions over a DataFrame — registered in their batch form for the
+  DuckDB oracle, and exercised as real streams in tests.
+* Stateful / source semantics (watermark late-drop, streaming dedup,
+  the R1-R8 pipeline, file stream source) run as REAL Structured
+  Streaming queries inside the registered callable — availableNow
+  trigger + memory sink, drained synchronously. Their outputs are
+  deterministic, so they still carry exact oracles.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sentiment import sentiment_sql_cte
+from ..io import table
+from ..registry import register
+from .pipeline import transform
+
+_sink_counter = itertools.count()
+
+
+def _run_to_memory(sdf, name_prefix: str, output_mode: str = "append") -> str:
+    """Start an availableNow streaming query into a memory sink; block
+    until drained; return the sink table name."""
+    name = f"{name_prefix}_{os.getpid()}_{next(_sink_counter)}"
+    ck = tempfile.mkdtemp(prefix=f"thsa_ck_{name_prefix}_")
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File stream source over the events table (R1 analog). The ns->us
+    conversion must match io.table(); we reuse the batch schema and
+    transform by streaming the already-converted rows via a temp
+    parquet copy."""
+    ev = table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="thsa_evstream_")
+    ev.write.mode("overwrite").parquet(os.path.join(tmp, "events"))
+    return spark.readStream.schema(ev.schema).parquet(os.path.join(tmp, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch-equivalent registration; streamed in tests)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_tumbling",
+    sql="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1 h window counts by event_type. Same expression runs
+    under readStream + watermark (see tests); batch form feeds the
+    oracle via the engine's batch-equivalence property."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "stream_sliding",
+    sql="""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * off) AS window_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events, unnest([0, 1, 2, 3]) AS t(off)
+        GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 15 min slide): every event lands in
+    exactly 4 windows. The oracle replicates Spark's window explosion
+    with an unnest over the 4 offsets."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@register(
+    "stream_session",
+    sql="""
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL '30 minutes'
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM ordered
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user. Spark's session_window
+    merges on event time; the oracle rebuilds identical sessions with
+    the lag-gap-cumsum idiom. Session end = last event + gap."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real streaming executions (stateful semantics observable only in a stream)
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_watermark_late",
+    sql="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1
+        HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+               <= (SELECT max(ts) - INTERVAL '1 hour' FROM events)
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run: watermark(1 h) + tumbling(1 h) in append
+    mode, availableNow, drained to a memory sink. Append mode only
+    emits windows the watermark has closed — the final watermark is
+    max(ts) - 1 h, so windows still open at end-of-stream are withheld.
+    The oracle encodes exactly that semantic (the HAVING clause), which
+    is what proves the stateful path, not just the aggregation."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    name = _run_to_memory(agg, "wm")
+    return spark.table(name)
+
+
+@register(
+    "stream_dedup_state",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming stateful dedup: dropDuplicates on (user_id,
+    event_type) under a watermark — state holds one entry per key,
+    first arrival wins, emitted exactly once. Projecting just the key
+    columns makes the output order-insensitive-deterministic."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = _run_to_memory(deduped, "dedup")
+    return spark.table(name)
+
+
+@register(
+    "stream_sentiment_pipe",
+    sql=f"""
+        WITH scored AS ({sentiment_sql_cte()})
+        SELECT doc_id, sentiment, score_positive, score_negative,
+               score_neutral, score_mixed
+        FROM scored
+        WHERE lang = 'en' AND contains(lower(text), 'spark')
+    """,
+)
+def stream_sentiment_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of the R1-R8 pipeline transform (lang +
+    keyword filter -> sentiment enrichment) over a document stream.
+    The oracle is the batch CTE — batch-equivalence made checkable."""
+    docs = table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="thsa_docstream_")
+    docs.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
+    stream = spark.readStream.schema(docs.schema).parquet(os.path.join(tmp, "docs"))
+    enriched = transform(stream, "en", "spark")
+    out = enriched.select(
+        "doc_id", "sentiment", "score_positive", "score_negative",
+        "score_neutral", "score_mixed",
+    )
+    name = _run_to_memory(out, "pipe")
+    return spark.table(name)
