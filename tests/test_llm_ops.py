@@ -1,0 +1,92 @@
+"""Property and cross-checks for the LLM-pipeline operators
+(dedup / similarity / text analysis / multimodal)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from twitter_hashtag_sentiment_analysis_spark.io import table
+from twitter_hashtag_sentiment_analysis_spark.operators.multimodal import byte_features
+from twitter_hashtag_sentiment_analysis_spark.operators.similarity import cosine
+from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+
+def test_dedup_exact_is_idempotent(spark, sf_dir):
+    """Deduping an already-deduped corpus removes nothing."""
+    d = table(spark, sf_dir, "documents")
+    keepers = (
+        d.groupBy(F.sha2("text", 256).alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    )
+    deduped = d.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    again = deduped.groupBy(F.sha2("text", 256)).count()
+    assert deduped.count() == again.count()
+
+
+def test_dedup_exact_finds_planted_duplicates(spark):
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "unique text")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    groups = df.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n")
+    )
+    got = {r["keeper"]: r["n"] for r in groups.collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_cosine_kernel_identities(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0], [1.0, 0.0, 0.0]), ([1.0, 0.0, 0.0], [0.0, 1.0, 0.0])],
+        ["a", "b"],
+    )
+    got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert abs(got[0] - 1.0) < 1e-12 and abs(got[1]) < 1e-12
+
+
+def test_ann_lsh_recall_against_exact(spark, sf_dir):
+    """LSH top-5 must recover a decent fraction of the exact top-5.
+    Not a tight bound — a recall collapse means the banding is broken."""
+    reg = load_all()
+    exact = reg["sim_cosine_topk"].fn(spark, sf_dir)
+    approx = reg["sim_ann_lsh"].fn(spark, sf_dir)
+    e = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_minhash_pairs_are_actually_similar(spark, sf_dir):
+    """Spot-check: MinHash candidate pairs overlap in token sets."""
+    reg = load_all()
+    pairs = reg["dedup_minhash"].fn(spark, sf_dir).limit(5).collect()
+    if not pairs:  # no near-dups at this SF — acceptable
+        return
+    docs = {
+        r["doc_id"]: set(r["text"].split())
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    for p in pairs:
+        a, b = docs[p["doc_a"]], docs[p["doc_b"]]
+        jac = len(a & b) / len(a | b)
+        assert jac >= 0.5, (p, jac)
+
+
+def test_mm_features_match_python_reference(spark, sf_dir):
+    reg = load_all()
+    got = {r["doc_id"]: r for r in reg["mm_features"].fn(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").limit(20).collect()
+    for row in docs:
+        n, hist, ent = byte_features(row["text"].encode("utf-8"))
+        g = got[row["doc_id"]]
+        assert g["n_bytes"] == n
+        assert g["byte_hist"] == hist
+        assert math.isclose(g["entropy"], ent, abs_tol=1e-9)
+
+
+def test_decode_image_stub_raises_clearly():
+    import pytest
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(b"\x89PNG")

@@ -1,1 +1,222 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the embedding column (BASELINE.json
+north-star: ANN over array<float>).
+
+* ``sim_cosine_topk``   — brute-force cosine top-k: broadcast the probe
+  set, score every candidate with array higher-order functions
+  (zip_with + aggregate — JVM-side, no Python), window top-k. The exact
+  baseline; linear in candidates, perfectly parallel.
+* ``sim_cosine_neardup`` — pairwise near-dup (cosine >= threshold)
+  blocked by label; the embedding leg of the dedup family.
+* ``sim_ann_lsh``       — random-hyperplane (sign) LSH: 16-bit bucket
+  signatures from seeded deterministic hyperplanes, candidates =
+  same-bucket, exact rerank. The 100 TB path: bucket join replaces the
+  full cross product; recall tunable via bands/bits.
+
+Float discipline: embeddings are array<float>; both engines upcast each
+element to double before multiply-accumulate (sequential left-to-right
+in both), so cosines are bit-identical and safe to round + compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+DIM = 64  # FIXTURES.md: 64-dimensional embeddings
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# DuckDB twin of the kernel above: same upcast, same left-to-right sum.
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}))"
+
+
+@register(
+    "sim_cosine_topk",
+    sql=f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 20
+        ),
+        scored AS (
+            SELECT p.probe_id, e.vec_id,
+                   round({_sql_cosine('p.pe', 'e.embedding')}, 6) AS cos_sim
+            FROM probes p JOIN embeddings e ON e.vec_id != p.probe_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rk
+            FROM scored
+        )
+        SELECT probe_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 20 probe vectors. Probe side is
+    broadcast; scoring is a narrow map over candidates (JVM array
+    kernels); top-k via WindowGroupLimit. Exact-rank ties broken by
+    vec_id after rounding to 6 dp so both engines rank identically."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    scored = (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "sim_cosine_neardup",
+    sql=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
+def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the blocking
+    key bounds the pair space — at corpus scale the block key is an LSH
+    bucket instead, see sim_ann_lsh)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+@register("sim_ann_lsh", sql=None)  # approximate (recall < 1) => rows-only
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 16 seeded hyperplanes -> 16-bit
+    sign signature per vector, banded as 4 bands x 4 bits; candidates
+    share >=1 band; exact cosine rerank, top-5 per probe.
+
+    Band sizing: the fixtures' true neighbors sit at cosine ~0.3-0.5
+    (theta ~60-70 deg), so per-bit collision p ~= 1 - theta/pi ~= 0.62
+    and a 4-bit band matches with p^4 ~= 0.15; >=1 of 4 bands => ~0.5
+    recall at ~25% of the corpus scanned. For true near-dup workloads
+    (cosine >= 0.9) the same structure gives >0.99 recall — band width
+    trades recall for candidate volume.
+
+    The hyperplanes are generated once on the driver from a fixed seed
+    (deterministic), shipped as literal arrays — no Python at execution
+    time; signatures are computed with the same JVM array kernels as
+    the exact path. At 100 TB the bucket join touches only colliding
+    pairs instead of |probes| x |corpus|."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.randn(16, DIM)
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def signature(col: Column) -> Column:
+        bits = [
+            F.when(
+                _dot(col, F.array(*[F.lit(float(v)) for v in planes[i]])) >= 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            for i in range(16)
+        ]
+        return sum(bits[1:], bits[0]).cast("int")
+
+    sig = e.select("vec_id", "embedding", signature(F.col("embedding")).alias("sig"))
+    banded = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("sig", 4 * i).bitwiseAND(F.lit(0xF)).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "band.band_idx", "band.band_val")
+
+    probes = banded.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("band_idx").alias("p_band_idx"),
+        F.col("band_val").alias("p_band_val"),
+    )
+    cand = (
+        banded.join(
+            F.broadcast(probes),
+            (F.col("band_idx") == F.col("p_band_idx"))
+            & (F.col("band_val") == F.col("p_band_val"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select("probe_id", "pe", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = cand.select(
+        "probe_id",
+        "vec_id",
+        F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= 5
+    )

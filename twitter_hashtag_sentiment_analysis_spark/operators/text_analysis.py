@@ -1,1 +1,275 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators (BASELINE.json north-star: language-ID,
+quality scoring, token counting, fingerprinting, TF-IDF, n-grams).
+
+The batch generalization of the reference's only text operation
+(keyword containment, streamer.py:48) into the text stage of an
+LLM-training-data pipeline. All pure built-in expressions — tokenize/
+explode/agg — so the hot path never leaves the JVM; every operator has
+an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+# tiny per-language stopword sets over the fixture vocabulary; the
+# determinism (not linguistic accuracy) is the contract
+_LANG_MARKERS = {
+    "en": ("the", "a", "is"),
+    "de": ("der", "die", "das"),
+    "es": ("el", "la", "es"),
+    "fr": ("le", "la", "et"),
+    "zh": ("de5", "shi4", "le5"),
+}
+
+
+@register(
+    "text_langid",
+    sql="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'is'))) AS s_en,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das'))) AS s_de,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'es'))) AS s_es,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et'))) AS s_fr,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('de5', 'shi4', 'le5'))) AS s_zh
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE
+                   WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                   WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                   WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es AND s_fr >= s_zh THEN 'fr'
+                   WHEN s_zh > s_en AND s_zh > s_de AND s_zh > s_es AND s_zh > s_fr THEN 'zh'
+                   ELSE 'en'
+               END AS predicted_lang,
+               CAST(greatest(s_en, s_de, s_es, s_fr, s_zh) AS INTEGER) AS marker_hits
+        FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID: count per-language marker tokens,
+    argmax with a fixed precedence (en > de > es > fr > zh on ties).
+    A narrow map — language-ID at 100 TB is embarrassingly parallel."""
+    d = table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+
+    def marker_count(words: tuple[str, ...]):
+        # NB: F.filter lambdas must be unary — a second (defaulted)
+        # parameter is interpreted as the element index
+        return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+    s = {lang: marker_count(words) for lang, words in _LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (s["de"] > s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]),
+            "de",
+        )
+        .when(
+            (s["es"] > s["en"]) & (s["es"] > s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"]),
+            "es",
+        )
+        .when(
+            (s["fr"] > s["en"]) & (s["fr"] > s["de"]) & (s["fr"] > s["es"]) & (s["fr"] >= s["zh"]),
+            "fr",
+        )
+        .when(
+            (s["zh"] > s["en"]) & (s["zh"] > s["de"]) & (s["zh"] > s["es"]) & (s["zh"] > s["fr"]),
+            "zh",
+        )
+        .otherwise("en")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        predicted.alias("predicted_lang"),
+        F.greatest(*s.values()).cast("int").alias("marker_hits"),
+    )
+
+
+@register(
+    "text_quality",
+    sql="""
+        WITH t AS (
+            SELECT doc_id, n_chars,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               round(n_chars * 1.0 / len(toks), 4) AS avg_token_len,
+               round(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks), 4) AS stopword_ratio,
+               round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS distinct_ratio,
+               CASE WHEN len(toks) >= 30
+                         AND len(list_distinct(toks)) * 1.0 / len(toks) >= 0.3
+                    THEN 'keep' ELSE 'flag' END AS quality_band
+        FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, avg token length, stopword ratio,
+    repetition (distinct ratio), and a keep/flag band — the standard
+    pre-training corpus filters, each a pure column expression."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.round(F.col("n_chars") / n, 4).alias("avg_token_len"),
+        F.round(F.size(F.filter(toks, lambda t: t.isin("the", "a"))) / n, 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.when((n >= 30) & (distinct_ratio >= 0.3), "keep")
+        .otherwise("flag")
+        .alias("quality_band"),
+    )
+
+
+@register(
+    "text_tokens",
+    sql="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_ish,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_est_subwords
+        FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, a BPE-ish regex
+    (alnum runs + single punctuation), and the chars/4 rule-of-thumb."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]")).alias("n_bpe_ish"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_est_subwords"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    sql="""
+        SELECT doc_id,
+               md5(text) AS full_md5,
+               CASE WHEN length(text) >= 8
+                    THEN list_min(list_transform(range(1, length(text) - 6),
+                                                 i -> md5(substr(text, i, 8))))
+                    ELSE md5(text) END AS winnow_fp
+        FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content md5 + a winnowing-style
+    fingerprint (min md5 over all 8-char rolling windows) — robust to
+    content reordering, the building block of shingle-based plagiarism/
+    dup detection. Rolling windows via sequence+transform: JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    rolling = F.expr(
+        "array_min(transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8))))"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("full_md5"),
+        F.when(F.length("text") >= 8, rolling)
+        .otherwise(F.md5(F.col("text").cast("binary")))
+        .alias("winnow_fp"),
+    )
+
+
+@register(
+    "text_tfidf",
+    sql="""
+        WITH tf AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        tf_counts AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tf GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tf GROUP BY token
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.token,
+                   round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+            FROM tf_counts t JOIN df d USING (token) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+            FROM scored
+        )
+        SELECT doc_id, token, tfidf, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed idf), top-3 terms per document. Explode -> two
+    hash aggregates -> broadcast df join -> WindowGroupLimit top-k: the
+    SQL-native TF-IDF that scales without MLlib's fixed-width hashing."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar dimension, computed once (cheap count-star)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= 3
+    )
+
+
+@register(
+    "text_ngrams",
+    sql="""
+        WITH grams AS (
+            SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+                   AS bigram
+            FROM documents
+        ),
+        counts AS (
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n
+            FROM grams GROUP BY bigram
+        )
+        SELECT bigram, n FROM counts
+        ORDER BY n DESC, bigram
+        LIMIT 100
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top-100. Generation is a per-row transform
+    (sequence + element_at), counting one hash aggregate; the global
+    top-100 is TakeOrderedAndProject. Tie-break on the bigram itself."""
+    d = table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', element_at(split(text, ' '), i), element_at(split(text, ' '), i+1)))"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(100)
+    )

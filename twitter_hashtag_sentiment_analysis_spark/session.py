@@ -11,6 +11,7 @@ DuckDB oracle regardless of host timezone.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -51,6 +52,43 @@ def get_spark(app_name: str = "thsa-spark", shuffle_partitions: int | None = Non
     return spark
 
 
+_shipped_sessions: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Spark's Python workers.
+
+    Closures that reference module-level code (the row sentiment UDF,
+    mapInPandas featurizers) are cloudpickled BY REFERENCE, so workers
+    must import the package — which fails if the driver process was
+    launched from a different cwd. Shipping a zip via addPyFile fixes
+    that for any session, ours or the driver's. Once per session.
+    """
+    key = id(spark)
+    if key in _shipped_sessions:
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"thsa_pkg_{os.getpid()}_{key}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # pragma: no cover - e.g. Spark Connect without SC
+        pass
+    _shipped_sessions.add(key)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally-created session.
 
@@ -62,6 +100,7 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in some builds
             pass
+    _ship_package(spark)
     try:
         # 200 default shuffle partitions dominates wall-clock at fixture
         # scale; AQE coalesces anyway, this just trims scheduling overhead.
