@@ -71,6 +71,75 @@ def test_minhash_pairs_are_actually_similar(spark, sf_dir):
         assert jac >= 0.5, (p, jac)
 
 
+def _write_docs(spark, tmp_path, rows):
+    """Write a minimal documents.parquet fixture dir for operator tests."""
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_ngram_jaccard_survives_short_docs(spark, tmp_path):
+    """Docs with <3 tokens must yield no shingles, not an element_at
+    crash (Spark's sequence(1, n) counts DOWN for n < 1)."""
+    reg = load_all()
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "one"), (2, "one two"), (3, ""), (4, "a b c d e"), (5, "a b c d e")],
+    )
+    rows = reg["dedup_ngram_jaccard"].fn(spark, sf).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert got == {(4, 5): 1.0}
+
+
+def test_ngrams_survives_single_token_docs(spark, tmp_path):
+    reg = load_all()
+    sf = _write_docs(spark, tmp_path, [(1, "solo"), (2, "two words"), (3, "two words")])
+    rows = reg["text_ngrams"].fn(spark, sf).collect()
+    assert [(r["bigram"], r["n"]) for r in rows] == [("two words", 2)]
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_fanout(spark, tmp_path):
+    """A shingle shared by every doc (boilerplate) is dropped by the DF
+    cap instead of producing an n^2 pair explosion."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.dedup import NGRAM_DF_CAP
+
+    n = NGRAM_DF_CAP + 20
+    # every doc: a shared boilerplate shingle + a unique tail
+    docs = [(i, f"common header line tail{i} x{i} y{i}") for i in range(n)]
+    # plus one genuine near-dup pair sharing a sub-cap shingle chain
+    docs += [(n, "p q r s t u v w"), (n + 1, "p q r s t u v w")]
+    reg = load_all()
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = reg["dedup_ngram_jaccard"].fn(spark, sf).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (n, n + 1) in pairs
+    # boilerplate-only overlaps are gone: no pair among the n header docs
+    assert all(a >= n for a, _ in pairs), sorted(pairs)[:5]
+
+
+def test_minhash_bucket_cap_bounds_candidates(spark, tmp_path):
+    """A corpus where every doc is near-identical must not explode: the
+    bucket cap drops over-full bands, keeping output linear."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.dedup import (
+        MINHASH_BUCKET_CAP,
+    )
+
+    n = 4 * MINHASH_BUCKET_CAP
+    docs = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(n)]
+    reg = load_all()
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = reg["dedup_minhash"].fn(spark, sf).count()
+    # all docs identical -> every band bucket holds n > CAP members ->
+    # all dropped; without the cap this would be n*(n-1)/2 pairs
+    assert rows == 0
+
+
 def test_mm_features_match_python_reference(spark, sf_dir):
     reg = load_all()
     got = {r["doc_id"]: r for r in reg["mm_features"].fn(spark, sf_dir).collect()}

@@ -22,6 +22,17 @@ from ..io import table
 from ..registry import register
 
 
+def round_half_away(s: "pd.Series", digits: int) -> "pd.Series":
+    """Spark/DuckDB ROUND semantics: half away from zero. numpy rounds
+    half to even, and floor(v + 0.5) rounds negative halves toward
+    +infinity — both would mismatch the oracle on an exact .5."""
+    import numpy as np
+
+    scale = 10.0 ** digits
+    v = s * scale
+    return np.copysign(np.floor(np.abs(v) + 0.5), v) / scale
+
+
 @register(
     "udf_pandas_scalar",
     sql="""
@@ -35,13 +46,10 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     One Arrow batch per partition crosses the Python boundary; the
     pandas ops inside are C-speed. This is the mandated shape for any
     Python logic on a 100 TB hot path."""
-    import math
-
     @F.pandas_udf("double")
     def density(n_chars: pd.Series, text: pd.Series) -> pd.Series:
         d = n_chars / (text.str.split(" ").str.len() + 1.0)
-        # match Spark/DuckDB half-up rounding, not numpy's half-even
-        return (d * 10**4).apply(lambda v: math.floor(v + 0.5)) / 10**4
+        return round_half_away(d, 4)
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", density("n_chars", "text").alias("density"))
@@ -66,13 +74,11 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        import math
-
         mean = pdf["o_totalprice"].mean()
         std = pdf["o_totalprice"].std(ddof=1)
         z = (pdf["o_totalprice"] - mean) / std
         pdf = pdf[["o_orderkey", "o_orderstatus"]].copy()
-        pdf["z_score"] = (z * 10**4).apply(lambda v: math.floor(v + 0.5)) / 10**4
+        pdf["z_score"] = round_half_away(z, 4)
         return pdf
 
     return o.groupBy("o_orderstatus").applyInPandas(

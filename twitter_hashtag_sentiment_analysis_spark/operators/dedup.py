@@ -4,7 +4,8 @@ data pipeline surface).
 Five levels, cheap to expensive, all distributed:
 
 * exact          — content hash + groupBy (one shuffle on the hash)
-* minhash LSH    — MLlib MinHashLSH banding join (candidate pairs only)
+* minhash LSH    — explicit banded xxhash64 signatures, capped-bucket
+                   self-join, exact Jaccard verify (candidate pairs only)
 * simhash        — 32-bit sign-aggregated token hashes, banded join
 * n-gram jaccard — shingle inverted-index self-join with hot-shingle cap
 * embedding      — cosine near-dup, see similarity.py (shared kernel)
@@ -46,29 +47,93 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash", sql=None)  # murmur minhash not replicable in DuckDB
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash near-dup candidates via MLlib MinHashLSH over HashingTF
-    token vectors (seeded — deterministic). approxSimilarityJoin only
-    compares documents sharing an LSH band bucket: the pair space is
-    bounded by bucket collisions, not n^2. Output: candidate pairs with
-    estimated Jaccard distance <= 0.3."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+# MinHash banding parameters: 16 hashes as 4 bands x 4 rows. A pair with
+# Jaccard s collides in a band with p = s^4 (0.24 at s=0.7, 0.008 at
+# s=0.3), so candidates concentrate near the threshold. BUCKET_CAP bounds
+# the join fanout: sum(size_i^2) <= CAP * sum(size_i), i.e. candidate
+# pairs are LINEAR in corpus size no matter how skewed the signatures —
+# over-full buckets (boilerplate-like clusters) are dropped, the standard
+# production-MinHash move.
+MINHASH_N = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+MINHASH_BUCKET_CAP = 64
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14)
-    feats = tf.transform(tokens).filter(F.col("text") != "")
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+
+@register("dedup_minhash", sql=None)  # xxhash64 minhash not replicable in DuckDB
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs, explicit banded implementation (replaces
+    MLlib approxSimilarityJoin, which was 887 s at sf0.1 — the estimator
+    compares every colliding pair with per-row UDF overhead and its
+    1-row bands make *everything* collide on a low-diversity corpus).
+
+    Plan shape: explode distinct tokens -> one hash-aggregate computing
+    16 seeded xxhash64 minima per doc (the signature) -> 4 banded band
+    hashes -> self-join on (band_idx, band_hash) restricted to buckets
+    with 2..BUCKET_CAP members -> exact token-set Jaccard verify
+    (array_intersect on collect_set'd tokens) >= 0.7. All JVM
+    expressions; candidate pair count is bounded by CAP * n_band_rows,
+    so the operator stays linear at 100 TB. Output: (doc_a, doc_b,
+    jaccard_dist) with exact distance <= 0.3 — same contract as round 1
+    but exact instead of estimated."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("text") != ""
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+            for i in range(MINHASH_N)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * MINHASH_ROWS + j}") for j in range(MINHASH_ROWS)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    bucket_sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("bucket_n")
+    )
+    eligible = bands.join(
+        bucket_sizes.filter(
+            (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= MINHASH_BUCKET_CAP)
+        ).select("band_idx", "band_hash"),
+        ["band_idx", "band_hash"],
+    )
+    a, b = eligible.alias("a"), eligible.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tsets = toks.groupBy("doc_id").agg(F.collect_set("token").alias("tokset"))
+    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("ts_a"))
+    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("ts_b"))
+    n_common = F.size(F.array_intersect("ts_a", "ts_b"))
+    jac = n_common / (F.size("ts_a") + F.size("ts_b") - n_common)
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(jac >= 0.7)
+        .select("doc_a", "doc_b", F.round(1.0 - jac, 4).alias("jaccard_dist"))
     )
 
 
@@ -137,7 +202,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 3-token shingles as a DuckDB expression (1-based list indexing)
+# Hot-shingle document-frequency cap: a shingle appearing in more than
+# this many documents (a boilerplate header at corpus scale) is dropped
+# before the inverted-index self-join — the join fanout on one shingle
+# is df^2, so the cap bounds total pairs by DF_CAP * n_shingle_rows
+# (linear in corpus size). Mirrored exactly in the oracle SQL.
+NGRAM_DF_CAP = 100
+
+# 3-token shingles as a DuckDB expression (1-based list indexing);
+# range(1, len-1) is empty for docs under 3 tokens.
 _SHINGLES_SQL = (
     "list_transform(range(1, len(string_split(text, ' ')) - 1), "
     "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
@@ -148,9 +221,16 @@ _SHINGLES_SQL = (
 @register(
     "dedup_ngram_jaccard",
     sql=f"""
-        WITH shingled AS (
+        WITH shingled_raw AS (
             SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
             FROM documents
+        ),
+        kept AS (
+            SELECT shingle FROM shingled_raw
+            GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}
+        ),
+        shingled AS (
+            SELECT s.doc_id, s.shingle FROM shingled_raw s JOIN kept USING (shingle)
         ),
         sizes AS (
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingled GROUP BY doc_id
@@ -172,20 +252,28 @@ _SHINGLES_SQL = (
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-token shingle) Jaccard over candidate pairs from
     a shingle inverted-index self-join — the classic exact-verify stage
-    behind MinHash. Pair space = docs sharing >=1 shingle; at corpus
-    scale, shingles with document frequency above a cap are dropped
-    first (a stopword-shingle cap), which bounds join fanout. Fully
-    SQL-expressible => exact oracle."""
+    behind MinHash. Pair space = docs sharing >=1 surviving shingle;
+    shingles with document frequency above NGRAM_DF_CAP (stopword-like
+    boilerplate) are dropped before the join, bounding fanout linearly.
+    Jaccard is computed over the capped shingle space in BOTH engines.
+    Docs with fewer than 3 tokens yield no shingles (guarded — Spark's
+    sequence(1, n) would otherwise count DOWN for n < 1 and crash
+    element_at). Fully SQL-expressible => exact oracle."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    tokens = F.split("text", " ")
     shingles_expr = F.expr(
+        "IF(size(split(text, ' ')) >= 3, "
         "transform(sequence(1, size(split(text, ' ')) - 2), "
         "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-        "element_at(split(text, ' '), i+1), element_at(split(text, ' '), i+2)))"
+        "element_at(split(text, ' '), i+1), element_at(split(text, ' '), i+2))), "
+        "CAST(array() AS ARRAY<STRING>))"
     )
-    shingled = d.select(
+    shingled_raw = d.select(
         "doc_id", F.explode(F.array_distinct(shingles_expr)).alias("shingle")
     )
+    kept = shingled_raw.groupBy("shingle").agg(F.count("*").alias("df_n")).filter(
+        F.col("df_n") <= NGRAM_DF_CAP
+    ).select("shingle")
+    shingled = shingled_raw.join(kept, "shingle", "left_semi")
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = shingled.alias("a"), shingled.alias("b")
     common = (

@@ -242,6 +242,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_ngrams",
     sql="""
+        -- range(1, len) is empty for 1-token docs: no bigrams
         WITH grams AS (
             SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
                           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
@@ -260,11 +261,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram counts, top-100. Generation is a per-row transform
     (sequence + element_at), counting one hash aggregate; the global
-    top-100 is TakeOrderedAndProject. Tie-break on the bigram itself."""
+    top-100 is TakeOrderedAndProject. Tie-break on the bigram itself.
+    Single-token docs yield no bigrams (guarded — Spark's sequence
+    counts DOWN for an upper bound < 1, so sequence(1, 0) = [1, 0]
+    would crash element_at; the oracle's range(1, 1) is just empty)."""
     d = table(spark, sf_dir, "documents")
     bigrams = F.expr(
+        "IF(size(split(text, ' ')) >= 2, "
         "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat_ws(' ', element_at(split(text, ' '), i), element_at(split(text, ' '), i+1)))"
+        "i -> concat_ws(' ', element_at(split(text, ' '), i), element_at(split(text, ' '), i+1))), "
+        "CAST(array() AS ARRAY<STRING>))"
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))
