@@ -259,12 +259,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with fewer than 3 tokens yield no shingles (guarded — Spark's
     sequence(1, n) would otherwise count DOWN for n < 1 and crash
     element_at). Fully SQL-expressible => exact oracle."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # split once into an array column; re-splitting inside the lambda
+    # (element_at(split(text, ' '), i)) is O(tokens^2) per document
     shingles_expr = F.expr(
-        "IF(size(split(text, ' ')) >= 3, "
-        "transform(sequence(1, size(split(text, ' ')) - 2), "
-        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-        "element_at(split(text, ' '), i+1), element_at(split(text, ' '), i+2))), "
+        "IF(size(toks) >= 3, "
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', element_at(toks, i), "
+        "element_at(toks, i+1), element_at(toks, i+2))), "
         "CAST(array() AS ARRAY<STRING>))"
     )
     shingled_raw = d.select(

@@ -265,11 +265,12 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-token docs yield no bigrams (guarded — Spark's sequence
     counts DOWN for an upper bound < 1, so sequence(1, 0) = [1, 0]
     would crash element_at; the oracle's range(1, 1) is just empty)."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").select(F.split("text", " ").alias("toks"))
+    # split once; re-splitting inside the lambda is O(tokens^2) per doc
     bigrams = F.expr(
-        "IF(size(split(text, ' ')) >= 2, "
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat_ws(' ', element_at(split(text, ' '), i), element_at(split(text, ' '), i+1))), "
+        "IF(size(toks) >= 2, "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1))), "
         "CAST(array() AS ARRAY<STRING>))"
     )
     return (

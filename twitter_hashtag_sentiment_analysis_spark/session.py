@@ -95,11 +95,40 @@ def tune(spark: SparkSession) -> SparkSession:
     Idempotent and cheap; called from the fixture loader so driver-owned
     sessions get UTC timestamps + AQE without us owning their builder.
     """
+    # PySpark's TimestampType.fromInternal renders collected timestamps
+    # in the PROCESS timezone (datetime.fromtimestamp), so a non-UTC
+    # host would shift every timestamp output relative to the DuckDB
+    # oracle's naive UTC values even though the Spark session TZ is
+    # pinned. Pin the Python side too: reproducibility is part of the
+    # engine contract.
+    if os.environ.get("TZ") != "UTC":
+        os.environ["TZ"] = "UTC"
+        try:
+            import time
+
+            time.tzset()
+        except AttributeError:  # pragma: no cover - tzset is POSIX-only
+            pass
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in some builds
             pass
+    try:
+        # 10 MB default is tiny next to 100+ GiB executors: dimension-ish
+        # sides up to 64 MB (e.g. the embeddings table against a candidate
+        # pair set) should map-side join rather than shuffle the big side.
+        # Only raised from the stock default so explicit settings (tests
+        # pinning -1 to observe shuffle plans) are respected.
+        if spark.conf.get("spark.sql.autoBroadcastJoinThreshold") in (
+            "10485760b",
+            "10485760",
+        ):
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    except Exception:  # pragma: no cover
+        pass
     _ship_package(spark)
     try:
         # 200 default shuffle partitions dominates wall-clock at fixture
