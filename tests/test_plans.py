@@ -6,18 +6,7 @@ returns correct rows at sf0.01 but would fall over at 100 TB.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
-from twitter_hashtag_sentiment_analysis_spark.registry import load_all
-
-
-def plan_of(spark, sf_dir, name: str) -> str:
-    df = load_all()[name].fn(spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from twitter_hashtag_sentiment_analysis_spark.plans import plan_of
 
 
 def test_broadcast_join_is_broadcast(spark, sf_dir):

@@ -217,21 +217,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF (smoothed idf), top-3 terms per document. Explode -> two
     hash aggregates -> broadcast df join -> WindowGroupLimit top-k: the
-    SQL-native TF-IDF that scales without MLlib's fixed-width hashing."""
+    SQL-native TF-IDF that scales without MLlib's fixed-width hashing.
+    n_docs rides along as a broadcast 1-row crossJoin, keeping the whole
+    operator a single job (no separate driver-side count)."""
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar dimension, computed once (cheap count-star)
+    n = d.agg(F.count("*").alias("n_docs"))
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(

@@ -22,6 +22,10 @@ from ..io import table
 from ..registry import register
 from ..streaming.queries import _run_to_memory
 
+# NDJSON drop dirs already written this process, keyed by sf_dir — the
+# write exists to prove the wire-format roundtrip, once is proof enough
+_ndjson_cache: dict[str, str] = {}
+
 
 @register(
     "source_stream_file",
@@ -38,9 +42,11 @@ def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained via availableNow. Proves the JSON wire format roundtrips
     (the reference's S3 objects are exactly such NDJSON drops)."""
     docs = table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="thsa_ndjson_")
-    drop_dir = os.path.join(tmp, "drops")
-    docs.write.mode("overwrite").json(drop_dir)
+    drop_dir = _ndjson_cache.get(sf_dir)
+    if drop_dir is None:
+        drop_dir = os.path.join(tempfile.mkdtemp(prefix="thsa_ndjson_"), "drops")
+        docs.write.mode("overwrite").json(drop_dir)
+        _ndjson_cache[sf_dir] = drop_dir
     stream = spark.readStream.schema(docs.schema).json(drop_dir)
     agg = stream.groupBy("lang").agg(
         F.count("*").alias("n_docs"),

@@ -46,15 +46,30 @@ def _run_to_memory(sdf, name_prefix: str, output_mode: str = "append") -> str:
     return name
 
 
+# stream-source dirs already materialized this process, keyed by
+# (sf_dir, table) — the FileStreamSource needs a directory, and round 1
+# paid the copy on EVERY query call; once per process is enough
+_stream_dir_cache: dict[tuple[str, str], str] = {}
+
+
+def _stream_copy(spark: SparkSession, sf_dir: str, name: str) -> tuple[str, DataFrame]:
+    """Materialize a batch table once as a stream-source directory;
+    return (dir, batch_df) — the batch df carries the schema."""
+    df = table(spark, sf_dir, name)
+    key = (sf_dir, name)
+    path = _stream_dir_cache.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix=f"thsa_{name}stream_"), name)
+        df.write.mode("overwrite").parquet(path)
+        _stream_dir_cache[key] = path
+    return path, df
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File stream source over the events table (R1 analog). The ns->us
-    conversion must match io.table(); we reuse the batch schema and
-    transform by streaming the already-converted rows via a temp
-    parquet copy."""
-    ev = table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="thsa_evstream_")
-    ev.write.mode("overwrite").parquet(os.path.join(tmp, "events"))
-    return spark.readStream.schema(ev.schema).parquet(os.path.join(tmp, "events"))
+    conversion already happened in the cached batch copy (io.table)."""
+    path, ev = _stream_copy(spark, sf_dir, "events")
+    return spark.readStream.schema(ev.schema).parquet(path)
 
 
 # ---------------------------------------------------------------------------
@@ -220,10 +235,8 @@ def stream_sentiment_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming run of the R1-R8 pipeline transform (lang +
     keyword filter -> sentiment enrichment) over a document stream.
     The oracle is the batch CTE — batch-equivalence made checkable."""
-    docs = table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="thsa_docstream_")
-    docs.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
-    stream = spark.readStream.schema(docs.schema).parquet(os.path.join(tmp, "docs"))
+    path, docs = _stream_copy(spark, sf_dir, "documents")
+    stream = spark.readStream.schema(docs.schema).parquet(path)
     enriched = transform(stream, "en", "spark")
     out = enriched.select(
         "doc_id", "sentiment", "score_positive", "score_negative",
