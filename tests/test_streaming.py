@@ -107,6 +107,156 @@ def test_transform_is_batch_stream_equivalent(spark, tweet_dir):
     assert got == expected
 
 
+def _read_sink_ids(out: str) -> list[int]:
+    ids = []
+    for path in glob.glob(os.path.join(out, "ingest_date=*", "*.json")):
+        with open(path) as f:
+            ids += [json.loads(line)["id"] for line in f]
+    return sorted(ids)
+
+
+def test_pipeline_quarantines_malformed_records(spark, tmp_path):
+    """R9: malformed NDJSON lines survive the read and land in the
+    quarantine sink with their raw text; good rows flow to the main
+    sink (the reference's on_error swallows them, streamer.py:32-33)."""
+    d = tmp_path / "drops"
+    d.mkdir()
+    with open(d / "batch0.json", "w") as f:
+        f.write(json.dumps(TWEETS[0]) + "\n")
+        f.write("{this is not json\n")
+        f.write(json.dumps(TWEETS[1]) + "\n")
+        f.write('"a bare string, not an object"\n')
+    out, ck, quar = (str(tmp_path / n) for n in ("out", "ck", "quar"))
+    q = start_pipeline(
+        spark, str(d), out, ck,
+        lang="en", keyword="spark", available_now=True, quarantine_dir=quar,
+    )
+    q.awaitTermination(120)
+    q.quarantine_query.awaitTermination(120)
+
+    assert _read_sink_ids(out) == [1, 2]
+    bad = []
+    for path in glob.glob(os.path.join(quar, "*.json")):
+        with open(path) as f:
+            bad += [json.loads(line) for line in f]
+    assert sorted(r["raw_line"] for r in bad) == [
+        '"a bare string, not an object"',
+        "{this is not json",
+    ]
+    assert all("quarantined_at" in r for r in bad)
+
+
+def test_pipeline_processing_time_trigger_multiple_batches(spark, tweet_dir, tmp_path):
+    """The reference's defining runtime behavior is the 60 s micro-batch
+    buffer (stream_processor.py:295-297). Run the real processingTime
+    trigger (scaled to 1 s), drop a second file mid-stream, and assert a
+    second micro-batch commits."""
+    from twitter_hashtag_sentiment_analysis_spark.streaming.observe import (
+        wait_until_active,
+    )
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = start_pipeline(
+        spark, tweet_dir, out, ck, lang="en", keyword="spark", trigger_seconds=1
+    )
+    try:
+        assert wait_until_active(q, 60)
+        q.processAllAvailable()
+        assert _read_sink_ids(out) == [1, 2, 5]
+        with open(os.path.join(tweet_dir, "batch1.json"), "w") as f:
+            f.write(
+                json.dumps(
+                    {"id": 6, "text": "late spark tweet", "lang": "en",
+                     "created_at": "2024-01-01T02:00:00"}
+                ) + "\n"
+            )
+        q.processAllAvailable()
+        assert _read_sink_ids(out) == [1, 2, 5, 6]
+        batches = {p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0}
+        assert len(batches) >= 2, q.recentProgress
+    finally:
+        q.stop()
+
+
+def test_progress_listener_observes_microbatches(spark, tweet_dir, tmp_path):
+    """R10 analog: per-micro-batch progress events via the listener
+    surface (the reference polls describe_delivery_stream + CloudWatch,
+    stream_processor.py:356-378)."""
+    from twitter_hashtag_sentiment_analysis_spark.streaming.observe import (
+        ProgressCapture,
+    )
+
+    cap = ProgressCapture.attach(spark)
+    try:
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        q = start_pipeline(
+            spark, tweet_dir, out, ck, lang="en", keyword="spark", available_now=True
+        )
+        q.awaitTermination(120)
+        # NB: numInputRows counts rows surviving pushdown — the lang
+        # filter reaches the JSON scan, so the es tweet never enters
+        assert cap.wait_for_rows(1, timeout=60), cap.events
+        assert any(e.num_input_rows > 0 and e.batch_id >= 0 for e in cap.events)
+    finally:
+        cap.detach(spark)
+
+
+def test_socket_push_source_parses_tweets(spark):
+    """R1 as a true push source: NDJSON over TCP, parsed against
+    TWEET_SCHEMA, malformed lines flagged in _corrupt_record."""
+    import socket
+    import threading
+
+    from twitter_hashtag_sentiment_analysis_spark.streaming.pipeline import (
+        read_tweet_socket,
+    )
+
+    lines = [json.dumps(TWEETS[0]), "not json at all", json.dumps(TWEETS[1])]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            # keep the connection up while the stream drains
+            import time as _t
+
+            _t.sleep(8)
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    sdf = read_tweet_socket(spark, "127.0.0.1", port)
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("socket_check")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.monotonic() + 60
+        while _t.monotonic() < deadline:
+            if spark.table("socket_check").count() >= 3:
+                break
+            _t.sleep(0.5)
+        rows = spark.table("socket_check").collect()
+    finally:
+        q.stop()
+        srv.close()
+    by_id = {r["id"]: r for r in rows if r["id"] is not None}
+    assert set(by_id) == {1, 2}
+    assert all(r["_corrupt_record"] is None for r in by_id.values())
+    bad = [r for r in rows if r["id"] is None]
+    assert len(bad) == 1 and bad[0]["_corrupt_record"] == "not json at all"
+
+
 def test_windowed_stream_over_events(spark, sf_dir, tmp_path):
     """Tumbling window agg as a REAL stream over events matches batch."""
     from twitter_hashtag_sentiment_analysis_spark.io import table

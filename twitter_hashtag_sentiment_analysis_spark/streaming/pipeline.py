@@ -43,14 +43,59 @@ TWEET_SCHEMA = T.StructType(
     ]
 )
 
+#: Reference R9: the corrupt-record column PERMISSIVE mode fills for
+#: lines that fail to parse (streamer.py:32-33 swallows bad records;
+#: we surface them instead).
+CORRUPT_COL = "_corrupt_record"
+
+TWEET_SCHEMA_PERMISSIVE = T.StructType(
+    TWEET_SCHEMA.fields + [T.StructField(CORRUPT_COL, T.StringType())]
+)
+
 DEFAULT_TRIGGER_SECONDS = 60  # Firehose buffer parity (stream_processor.py:295-297)
 
 
-def read_tweet_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_tweet_stream(
+    spark: SparkSession, input_dir: str, permissive: bool = False
+) -> DataFrame:
     """R1+R3: file stream source over NDJSON drops with an explicit
     schema (no inference — the reference's ad-hoc key access made
-    typed)."""
-    return spark.readStream.schema(TWEET_SCHEMA).json(input_dir)
+    typed). With ``permissive=True``, malformed lines survive the read
+    carrying their raw text in ``_corrupt_record`` (R9: the reference's
+    on_error path, streamer.py:32-33) instead of being silently nulled.
+    """
+    if not permissive:
+        return spark.readStream.schema(TWEET_SCHEMA).json(input_dir)
+    return (
+        spark.readStream.schema(TWEET_SCHEMA_PERMISSIVE)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(input_dir)
+    )
+
+
+def read_tweet_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """R1 as a true PUSH source: newline-framed tweet JSON over a TCP
+    socket (the closest OSS Spark analog of the reference's long-lived
+    Twitter stream push, streamer.py:44-48 — there is no open-source
+    Kinesis connector, see README). Lines parse against TWEET_SCHEMA
+    via from_json; unparseable lines yield a row of nulls with the raw
+    line preserved in _corrupt_record, matching the file path's R9
+    semantics."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parsed = lines.select(
+        F.from_json("value", TWEET_SCHEMA).alias("t"), F.col("value")
+    )
+    return parsed.select(
+        "t.*",
+        F.when(F.col("t").isNull() | F.col("t.id").isNull(), F.col("value"))
+        .alias(CORRUPT_COL),
+    )
 
 
 def transform(df: DataFrame, lang: str, keyword: str) -> DataFrame:
@@ -76,10 +121,48 @@ def start_pipeline(
     keyword: str = "",
     trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
     available_now: bool = False,
+    quarantine_dir: str | None = None,
 ) -> StreamingQuery:
     """R5+R7+R8: micro-batched, newline-delimited JSON, date-partitioned
-    append sink with exactly-once checkpointing."""
-    enriched = transform(read_tweet_stream(spark, input_dir), lang, keyword)
+    append sink with exactly-once checkpointing.
+
+    With ``quarantine_dir`` set, the read is PERMISSIVE and a second
+    query routes malformed lines (raw text + ingest timestamp) to an
+    NDJSON quarantine sink with its own checkpoint — R9 made auditable
+    instead of the reference's log-and-drop (stream_processor.py:181-186).
+    The quarantine query is exposed as ``.quarantine_query`` on the
+    returned handle; both drain under availableNow.
+    """
+    quarantine_query = None
+    if quarantine_dir is None:
+        source = read_tweet_stream(spark, input_dir)
+    else:
+        raw = read_tweet_stream(spark, input_dir, permissive=True)
+        source = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        # the quarantine record keeps the parsed id alongside the raw
+        # line (null on a full parse failure, set on a partial one) —
+        # also satisfies Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN rule,
+        # which rejects plans referencing only the corrupt column
+        bad = (
+            raw.filter(F.col(CORRUPT_COL).isNotNull())
+            .select(
+                F.col("id"),
+                F.col(CORRUPT_COL).alias("raw_line"),
+                F.current_timestamp().alias("quarantined_at"),
+            )
+        )
+        qwriter = (
+            bad.writeStream.outputMode("append")
+            .format("json")
+            .option("path", quarantine_dir)
+            .option("checkpointLocation", checkpoint_dir + "_quarantine")
+        )
+        if available_now:
+            qwriter = qwriter.trigger(availableNow=True)
+        else:
+            qwriter = qwriter.trigger(processingTime=f"{trigger_seconds} seconds")
+        quarantine_query = qwriter.start()
+    enriched = transform(source, lang, keyword)
     sink_df = enriched.withColumn("ingest_date", F.current_date())
     writer = (
         sink_df.writeStream.outputMode("append")
@@ -92,4 +175,6 @@ def start_pipeline(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    query = writer.start()
+    query.quarantine_query = quarantine_query
+    return query
