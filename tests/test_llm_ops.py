@@ -140,6 +140,54 @@ def test_minhash_bucket_cap_bounds_candidates(spark, tmp_path):
     assert rows == 0
 
 
+def test_pii_redact_planted(spark, tmp_path):
+    """Planted email + phone are replaced with typed placeholders and
+    counted; clean text passes through byte-identical."""
+    reg = load_all()
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "contact bob.smith+x@mail.example.org or +1 555-123 4567 now"),
+            (2, "no personal data in this one"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in reg["text_pii_redact"].fn(spark, sf).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert "[EMAIL]" in got[1]["redacted"] and "[PHONE]" in got[1]["redacted"]
+    assert "@" not in got[1]["redacted"]
+    assert got[2]["redacted"] == "no personal data in this one"
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+
+
+def test_connected_components_transitive_cluster(spark, tmp_path):
+    """a~b and b~c near-dups (a never directly paired with c) must still
+    collapse into ONE component with keeper = min doc_id — the property
+    pair-listing alone can't give you."""
+    reg = load_all()
+    # 10-token docs; consecutive docs share 9 tokens => jaccard well over
+    # the 0.2 threshold, while doc 1 vs doc 3 share 8 => also paired, but
+    # doc 4 is isolated and doc 5/6 form their own pair.
+    base = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, base + " a1"),
+            (2, base + " a2"),
+            (3, base + " a3"),
+            (4, "completely different words here only once ever seen now"),
+            (5, "u1 u2 u3 u4 u5 u6 u7 u8 u9 b1"),
+            (6, "u1 u2 u3 u4 u5 u6 u7 u8 u9 b2"),
+        ],
+    )
+    rows = reg["dedup_connected_components"].fn(spark, sf).collect()
+    got = {r["doc_id"]: (r["keeper_doc_id"], r["component_size"]) for r in rows}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[4] == (4, 1)
+    assert got[5] == (5, 2) and got[6] == (5, 2)
+
+
 def test_mm_features_match_python_reference(spark, sf_dir):
     reg = load_all()
     got = {r["doc_id"]: r for r in reg["mm_features"].fn(spark, sf_dir).collect()}

@@ -210,3 +210,32 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_orders") >= 5) & (F.col("spend") > 500000))
     )
+
+
+@register(
+    "agg_quantiles",
+    sql="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (linear interpolation — Spark's
+    `percentile` and DuckDB's `quantile_cont` share the definition).
+    The exact form needs a per-group sort; at 100 TB the scale path is
+    `approx_percentile` (a mergeable KLL-style sketch with partial
+    aggregation), which has no exact oracle — same trade as
+    agg_approx_distinct. Both surfaces matter: exact for correctness
+    gates, sketch for production dashboards."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )

@@ -19,7 +19,7 @@ space at corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -217,11 +217,11 @@ _SHINGLES_SQL = (
     "|| ' ' || string_split(text, ' ')[i+2])"
 )
 
-
-@register(
-    "dedup_ngram_jaccard",
-    sql=f"""
-        WITH shingled_raw AS (
+# Shared CTE chain producing the shingle-Jaccard near-dup pairs —
+# reused verbatim by the dedup_ngram_jaccard oracle and (inside a
+# recursive CTE) by the dedup_connected_components oracle.
+_NGRAM_PAIRS_CTES = f"""
+        shingled_raw AS (
             SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
             FROM documents
         ),
@@ -240,25 +240,20 @@ _SHINGLES_SQL = (
             FROM shingled a JOIN shingled b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        )
-        SELECT c.doc_a, c.doc_b,
-               round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
-        FROM common c
-        JOIN sizes sa ON c.doc_a = sa.doc_id
-        JOIN sizes sb ON c.doc_b = sb.doc_id
-        WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.2
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (3-token shingle) Jaccard over candidate pairs from
-    a shingle inverted-index self-join — the classic exact-verify stage
-    behind MinHash. Pair space = docs sharing >=1 surviving shingle;
-    shingles with document frequency above NGRAM_DF_CAP (stopword-like
-    boilerplate) are dropped before the join, bounding fanout linearly.
-    Jaccard is computed over the capped shingle space in BOTH engines.
-    Docs with fewer than 3 tokens yield no shingles (guarded — Spark's
-    sequence(1, n) would otherwise count DOWN for n < 1 and crash
-    element_at). Fully SQL-expressible => exact oracle."""
+        ),
+        pairs AS (
+            SELECT c.doc_a, c.doc_b,
+                   round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
+            FROM common c
+            JOIN sizes sa ON c.doc_a = sa.doc_id
+            JOIN sizes sb ON c.doc_b = sb.doc_id
+            WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.2
+        )"""
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-Jaccard near-dup pairs (doc_a, doc_b, jaccard) — the
+    DataFrame twin of _NGRAM_PAIRS_CTES."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
@@ -274,10 +269,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled_raw = d.select(
         "doc_id", F.explode(F.array_distinct(shingles_expr)).alias("shingle")
     )
-    kept = shingled_raw.groupBy("shingle").agg(F.count("*").alias("df_n")).filter(
-        F.col("df_n") <= NGRAM_DF_CAP
-    ).select("shingle")
-    shingled = shingled_raw.join(kept, "shingle", "left_semi")
+    # DF cap as a window count over the shingle key: one shuffle, and
+    # the inverted-index self-join below reuses that partitioning (vs a
+    # groupBy + semi-join, which recomputes the shingle scan twice)
+    wsh = Window.partitionBy("shingle")
+    shingled = (
+        shingled_raw.withColumn("df_n", F.count("*").over(wsh))
+        .filter(F.col("df_n") <= NGRAM_DF_CAP)
+        .drop("df_n")
+    )
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = shingled.alias("a"), shingled.alias("b")
     common = (
@@ -297,4 +297,100 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql=f"WITH{_NGRAM_PAIRS_CTES}\n        SELECT doc_a, doc_b, jaccard FROM pairs",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-token shingle) Jaccard over candidate pairs from
+    a shingle inverted-index self-join — the classic exact-verify stage
+    behind MinHash. Pair space = docs sharing >=1 surviving shingle;
+    shingles with document frequency above NGRAM_DF_CAP (stopword-like
+    boilerplate) are dropped before the join, bounding fanout linearly.
+    Jaccard is computed over the capped shingle space in BOTH engines.
+    Docs with fewer than 3 tokens yield no shingles (guarded — Spark's
+    sequence(1, n) would otherwise count DOWN for n < 1 and crash
+    element_at). Fully SQL-expressible => exact oracle."""
+    return _ngram_pairs(spark, sf_dir)
+
+
+#: Iteration cap for min-label propagation. Convergence needs one round
+#: per cluster-graph diameter; near-dup clusters are dense (diameter a
+#: few hops), and the loop exits early on fixpoint anyway. At true
+#: corpus scale swap in large-star/small-star (O(log n) rounds).
+CC_MAX_ITERS = 20
+
+
+@register(
+    "dedup_connected_components",
+    sql=f"""
+        WITH RECURSIVE{_NGRAM_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS s, doc_b AS t FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, node) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s
+        )
+        SELECT src AS doc_id,
+               CAST(min(node) AS BIGINT) AS keeper_doc_id,
+               CAST(count(*) AS BIGINT) AS component_size
+        FROM reach GROUP BY src
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup DECISION: connected components over the
+    shingle-Jaccard pair graph, keeper = min doc_id per component (the
+    step production MinHash pipelines run after candidate verification
+    — one survivor per duplicate cluster). Output one row per document:
+    (doc_id, keeper_doc_id, component_size); singletons keep themselves.
+
+    Spark side: iterative min-label propagation — labels start as
+    doc_id, each round takes min(own, neighbors') via a join + agg,
+    stopping at fixpoint (the label sum is strictly decreasing, so one
+    cheap scalar aggregate detects convergence). Lineage is truncated
+    per round with localCheckpoint. The oracle replicates with a
+    recursive CTE computing min reachable id — exact hash despite the
+    iterative implementation. component_size counts reachable docs
+    (oracle) == component membership (Spark groupBy)."""
+    pairs = _ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+    edges = edges.localCheckpoint(eager=True)  # pair graph computed once
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
+    prev_sum = None
+    for _ in range(CC_MAX_ITERS):
+        nb_min = (
+            edges.join(labels, edges.s == labels.doc_id)
+            .groupBy("t")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        labels = (
+            labels.join(nb_min, labels.doc_id == nb_min.t, "left")
+            .select(
+                "doc_id",
+                F.least("comp", F.coalesce("nb_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("component_size"))
+    return (
+        labels.join(sizes, "comp")
+        .select(
+            "doc_id",
+            F.col("comp").alias("keeper_doc_id"),
+            "component_size",
+        )
     )

@@ -288,3 +288,39 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(100)
     )
+
+
+# PII patterns shared by both engines (Java regex and RE2 agree on this
+# subset: character classes, bounded repetition, no lookaround)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+
+@register(
+    "text_pii_redact",
+    sql=f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{PHONE_RE}', '[PHONE]', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INTEGER) AS n_phones
+        FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: replace email addresses and phone-number shapes with
+    typed placeholders and count the hits — the pre-training redaction
+    pass. Pure regexp expressions (narrow map, embarrassingly parallel;
+    Spark's regexp_replace is global by default, DuckDB takes the 'g'
+    flag). The synthetic corpus contains no PII, so the fixture result
+    is an identity map with zero counts — the planted-PII behavior is
+    pinned by tests/test_llm_ops.py."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+        ).alias("redacted"),
+        F.regexp_count("text", F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PHONE_RE)).alias("n_phones"),
+    )
