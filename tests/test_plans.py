@@ -58,6 +58,29 @@ def test_asof_join_has_no_pairwise_join(spark, sf_dir):
     assert "Window" in plan, plan
 
 
+def test_quota_sample_uses_window_group_limit(spark, sf_dir):
+    # the per-source cap must push below the shuffle (map-side K rows
+    # per source), or quota sampling scans 100 TB into one window sort
+    plan = plan_of(spark, sf_dir, "sample_quota_per_source")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_hash_split_is_shuffle_free(spark, sf_dir):
+    # split assignment is a pure function of doc_id: narrow map only
+    plan = plan_of(spark, sf_dir, "sample_hash_split")
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    # the running-sum window and the per-pack agg share the `source`
+    # hash partitioning => exactly one Exchange in the whole plan
+    plan = plan_of(spark, sf_dir, "pack_sequences")
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 1, plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     # with broadcast disabled, bucketed sides sort-merge with NO shuffle:
     # the property that kills the workload's biggest Exchange at 100 TB

@@ -239,3 +239,113 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.50, 0.75, 0.95)
         ]
     )
+
+
+@register(
+    "agg_stats",
+    sql="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_samp_qp,
+               round(stddev_samp(l_discount), 6) AS stddev_disc,
+               round(var_pop(l_discount), 6) AS var_pop_disc,
+               round(skewness(l_quantity), 4) AS skew_qty,
+               round(kurtosis(l_quantity), 4) AS kurt_qty,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_price_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: correlation, covariance, stddev,
+    variance, higher moments, and simple linear regression — all
+    single-pass mergeable moment sketches (Welford-style partial
+    states), so they keep the same partial-agg shuffle shape as sum().
+    Spark's skewness/kurtosis and DuckDB's agree on the population
+    (biased) definition — verified value-identical, not assumed."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_samp_qp"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("stddev_disc"),
+        F.round(F.var_pop("l_discount"), 6).alias("var_pop_disc"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias(
+            "slope_price_qty"
+        ),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias(
+            "icept_price_qty"
+        ),
+    )
+
+
+@register(
+    "agg_pivot",
+    sql="""
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_F,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_O,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_P
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order spend by priority x status. The
+    pivot values are DECLARED (['F','O','P']) — without the explicit
+    list Spark runs an extra distinct() job to discover them, which at
+    100 TB is a full scan before the real query starts. Declared-value
+    pivot compiles to one pass of conditional aggregation (exactly the
+    oracle's CASE WHEN form): same two-phase hash agg as any groupBy."""
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.col(s).alias(f"total_{s}") for s in ("F", "O", "P")],
+    )
+
+
+@register(
+    "agg_unpivot",
+    sql="""
+        WITH long AS (
+            SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+            UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+            UNION ALL SELECT 'discount', l_discount FROM lineitem
+            UNION ALL SELECT 'tax', l_tax FROM lineitem
+        )
+        SELECT measure,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total,
+               round(avg(value), 4) AS mean
+        FROM long
+        GROUP BY measure
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long) + per-measure profile. Spark's
+    native unpivot is a zero-shuffle narrow expansion (each row emits
+    4 rows in place — no UNION ALL rescan of the table, which is what
+    the oracle must do in 4 passes); the profiling agg after it is the
+    standard partial-agg shuffle. Schema profiling over N measure
+    columns is the canonical use."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn("measure", F.expr("substring(measure, 3)"))
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 4).alias("mean"),
+    )

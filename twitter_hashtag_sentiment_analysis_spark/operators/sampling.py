@@ -1,0 +1,173 @@
+"""Deterministic sampling & sequence-packing operators for the
+training-data pipeline (BASELINE.json north-star: curating LLM
+pretraining corpora).
+
+Everything here is HASH-deterministic, not RNG-based: assignment is a
+pure function of the row key, so (a) reruns and retried tasks give
+byte-identical samples (Spark's `df.sample` does not survive partition
+reshuffling), (b) the DuckDB oracle can reproduce the exact split, and
+(c) at 100 TB the sample of a table is stable across incremental
+re-ingests — the property every train/eval split actually needs.
+The hash is md5 of the key, compared on its hex-prefix: portable
+across engines (murmur/xxhash seeds differ between Spark and DuckDB;
+md5 is bit-identical everywhere) and uniform enough for split ratios.
+All ops are narrow maps or single-window shapes — no extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+# hex-prefix thresholds on md5(doc_id): 2 hex chars = 256 buckets.
+# 'cd' = 205/256 ~ 80% train; 'e6' = 230/256 => ~10% val; rest test.
+_TRAIN_HI = "cd"
+_VAL_HI = "e6"
+
+
+@register(
+    "sample_hash_split",
+    sql=f"""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10) by md5
+    hex-prefix of the document key. Pure narrow map — no shuffle, no
+    state; the split of any document is decided by its id alone, so
+    adding data never moves existing docs between splits (critical for
+    eval-set hygiene across corpus versions)."""
+    d = table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(prefix < _TRAIN_HI, "train")
+        .when(prefix < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+#: Max documents kept per source in the quota sample.
+QUOTA_PER_SOURCE = 20
+
+
+@register(
+    "sample_quota_per_source",
+    sql=f"""
+        SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= {QUOTA_PER_SOURCE}
+    """,
+)
+def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: cap each source at K documents — the
+    standard defense against one crawl domain dominating the training
+    mixture. row_number over (source, doc_id) with rank<=K compiles to
+    Spark's WindowGroupLimit, which pushes the limit BELOW the shuffle:
+    each map task keeps only K rows per source before exchanging, so
+    the shuffle is bounded by K x n_sources regardless of input size."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QUOTA_PER_SOURCE)
+        .drop("rn")
+    )
+
+
+#: Per-language sampling rates for the mixture (hex-prefix thresholds:
+#: '80' = 128/256 = 50% for English, '1a' = 26/256 ~ 10% for the rest).
+_MIX_EN_HI = "80"
+_MIX_OTHER_HI = "1a"
+
+
+@register(
+    "sample_mixture_weighted",
+    sql=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+              CASE WHEN lang = 'en' THEN '{_MIX_EN_HI}' ELSE '{_MIX_OTHER_HI}' END
+    """,
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data mixture: keep 50% of English documents and ~10%
+    of every other language — the per-domain/per-language reweighting
+    step of corpus curation, as one deterministic hash filter. A single
+    narrow map (no per-group sampling jobs, no RNG): the rate lives in
+    the threshold expression, so changing mixture weights is a constant
+    edit, not a replan."""
+    d = table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = F.when(F.col("lang") == "en", _MIX_EN_HI).otherwise(_MIX_OTHER_HI)
+    return d.filter(prefix < thresh).select("doc_id", "lang")
+
+
+#: Token budget per packed training sequence.
+PACK_BUDGET = 512
+
+
+@register(
+    "pack_sequences",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (
+                            PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+            FROM toks
+        )
+        SELECT source, pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+               CAST(min(doc_id) AS BIGINT) AS first_doc_id
+        FROM packed
+        GROUP BY source, pack_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: concatenate documents (in
+    doc_id order within each source) into training sequences of ~BUDGET
+    tokens — the step that turns a deduped corpus into fixed-length
+    pretraining examples. pack_id = floor(exclusive-prefix-sum(tokens)
+    / budget): one running-sum window per source partition, then a hash
+    agg for per-pack stats. The window and the agg share the `source`
+    partitioning, so Spark plans ONE shuffle for both. Deterministic
+    and SQL-expressible — unlike bin-packing heuristics, contiguous
+    packing is reproducible across engines and incremental runs."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "twitter_hashtag_sentiment_analysis_spark.functions.sentiment",
     "twitter_hashtag_sentiment_analysis_spark.functions.udfs",
     "twitter_hashtag_sentiment_analysis_spark.operators.dedup",
+    "twitter_hashtag_sentiment_analysis_spark.operators.sampling",
     "twitter_hashtag_sentiment_analysis_spark.operators.similarity",
     "twitter_hashtag_sentiment_analysis_spark.operators.text_analysis",
     "twitter_hashtag_sentiment_analysis_spark.operators.multimodal",
