@@ -55,6 +55,38 @@ def test_ann_lsh_recall_against_exact(spark, sf_dir):
     assert recall >= 0.2, f"LSH recall collapsed: {recall}"
 
 
+def test_ann_ivf_recall_against_exact(spark, sf_dir):
+    """IVF (nprobe=4 of 16 cells) must recover a decent fraction of the
+    exact top-5 — a collapse means assignment or probing is broken."""
+    reg = load_all()
+    exact = reg["sim_cosine_topk"].fn(spark, sf_dir)
+    approx = reg["sim_ann_ivf"].fn(spark, sf_dir)
+    e = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
+def test_quantize_roundtrip_preserves_direction(spark, sf_dir):
+    """Dequantized int8 vectors must stay nearly parallel to the
+    originals (cosine(q/127, x) ~ 1): quantization error is bounded by
+    0.5/127 per component."""
+    reg = load_all()
+    rows = reg["embed_normalize_quantize"].fn(spark, sf_dir).limit(50).collect()
+    docs = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, sf_dir, "embeddings").limit(500).collect()
+    }
+    for r in rows:
+        x = docs[r["vec_id"]]
+        q = r["q8"]
+        dot = sum(a * b for a, b in zip(q, x))
+        nq = math.sqrt(sum(a * a for a in q))
+        nx = math.sqrt(sum(a * a for a in x))
+        assert dot / (nq * nx) > 0.995, r["vec_id"]
+        assert max(abs(v) for v in q) <= 127
+
+
 def test_minhash_pairs_are_actually_similar(spark, sf_dir):
     """Spot-check: MinHash candidate pairs overlap in token sets."""
     reg = load_all()

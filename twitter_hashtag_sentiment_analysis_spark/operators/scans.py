@@ -83,3 +83,85 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-format coverage: CSV / NDJSON / ORC readers.
+#
+# The fixtures ship as parquet only, so each scan op materializes a
+# cached copy of `events` in the target format (once per sf_dir per
+# session), reads it back through the format's reader, and returns the
+# full row set. The oracle reads the ORIGINAL parquet view — so a PASS
+# means the write->read roundtrip is value-exact for every type in the
+# table (bigint, timestamp micros, double, free-text JSON string).
+# ---------------------------------------------------------------------------
+
+_FMT_CACHE: dict[tuple[str, str], str] = {}
+
+#: events schema for the schema-on-read formats (CSV/JSON must never
+#: infer: inference is an extra full scan AND can mistype at 100 TB).
+_EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+_EVENTS_ORACLE = """
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+    """
+
+
+def _events_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write (once) and return the path of `events` in `fmt`."""
+    key = (sf_dir, fmt)
+    if key not in _FMT_CACHE:
+        ev = table(spark, sf_dir, "events")
+        out = os.path.join(tempfile.mkdtemp(prefix="thsa_fmt_"), f"events_{fmt}")
+        w = ev.coalesce(4).write.mode("overwrite")
+        if fmt == "csv":
+            # shortest-roundtrip doubles + micro timestamps: lossless
+            w.options(
+                header=True, timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).csv(out)
+        elif fmt == "json":
+            w.options(timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(out)
+        else:
+            w.format(fmt).save(out)
+        _FMT_CACHE[key] = out
+    return _FMT_CACHE[key]
+
+
+@register("scan_csv", sql=_EVENTS_ORACLE)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with an explicit schema (no inference scan). The
+    reader is splittable — at 100 TB each executor reads its own byte
+    range — and quoted fields cover the embedded-JSON `props` column.
+    Value-exact vs the parquet original, including IEEE doubles."""
+    path = _events_copy(spark, sf_dir, "csv")
+    return (
+        spark.read.schema(_EVENTS_SCHEMA)
+        .options(header=True, timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+@register("scan_ndjson", sql=_EVENTS_ORACLE)
+def scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited JSON source with explicit schema — the batch twin
+    of the streaming NDJSON tweet source (R1 analog). Schema-on-read
+    with no inference; splittable by line."""
+    path = _events_copy(spark, sf_dir, "json")
+    return (
+        spark.read.schema(_EVENTS_SCHEMA)
+        .options(timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(path)
+    )
+
+
+@register("scan_orc", sql=_EVENTS_ORACLE)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar source — same pushdown/pruning machinery as parquet
+    (predicate pushdown via ORC row-group stats, vectorized reader).
+    Exercised as a full-fidelity roundtrip of every events column."""
+    path = _events_copy(spark, sf_dir, "orc")
+    return spark.read.orc(path)
