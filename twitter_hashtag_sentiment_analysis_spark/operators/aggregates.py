@@ -10,7 +10,7 @@ which is the 100 TB-correct plan: the shuffle carries one row per
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -348,4 +348,90 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("total"),
         F.round(F.avg("value"), 4).alias("mean"),
+    )
+
+
+@register(
+    "agg_argmax_mode",
+    sql="""
+        WITH ranked_val AS (
+            SELECT event_type, user_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY value DESC, user_id DESC) AS rk
+            FROM events
+        ),
+        freq AS (
+            SELECT event_type, user_id, count(*) AS n,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY count(*) DESC, user_id ASC) AS rk
+            FROM events GROUP BY event_type, user_id
+        )
+        SELECT r.event_type,
+               r.user_id AS argmax_user,
+               round(r.value, 4) AS max_value,
+               f.user_id AS modal_user,
+               CAST(f.n AS BIGINT) AS modal_n
+        FROM ranked_val r JOIN freq f ON r.event_type = f.event_type
+        WHERE r.rk = 1 AND f.rk = 1
+    """,
+)
+def agg_argmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax + mode per group: which user produced the highest-value
+    event, and which user appears most often, per event type. Both are
+    expressed with DETERMINISTIC tie-breaks (value desc then user
+    desc; count desc then user asc) — max_by()/mode() leave ties
+    engine-defined, which can never pass an exact cross-engine gate.
+    Window-rank over a pre-aggregated (type x user) frame: the heavy
+    input collapses in the partial agg first; the windows run on the
+    tiny aggregate."""
+    ev = table(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.desc("user_id")
+    )
+    rv = (
+        ev.select("event_type", "user_id", "value")
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("argmax_user"),
+            F.round("value", 4).alias("max_value"),
+        )
+    )
+    wf = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    fr = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("modal_user"),
+            F.col("n").alias("modal_n"),
+        )
+    )
+    return rv.join(fr, "event_type")
+
+
+@register(
+    "agg_collect_sorted",
+    sql="""
+        SELECT n_regionkey,
+               list_sort(array_agg(n_name)) AS nations,
+               CAST(count(*) AS BIGINT) AS n
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation with a deterministic order: nations per region
+    as a SORTED array (collect_list order is partition-arrival order —
+    nondeterministic under retries/AQE — so any exactness contract
+    requires the explicit sort). Bounded group cardinality only:
+    collecting an unbounded group at 100 TB is an OOM by design — for
+    large groups use top-k windows or explode-side processing instead."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.count("*").alias("n"),
     )

@@ -252,3 +252,46 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+#: Salt fanout for the skew-mitigated join.
+SKEW_SALTS = 8
+
+
+@register(
+    "join_skew_salted",
+    sql="""
+        SELECT l.l_suppkey, s.s_name,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(l.l_extendedprice), 2) AS supp_revenue
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY l.l_suppkey, s.s_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi join via explicit salting: the big side
+    carries salt = l_linenumber % SKEW_SALTS (deterministic, no RNG —
+    reruns produce identical partitions); the small side is exploded
+    to all SKEW_SALTS salt values; the join key becomes (key, salt),
+    splitting any hot key's rows across SKEW_SALTS reducers instead of
+    one straggler. The oracle is the PLAIN join — salting is a physical
+    rewrite with identical semantics, and the exact-hash check proves
+    it. At fixture scale AQE's skew-join handles this automatically;
+    the explicit form is for the cases AQE can't see (skew appearing
+    after a filter, or pre-AQE engines). Salting trades a SKEW_SALTS-x
+    duplication of the SMALL side for even reducer load on the big
+    side — the right trade whenever small-side-rows x salts << the hot
+    key's row count."""
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % SKEW_SALTS).cast("int")
+    )
+    supp = table(spark, sf_dir, "supplier").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SKEW_SALTS)]))
+    )
+    joined = li.join(
+        supp, (li.l_suppkey == supp.s_suppkey) & (li.salt == supp.salt)
+    )
+    return joined.groupBy("l_suppkey", "s_name").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("supp_revenue"),
+    )

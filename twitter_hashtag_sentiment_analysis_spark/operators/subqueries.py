@@ -1,0 +1,101 @@
+"""Subquery shapes: scalar, correlated-EXISTS, and IN-subquery with a
+computed predicate — the Catalyst decorrelation surface.
+
+Spark rewrites all three into joins (scalar -> broadcast of a 1-row
+aggregate; EXISTS/IN -> semi joins), which is exactly what you want at
+100 TB: a correlated subquery that re-executed per outer row would be
+O(n*m); decorrelated it is one partial-agg + one semi join. The oracles
+use the same subquery syntax, letting DuckDB's own decorrelator prove
+the semantics match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "sub_scalar",
+    sql="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above 1.5x the global mean price. The
+    1-row aggregate is computed once and broadcast into the filter —
+    expressed via spark.sql so Catalyst's ScalarSubquery node (not a
+    hand-rolled collect()) does the plumbing; there is no driver-side
+    constant in the Python layer."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM v_orders)
+        """
+    )
+
+
+@register(
+    "sub_exists_correlated",
+    sql="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+    """,
+)
+def sub_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: customers with at least one large order.
+    Catalyst decorrelates this into a left-semi hash join on the
+    correlation key with the inner predicate pushed below the join —
+    per-outer-row re-execution never happens."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        """
+    )
+
+
+@register(
+    "sub_in_agg",
+    sql="""
+        SELECT o_orderkey, o_custkey, o_orderdate
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT o_custkey FROM orders
+            GROUP BY o_custkey HAVING count(*) >= 15
+        )
+    """,
+)
+def sub_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN over an aggregated subquery: orders of frequent customers
+    (>= 15 orders). Plans as aggregate -> left-semi join; the aggregate
+    output (one row per qualifying customer) is the small side and
+    broadcasts at any scale where the qualifying set fits memory."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderdate
+        FROM v_orders
+        WHERE o_custkey IN (
+            SELECT o_custkey FROM v_orders
+            GROUP BY o_custkey HAVING count(*) >= 15
+        )
+        """
+    )

@@ -41,6 +41,8 @@ _QUERY_MODULES = (
     "twitter_hashtag_sentiment_analysis_spark.operators.filters",
     "twitter_hashtag_sentiment_analysis_spark.operators.joins",
     "twitter_hashtag_sentiment_analysis_spark.operators.aggregates",
+    "twitter_hashtag_sentiment_analysis_spark.operators.subqueries",
+    "twitter_hashtag_sentiment_analysis_spark.operators.timeseries",
     "twitter_hashtag_sentiment_analysis_spark.operators.windows",
     "twitter_hashtag_sentiment_analysis_spark.operators.sorts",
     "twitter_hashtag_sentiment_analysis_spark.operators.setops",

@@ -244,3 +244,30 @@ def stream_sentiment_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_to_memory(out, "pipe")
     return spark.table(name)
+
+
+@register(
+    "stream_static_join",
+    sql="""
+        SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run: stream-static enrichment join — each
+    micro-batch of the event stream joins the static customer
+    dimension (the canonical streaming-ETL enrich step; the static
+    side is re-planned per batch, so dimension updates are picked up).
+    Filter-before-join keeps per-batch state at zero: stream-static
+    inner joins are STATELESS, unlike stream-stream joins — the right
+    default at 100 TB whenever the dimension fits a broadcast."""
+    stream = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    ).select("event_id", "user_id", "event_type", "c_mktsegment")
+    name = _run_to_memory(joined, "sjoin")
+    return spark.table(name)
