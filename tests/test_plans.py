@@ -81,6 +81,28 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
     assert n_exchanges == 1, plan
 
 
+def test_correlated_exists_decorrelates_to_semi_join(spark, sf_dir):
+    # per-outer-row re-execution must never appear: Catalyst rewrites
+    # the EXISTS into one (broadcast) left-semi hash join
+    plan = plan_of(spark, sf_dir, "sub_exists_correlated")
+    assert "LeftSemi" in plan, plan
+
+
+def test_in_agg_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sub_in_agg")
+    assert "LeftSemi" in plan, plan
+
+
+def test_curation_pipeline_two_shuffles(spark, sf_dir):
+    # quality filter + hash + split are narrow; only the content-hash
+    # dedup window and the (split, source) packing window shuffle
+    import re
+
+    plan = plan_of(spark, sf_dir, "corpus_curation_pipeline")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 2, plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     # with broadcast disabled, bucketed sides sort-merge with NO shuffle:
     # the property that kills the workload's biggest Exchange at 100 TB

@@ -194,3 +194,32 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
         F.get_json_object("props", "$.missing").alias("absent"),
     )
+
+
+@register(
+    "fn_bitwise",
+    sql="""
+        SELECT event_id,
+               event_id & 255 AS low_byte,
+               event_id | 15 AS or_mask,
+               xor(event_id, user_id) AS xored,
+               event_id << 2 AS shl2,
+               event_id >> 3 AS shr3,
+               CAST(bit_count(event_id) AS INTEGER) AS popcnt
+        FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount on int64 keys — the
+    primitives behind hash partitioning, bloom filters, and bit-packed
+    flags. Pure codegen expressions, narrow map."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(15)).alias("or_mask"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.shiftleft("event_id", 2).alias("shl2"),
+        F.shiftright("event_id", 3).alias("shr3"),
+        F.bit_count("event_id").alias("popcnt"),
+    )

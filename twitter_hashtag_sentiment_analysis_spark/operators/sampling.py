@@ -171,3 +171,94 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    sql=f"""
+        WITH quality AS (
+            SELECT doc_id, text, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 30
+              AND len(list_distinct(string_split(text, ' '))) * 1.0
+                  / len(string_split(text, ' ')) >= 0.3
+        ),
+        deduped AS (
+            SELECT doc_id, source, n_tokens
+            FROM (
+                SELECT doc_id, source, n_tokens,
+                       row_number() OVER (PARTITION BY sha256(text)
+                                          ORDER BY doc_id) AS rn
+                FROM quality
+            ) WHERE rn = 1
+        ),
+        split AS (
+            SELECT doc_id, source, n_tokens,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM deduped
+        )
+        SELECT doc_id, source, split, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (
+                        PARTITION BY split, source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+        FROM split
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE declarative program:
+    quality gate (length + repetition, text_quality's keep band) ->
+    exact dedup (min-doc_id keeper per content hash) -> deterministic
+    train/val/test split -> token-budget sequence packing per (split,
+    source). Output is row-level (doc_id, source, split, n_tokens,
+    pack_id) — the manifest a trainer would consume — and fully
+    SQL-expressible, so the end-to-end composition is exact-hash
+    checked, not just each stage in isolation.
+
+    Scale shape: one narrow scan computes tokens + quality + hash; the
+    dedup is one shuffle on the content hash (window rank, not a
+    groupBy+join-back); split is a free narrow map; packing reuses one
+    shuffle on (split, source). Total: two data-sized shuffles for the
+    entire pipeline — each stage composes into Catalyst's plan, which
+    is the argument for declaring curation as DataFrame ops instead of
+    chaining materialized intermediate datasets."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    quality = d.filter(
+        (n >= 30) & (F.size(F.array_distinct(toks)) / n >= 0.3)
+    ).select(
+        "doc_id", "text", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    wdup = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = deduped.withColumn(
+        "split",
+        F.when(prefix < _TRAIN_HI, "train")
+        .when(prefix < _VAL_HI, "val")
+        .otherwise("test"),
+    )
+    wpack = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return split.select(
+        "doc_id",
+        "source",
+        "split",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(wpack) - F.col("n_tokens")) / PACK_BUDGET
+        ).alias("pack_id"),
+    )

@@ -167,3 +167,39 @@ def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+@register(
+    "win_first_last",
+    sql="""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               first_value(o_orderdate) OVER w AS first_order,
+               last_value(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_order,
+               nth_value(o_orderdate, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value per customer. The subtle
+    contract: last_value over the DEFAULT frame (unbounded preceding ..
+    current row) is just the current row — the useful form needs the
+    explicit full-partition frame, declared identically in both
+    engines. Tie-broken by o_orderkey so nth is deterministic."""
+    o = table(spark, sf_dir, "orders")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = wd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.first("o_orderdate").over(wd).alias("first_order"),
+        F.last("o_orderdate").over(wfull).alias("last_order"),
+        F.nth_value("o_orderdate", 2).over(wfull).alias("second_order"),
+    )
