@@ -232,6 +232,31 @@ def test_mm_features_match_python_reference(spark, sf_dir):
         assert math.isclose(g["entropy"], ent, abs_tol=1e-9)
 
 
+def test_frame_sample_matches_python_reference(spark, sf_dir):
+    """Spark's mapInPandas frame sampler must agree with a direct
+    Python slicing of the same blobs (count, indices, checksums)."""
+    import hashlib
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+    )
+
+    reg = load_all()
+    got = {}
+    for r in reg["mm_frame_sample"].fn(spark, sf_dir).collect():
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = r["frame_md5"]
+    docs = table(spark, sf_dir, "documents").limit(20).collect()
+    for row in docs:
+        blob = row["text"].encode("utf-8")
+        n_frames = len(blob) // FRAME_BYTES
+        want = {
+            i: hashlib.md5(blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]).hexdigest()
+            for i in range(0, n_frames, FRAME_STRIDE)
+        }
+        assert got.get(row["doc_id"], {}) == want, row["doc_id"]
+
+
 def test_decode_image_stub_raises_clearly():
     import pytest
 

@@ -1,0 +1,97 @@
+"""Hypothesis property tests for the deterministic curation operators.
+
+These pin the ALGEBRAIC contracts (partition/exhaustiveness/mass
+conservation) on arbitrary corpora — the oracle gate only proves
+equality on the fixture distribution.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from twitter_hashtag_sentiment_analysis_spark.operators.sampling import (
+    _TRAIN_HI,
+    _VAL_HI,
+    PACK_BUDGET,
+)
+
+# Pure-Python twins of the operators' per-row logic. Kept deliberately
+# tiny: the cross-engine equivalence is the oracle gate's job; here we
+# check the math that makes the operators correct at ANY input.
+
+
+def split_of(doc_id: int) -> str:
+    prefix = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+    if prefix < _TRAIN_HI:
+        return "train"
+    if prefix < _VAL_HI:
+        return "val"
+    return "test"
+
+
+def pack_ids(token_counts: list[int]) -> list[int]:
+    out, cum = [], 0
+    for t in token_counts:
+        out.append(cum // PACK_BUDGET)
+        cum += t
+    return out
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), unique=True, max_size=200))
+def test_hash_split_is_total_and_stable(ids):
+    """Every id gets exactly one split, and the assignment of an id
+    never depends on which other ids are present (incremental-ingest
+    stability — the property RNG sampling lacks)."""
+    full = {i: split_of(i) for i in ids}
+    assert set(full.values()) <= {"train", "val", "test"}
+    half = {i: split_of(i) for i in ids[: len(ids) // 2]}
+    for i, s in half.items():
+        assert full[i] == s
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=PACK_BUDGET * 3), max_size=100)
+)
+def test_packing_conserves_tokens_and_is_contiguous(tokens):
+    """Packing loses no documents, pack ids start at 0 and never
+    decrease, and a pack id only advances as far as the PREVIOUS doc's
+    tokens can push the prefix sum (an oversized doc may skip ids; a
+    small doc advances by at most 1)."""
+    pids = pack_ids(tokens)
+    assert len(pids) == len(tokens)
+    if not tokens:
+        return
+    assert pids[0] == 0
+    for (a, b), t_prev in zip(zip(pids, pids[1:]), tokens):
+        assert a <= b <= a + t_prev // PACK_BUDGET + 1, (tokens, pids)
+    totals: dict[int, int] = {}
+    for pid, t in zip(pids, tokens):
+        totals[pid] = totals.get(pid, 0) + t
+    assert sum(totals.values()) == sum(tokens)
+    # greedy guarantee: every pack that was CLOSED by a following doc
+    # has total > BUDGET - (the doc that opened the next pack) ... the
+    # simple invariant form: prefix sums within one pack stay below
+    # BUDGET + the pack-opening doc's size
+    cum = 0
+    for pid, t in zip(pids, tokens):
+        start_of_pack = pid * PACK_BUDGET
+        assert cum >= start_of_pack, (tokens, pids)
+        cum += t
+
+
+@settings(suppress_health_check=[HealthCheck.function_scoped_fixture], deadline=None)
+@given(st.integers(min_value=0, max_value=2**32))
+def test_split_ratio_shape(seed):
+    """On a window of 512 consecutive ids the empirical split is in
+    sane bands around 80/10/10 — guards against threshold typos that
+    the type system can't see."""
+    ids = range(seed, seed + 512)
+    counts = {"train": 0, "val": 0, "test": 0}
+    for i in ids:
+        counts[split_of(i)] += 1
+    assert 0.70 <= counts["train"] / 512 <= 0.90
+    assert 0.03 <= counts["val"] / 512 <= 0.18
+    assert 0.03 <= counts["test"] / 512 <= 0.18

@@ -111,3 +111,58 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+#: Fake-video geometry: the blob is treated as a stream of fixed-size
+#: frames; we sample every STRIDE-th frame. Deterministic, so the
+#: pipeline is testable end to end without a video decoder.
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+@register("mm_frame_sample", sql=None)  # Arrow-batch Python path => rows-only
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque video blobs via mapInPandas — the
+    1->N expansion shape of video preprocessing (sample every k-th
+    frame, emit one row per kept frame with typed metadata). The
+    container has no video decoder, so a frame is a FRAME_BYTES slice
+    of the blob (honest stand-in; swap the slicer for an
+    ffmpeg/pyav keyframe reader and the schema, batching, and
+    partitioning are unchanged). Output is fanout-bounded: 1/STRIDE of
+    the frames, each row carrying bytes + checksum, never the decoded
+    pixels — at 100 TB you ship references and small features out of
+    the Python stage, not raw frames."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_bytes": [],
+                "frame_md5": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = len(blob) // FRAME_BYTES
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    frame = blob[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(sample, FRAME_SCHEMA)
