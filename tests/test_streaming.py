@@ -280,3 +280,71 @@ def test_windowed_stream_over_events(spark, sf_dir, tmp_path):
     streamed = spark.table("win_check").count()
     batch = ev.groupBy(F.window("ts", "1 hour"), "event_type").count().count()
     assert streamed == batch
+
+
+def test_stateful_counter_state_survives_batches(spark, tmp_path):
+    """applyInPandasWithState must CARRY state across micro-batches:
+    two file drops processed as separate batches (maxFilesPerTrigger=1)
+    for the same user must yield a cumulative count, not per-batch
+    resets."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    rows0 = [(1, 10), (2, 10), (3, 20)]
+    rows1 = [(4, 10), (5, 20), (6, 10)]
+    for i, rows in enumerate((rows0, rows1)):
+        spark.createDataFrame(rows, "event_id long, user_id long").coalesce(
+            1
+        ).write.parquet(str(d / f"drop{i}"))
+    # one directory with both drops' files
+    files = str(tmp_path / "merged")
+    spark.read.parquet(str(d / "drop0")).write.mode("overwrite").parquet(files)
+    spark.read.parquet(str(d / "drop1")).write.mode("append").parquet(files)
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files)
+    )
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"statetest_{os.getpid()}"
+    q = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    # user 10: 2 events per drop (ids 1,2 then 4,6) -> cumulative 4
+    assert final == {10: 4, 20: 2}
+    # cumulative, not reset: user 10 must emit a growing count across
+    # >=2 batches (2 after drop0's file, 4 after drop1's)
+    per_batch = sorted(
+        r["n_events"]
+        for r in spark.table(name).filter(F.col("user_id") == 10).collect()
+    )
+    assert per_batch == [2, 4]

@@ -295,3 +295,68 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("supp_revenue"),
     )
+
+
+@register(
+    "join_range_binned",
+    sql="""
+        SELECT p.event_id, p.user_id,
+               CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts > p.ts - INTERVAL 1 HOUR
+         AND c.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval fact-to-fact join made EQUI via time binning:
+    clicks within the hour before each purchase, per user. A naive
+    theta join of two fact tables is a per-key cross product; instead
+    both sides are bucketed into 1-hour bins, the probe side explodes
+    to its 2 candidate bins (the interval spans at most 2), the join
+    runs on (user_id, bin) — a plain hash join Spark can shuffle or
+    broadcast like any equi join — and the exact interval predicate is
+    applied as a residual filter. Work scales with rows-per-(user,
+    hour), not rows-per-user. The oracle is the plain interval join:
+    binning is a physical rewrite, identical semantics, exact hash.
+    Zero-click purchases survive via the final left join (binning must
+    not silently drop non-matching probes)."""
+    ev = table(spark, sf_dir, "events")
+    hour_us = 3600 * 1_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+        (F.unix_micros("ts") / hour_us).cast("long").alias("bin"),
+    )
+    probe = purchases.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                (F.col("p_us") / hour_us).cast("long") - 1,
+                (F.col("p_us") / hour_us).cast("long"),
+            )
+        ),
+    )
+    matched = (
+        probe.join(
+            clicks,
+            (probe.user_id == clicks.c_user) & (probe.bin == clicks.bin),
+        )
+        .filter(
+            (F.col("c_us") > F.col("p_us") - hour_us) & (F.col("c_us") < F.col("p_us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return purchases.join(matched, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_clicks_1h"),
+    )

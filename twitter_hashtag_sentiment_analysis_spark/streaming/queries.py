@@ -271,3 +271,49 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "c_mktsegment")
     name = _run_to_memory(joined, "sjoin")
     return spark.table(name)
+
+
+@register(
+    "stream_stateful_counter",
+    sql="""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming run of a CUSTOM stateful operator:
+    applyInPandasWithState keeps one running counter per user across
+    micro-batches (the arbitrary-state API for operators Spark's
+    built-in aggs can't express — per-key ML state, decaying counters,
+    custom session logic). Each batch emits the key's cumulative count;
+    the batch-side max per key is the final count, which equals the
+    plain groupBy — that identity is the oracle, making the stateful
+    path exact-hash checkable regardless of how availableNow slices
+    batches. State is Arrow-serialized per key group; at 100 TB the
+    shuffle is keyed by user_id and state lives in the state store,
+    not executor heap."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    stream = _events_stream(spark, sf_dir)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = _run_to_memory(counted, "statecnt", output_mode="update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
