@@ -223,3 +223,71 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("event_id", 3).alias("shr3"),
         F.bit_count("event_id").alias("popcnt"),
     )
+
+
+@register(
+    "fn_regex",
+    sql=r"""
+        SELECT doc_id,
+               regexp_extract(text, '(\w+) (\w+)', 2) AS second_word,
+               regexp_extract_all(text, '\b\w{7,}\b') AS long_words,
+               CAST(len(regexp_extract_all(text, '\bspark\b')) AS INTEGER)
+                   AS n_spark,
+               regexp_replace(text, '\b\w{1,3}\b', '_', 'g') AS short_masked,
+               regexp_matches(text, '^[a-z]') AS starts_lower
+        FROM documents
+        WHERE doc_id < 200
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract / extract_all / count / global replace /
+    rlike — the R2 keyword-track filter generalized to full pattern
+    matching (tokenizer rules, PII scrubbing, quality filters all sit
+    on these). All JVM codegen expressions, narrow map. DuckDB's
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all semantics."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"(\w+) (\w+)", 2).alias("second_word"),
+        F.regexp_extract_all("text", F.lit(r"\b\w{7,}\b"), 0).alias("long_words"),
+        F.regexp_count("text", F.lit(r"\bspark\b")).cast("int").alias("n_spark"),
+        F.regexp_replace("text", r"\b\w{1,3}\b", "_").alias("short_masked"),
+        F.col("text").rlike("^[a-z]").alias("starts_lower"),
+    )
+
+
+@register(
+    "fn_map",
+    sql="""
+        WITH m AS (
+            SELECT event_id,
+                   CAST(json(props) AS MAP(VARCHAR, INTEGER)) AS pm
+            FROM events
+        )
+        SELECT event_id,
+               CAST(cardinality(pm) AS INTEGER) AS n_keys,
+               list_sort(map_keys(pm)) AS keys_sorted,
+               element_at(pm, 'k')[1] AS k_val,
+               element_at(pm, 'missing')[1] IS NOT NULL AS has_missing
+        FROM m
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type family: JSON -> typed map, cardinality, sorted key
+    list, key lookup, membership — the dynamic-schema escape hatch for
+    the reference's ad-hoc tweet JSON (SURVEY §1.2: MapType for
+    untyped access, StructType for the typed path). DuckDB's
+    element_at returns a LIST (empty when absent), so the oracle
+    unwraps [1]; Spark's returns the value or NULL directly."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id", F.from_json("props", "map<string,int>").alias("pm")
+    )
+    return m.select(
+        "event_id",
+        F.size("pm").alias("n_keys"),
+        F.sort_array(F.map_keys("pm")).alias("keys_sorted"),
+        F.element_at("pm", F.lit("k")).alias("k_val"),
+        F.element_at("pm", F.lit("missing")).isNotNull().alias("has_missing"),
+    )

@@ -128,3 +128,66 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
     ).select("doc_id", "token", (F.col("pos0") + 1).cast("int").alias("pos"))
+
+
+#: Sliding-window chunking constants: CHUNK tokens per chunk, starts
+#: every STRIDE tokens, stop after the first chunk that reaches EOD.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+@register(
+    "udtf_chunk_text",
+    sql=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents WHERE doc_id < 1000
+        ),
+        starts AS (
+            SELECT doc_id, toks, n, unnest(range(0, n, {CHUNK_STRIDE})) AS s
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(s / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+               CAST(least(s + {CHUNK_TOKENS}, n) - s AS INTEGER) AS n_tokens,
+               array_to_string(toks[s + 1 : least(s + {CHUNK_TOKENS}, n)], ' ')
+                   AS chunk
+        FROM starts
+        WHERE s = 0 OR s - {CHUNK_STRIDE} + {CHUNK_TOKENS} < n
+    """,
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Python UDTF (Spark 4 ``@udtf`` + LATERAL): sliding-window
+    token chunking — the LLM-training prep step that turns documents
+    into overlapping context windows (32 tokens, stride 16, stop once
+    a chunk reaches end-of-doc). A generator expression could emit
+    fixed windows, but the data-dependent stop rule is exactly the
+    imperative 1->N logic the UDTF surface exists for. Arrow-batched
+    (useArrow) so rows cross the Python boundary in columnar batches;
+    the lateral join keeps the expansion partition-local — no shuffle.
+    Exact oracle: the same windows via range/unnest in DuckDB."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk string", useArrow=True)
+    class ChunkText:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            i, idx = 0, 0
+            while i < len(toks):
+                c = toks[i : i + CHUNK_TOKENS]
+                yield idx, len(c), " ".join(c)
+                if i + CHUNK_TOKENS >= len(toks):
+                    break
+                idx += 1
+                i += CHUNK_STRIDE
+
+    spark.udtf.register("chunk_text", ChunkText)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_chunk_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, chunk_idx, n_tokens, chunk
+        FROM _chunk_docs, LATERAL chunk_text(text)
+        WHERE doc_id < 1000
+        """
+    )

@@ -435,3 +435,33 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("n_name")).alias("nations"),
         F.count("*").alias("n"),
     )
+
+
+@register("agg_sketch_hll", sql=None)  # sketch binary not replicable in DuckDB
+def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg) — the sketch discipline that makes
+    100 TB distinct counts one narrow pass: each partition builds a
+    KB-sized sketch, sketches merge associatively at the reducer, and
+    PRE-AGGREGATED sketches (per day / per source) roll up later
+    WITHOUT rescanning raw data — the property approx_count_distinct's
+    fused plan cannot give you. Output: per-event-type estimated
+    distinct users, plus an '__all__' row whose sketch is the UNION of
+    the per-type sketches (merge path exercised explicitly; its
+    estimate is NOT the sum — overlapping users dedup inside the
+    sketch). Tolerance-tested vs exact counts in tests (rows-only:
+    DuckDB cannot evaluate the sketch)."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+    )
+    merged = per_type.agg(F.expr("hll_union_agg(sk)").alias("sk")).select(
+        F.lit("__all__").alias("event_type"), "sk"
+    )
+    return (
+        per_type.union(merged)
+        .select(
+            "event_type",
+            F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_users"),
+        )
+    )

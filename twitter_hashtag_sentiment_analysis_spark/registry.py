@@ -46,6 +46,7 @@ _QUERY_MODULES = (
     "twitter_hashtag_sentiment_analysis_spark.operators.windows",
     "twitter_hashtag_sentiment_analysis_spark.operators.sorts",
     "twitter_hashtag_sentiment_analysis_spark.operators.setops",
+    "twitter_hashtag_sentiment_analysis_spark.operators.analytics",
     "twitter_hashtag_sentiment_analysis_spark.functions.families",
     "twitter_hashtag_sentiment_analysis_spark.functions.sentiment",
     "twitter_hashtag_sentiment_analysis_spark.functions.udfs",

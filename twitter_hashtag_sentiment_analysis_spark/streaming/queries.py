@@ -31,18 +31,32 @@ _sink_counter = itertools.count()
 
 def _run_to_memory(sdf, name_prefix: str, output_mode: str = "append") -> str:
     """Start an availableNow streaming query into a memory sink; block
-    until drained; return the sink table name."""
+    until drained; return the sink table name.
+
+    Stateful streaming cost is dominated by per-partition state-store
+    maintenance (one store + commit files per shuffle partition per
+    batch), so the drain runs with a reduced partition count — state
+    partitioning is a physical choice pinned at first checkpoint, not
+    a semantic one; a real deployment sizes it to keys/executors, and
+    every checkpoint here is fresh so no restart compatibility is at
+    stake."""
+    spark = sdf.sparkSession
     name = f"{name_prefix}_{os.getpid()}_{next(_sink_counter)}"
     ck = tempfile.mkdtemp(prefix=f"thsa_ck_{name_prefix}_")
-    q = (
-        sdf.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 
@@ -317,3 +331,55 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"))
     )
+
+
+@register(
+    "stream_stream_join",
+    sql="""
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts < p.ts
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner join — the stateful join the reference's
+    single-stream pipeline never needed but any attribution workload
+    does: purchases joined to the same user's clicks within the hour
+    before. Both sides carry watermarks; the time-range condition lets
+    Spark bound join state (clicks older than watermark - 1 h are
+    evicted), so state size is O(events per hour), not O(stream). The
+    oracle is the equivalent batch interval join — exact, because the
+    availableNow run drains the full fixture before any watermark can
+    drop rows."""
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    name = _run_to_memory(joined, "ssjoin")
+    return spark.table(name)
