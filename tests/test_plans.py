@@ -116,3 +116,29 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_composite_queries_broadcast_dims_and_bound_topk(spark, sf_dir):
+    # the TPC-H-shaped composites must broadcast every dimension side
+    # and finish in TakeOrderedAndProject — no global sort of the agg
+    for q in ("q_shipping_priority", "q_local_supplier_volume", "q_returned_items"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, (q, plan)
+        assert "TakeOrderedAndProject" in plan, (q, plan)
+        assert "SortMergeJoin" not in plan or q == "q_shipping_priority", (q, plan)
+
+
+def test_keep_latest_uses_window_group_limit(spark, sf_dir):
+    # top-1-per-key must keep a single-row heap per key, not sort the
+    # whole partition
+    plan = plan_of(spark, sf_dir, "dedup_keep_latest")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_chunk_udtf_expands_without_shuffle(spark, sf_dir):
+    # the lateral UDTF expansion is partition-local: no Exchange at all
+    import re
+
+    plan = plan_of(spark, sf_dir, "udtf_chunk_text")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 0, plan

@@ -291,3 +291,92 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("pm", F.lit("k")).alias("k_val"),
         F.element_at("pm", F.lit("missing")).isNotNull().alias("has_missing"),
     )
+
+
+@register(
+    "fn_url",
+    sql="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/' || lang ||
+                   '/' || doc_id || '?page=' || (doc_id % 10) || '&ref=feed'
+                       AS url
+            FROM documents WHERE doc_id < 2000
+        )
+        SELECT doc_id, url,
+               regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+               regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page,
+               regexp_extract(url, '^([a-z]+):', 1) AS protocol
+        FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family: parse_url HOST/PATH/QUERY-key/PROTOCOL over
+    deterministic synthetic URLs — provenance columns (crawl source,
+    domain dedup keys, robots grouping) in a web-corpus pipeline.
+    Spark's parse_url is a dedicated expression; the oracle replicates
+    each component with anchored regexes."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            "source",
+            F.lit(".example.com/docs/"),
+            "lang",
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?page="),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("&ref=feed"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )
+
+
+@register(
+    "fn_struct",
+    sql="""
+        WITH s AS (
+            SELECT event_id,
+                   struct_pack(etype := event_type,
+                               val := round(value, 2),
+                               uid := user_id) AS info
+            FROM events WHERE event_id < 5000
+        )
+        SELECT event_id,
+               info.etype AS etype,
+               info.val AS val,
+               to_json(info) AS info_json
+        FROM s
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: named_struct build, field access, JSON
+    serialization — nested records are how multimodal metadata and
+    sentiment scores travel through this engine (SURVEY §1.2). Field
+    order inside the struct is part of the JSON contract, so both
+    engines declare (etype, val, uid) identically."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    s = ev.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("etype"),
+            F.round("value", 2).alias("val"),
+            F.col("user_id").alias("uid"),
+        ).alias("info"),
+    )
+    return s.select(
+        "event_id",
+        F.col("info.etype").alias("etype"),
+        F.col("info.val").alias("val"),
+        F.to_json("info").alias("info_json"),
+    )

@@ -262,3 +262,43 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tokens").over(wpack) - F.col("n_tokens")) / PACK_BUDGET
         ).alias("pack_id"),
     )
+
+
+#: Exact stratified sampling rate (per-language fraction kept).
+STRATIFIED_FRAC = 0.2
+
+
+@register(
+    "sample_stratified",
+    sql=f"""
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n_lang
+            FROM documents
+        )
+        WHERE rn <= ceil({STRATIFIED_FRAC} * n_lang)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified sampling: precisely ceil(20%) of each language
+    stratum — not Bernoulli's approximate-fraction df.sample — with a
+    deterministic, shuffle-free choice of WHICH rows (md5 of the key as
+    the random order; any engine reproduces it). df.sample can't
+    guarantee per-stratum counts, and at corpus scale class balance IS
+    the contract for mixture training. One shuffle on lang; the rank
+    and the stratum size come from the same window partitioning."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wl = Window.partitionBy("lang")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_lang", F.count("*").over(wl))
+        .filter(F.col("rn") <= F.ceil(STRATIFIED_FRAC * F.col("n_lang")))
+        .select("doc_id", "lang")
+    )
