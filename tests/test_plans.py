@@ -142,3 +142,34 @@ def test_chunk_udtf_expands_without_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "udtf_chunk_text")
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
     assert n_exchanges == 0, plan
+
+
+def test_forecast_revenue_pushes_every_filter(spark, sf_dir):
+    # Q6's predicates must reach the parquet scan — at 100 TB this is
+    # the difference between reading 2% and 100% of row groups
+    plan = plan_of(spark, sf_dir, "q_forecast_revenue")
+    assert "PushedFilters" in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_pricing_summary_partial_aggregates(spark, sf_dir):
+    # Q1 must map-side combine: two HashAggregate nodes around one
+    # Exchange, so the shuffle carries groups, not 600k fact rows
+    plan = plan_of(spark, sf_dir, "q_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_fixed_k_sample_is_take_ordered(spark, sf_dir):
+    # reservoir-equivalent sampling must not globally sort the corpus
+    plan = plan_of(spark, sf_dir, "sample_fixed_k")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    # EqualNullSafe is a hashable key: a naive OR-of-equals predicate
+    # would degrade to BroadcastNestedLoopJoin (quadratic at scale)
+    plan = plan_of(spark, sf_dir, "join_null_safe")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan

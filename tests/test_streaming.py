@@ -348,3 +348,31 @@ def test_stateful_counter_state_survives_batches(spark, tmp_path):
         for r in spark.table(name).filter(F.col("user_id") == 10).collect()
     )
     assert per_batch == [2, 4]
+
+
+def test_update_mode_reemits_across_batches(spark, sf_dir):
+    """The 4-file maxFilesPerTrigger=1 stream must produce MULTIPLE
+    micro-batches, each re-emitting changed keys in update mode — the
+    accumulated memory sink therefore holds more rows than there are
+    keys (re-emission), and max(n) per key equals the batch count."""
+    from twitter_hashtag_sentiment_analysis_spark.streaming.queries import (
+        _multibatch_stream,
+        _run_to_memory,
+    )
+    from pyspark.sql import functions as F
+
+    sdf = _multibatch_stream(spark, sf_dir, "events")
+    counts = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = _run_to_memory(counts, "upd_test", output_mode="update")
+    sink = spark.table(name)
+    n_keys = sink.select("event_type").distinct().count()
+    assert sink.count() > n_keys, "no re-emission: stream ran as one batch"
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .count()
+    )
+    final = {r["event_type"]: r["n"] for r in
+             sink.groupBy("event_type").agg(F.max("n").alias("n")).collect()}
+    expect = {r["event_type"]: r["count"] for r in batch.collect()}
+    assert final == expect

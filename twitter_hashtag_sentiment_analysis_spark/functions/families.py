@@ -380,3 +380,42 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("info.val").alias("val"),
         F.to_json("info").alias("info_json"),
     )
+
+
+@register(
+    "fn_datetime_extra",
+    sql="""
+        SELECT o_orderkey,
+               last_day(o_orderdate) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                   AS plus_3m,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+               CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start
+        FROM orders WHERE o_orderkey < 5000
+    """,
+)
+def fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended calendar family: month-end, month arithmetic, quarter /
+    day-of-year / ISO week / weekday extraction, epoch seconds, ISO
+    week truncation — the partition-key derivations of every
+    date-partitioned corpus sink (R8's date prefix generalized).
+    Engine-semantics notes pinned by the oracle: Spark's dayofweek is
+    1=Sunday vs DuckDB's 0=Sunday (offset in SQL), add_months on a
+    DATE stays a DATE, date_trunc('week') is Monday-based ISO in both.
+    All narrow expressions — no shuffle, pushdown-safe."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months(F.to_date("o_orderdate"), 3).alias("plus_3m"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+    )

@@ -465,3 +465,31 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_users"),
         )
     )
+
+
+@register(
+    "agg_count_if_bool",
+    sql="""
+        SELECT event_type,
+               CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_big,
+               CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_even_user,
+               bool_and(value > 0) AS all_positive,
+               bool_or(value > 95) AS any_huge
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def agg_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count + boolean aggregate family: count_if (COUNT
+    FILTER), bool_and/every, bool_or/any — the guard-rail aggregates a
+    validation pipeline runs per slice ("did every doc pass", "did any
+    overflow"). All four fold map-side like any algebraic aggregate:
+    partial (count, and, or) states merge associatively, so the
+    shuffle moves one row per (partition, key)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_big"),
+        F.count_if(F.col("user_id") % 2 == 0).alias("n_even_user"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 95).alias("any_huge"),
+    )

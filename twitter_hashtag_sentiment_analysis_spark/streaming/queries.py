@@ -383,3 +383,98 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "click_id", "user_id")
     name = _run_to_memory(joined, "ssjoin")
     return spark.table(name)
+
+
+# multi-batch stream-source dirs (4 files => 4 micro-batches under
+# maxFilesPerTrigger=1), cached per (sf_dir, table) like _stream_copy
+_multibatch_dir_cache: dict[tuple[str, str], str] = {}
+
+
+def _multibatch_stream(spark: SparkSession, sf_dir: str, name: str):
+    """File stream over a 4-file copy of a fixture table, read one file
+    per trigger — forces a genuinely multi-batch availableNow run so
+    incremental semantics (foreachBatch merges, update-mode re-emits)
+    are actually exercised, not vacuously true on a single batch."""
+    df = table(spark, sf_dir, name)
+    key = (sf_dir, name)
+    path = _multibatch_dir_cache.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix=f"thsa_mb_{name}_"), name)
+        df.repartition(4).write.mode("overwrite").parquet(path)
+        _multibatch_dir_cache[key] = path
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+
+
+@register(
+    "stream_foreach_batch",
+    sql="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch computes a PARTIAL aggregate
+    (event_type, n, sum) and appends it to a parquet delta-log-style
+    directory; the final answer re-aggregates the partials — the
+    incremental-materialized-view pattern (Firehose's buffered S3
+    appends, R5+R8, made transactional). Runs as a REAL 4-batch stream
+    (maxFilesPerTrigger=1); partial states merge associatively, so the
+    result equals the batch aggregate exactly — checked by the oracle.
+    At scale each batch shuffles only its own delta; the compaction
+    over partials is O(batches x keys), independent of corpus size."""
+    sdf = _multibatch_stream(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="thsa_febsink_") + "/partials"
+    ck = tempfile.mkdtemp(prefix="thsa_ck_feb_")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    partials = spark.read.parquet(out_dir)
+    return partials.groupBy("event_type").agg(
+        F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("total_value")
+    )
+
+
+@register(
+    "stream_update_mode",
+    sql="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+)
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode over a REAL 4-batch stream: the running
+    groupBy count re-emits a key's row every batch its count changes;
+    the memory sink accumulates every intermediate version. Counts are
+    monotone, so the final state per key is max(n) — which the oracle
+    pins to the batch count, proving both the re-emission semantics
+    and the final convergence. (Append mode would never emit an
+    unbounded-lateness aggregate; update is the mode an incremental
+    dashboard actually uses, R5's buffer flushes generalized.)"""
+    sdf = _multibatch_stream(spark, sf_dir, "events")
+    counts = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = _run_to_memory(counts, "upd", output_mode="update")
+    return spark.table(name).groupBy("event_type").agg(F.max("n").alias("n"))
