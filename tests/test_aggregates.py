@@ -31,3 +31,34 @@ def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(1, 0.02 * n), (k, got[k], n)
     assert got["__all__"] < sum(v for k, v in got.items() if k != "__all__")
+
+
+def test_approx_quantile_within_sketch_tolerance(spark, sf_dir):
+    """percentile_approx must land within rank-error 1/accuracy of the
+    exact percentile — compare against the exact per-group quantiles."""
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+    from pyspark.sql import functions as F
+
+    reg = load_all()
+    approx = {
+        r["l_returnflag"]: (list(r["price_pcts"]), r["qty_median"])
+        for r in reg["agg_approx_quantile"].fn(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: (list(r["pp"]), r["qm"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D))"
+            ).alias("pp"),
+            F.expr("percentile(l_quantity, 0.5D)").alias("qm"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (pp_a, qm_a) in approx.items():
+        pp_e, qm_e = exact[flag]
+        for a, e in zip(pp_a, pp_e):
+            assert abs(a - e) <= 0.02 * max(abs(e), 1.0), (flag, a, e)
+        assert abs(qm_a - qm_e) <= max(0.05 * abs(qm_e), 1.0), (flag, qm_a, qm_e)

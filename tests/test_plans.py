@@ -173,3 +173,11 @@ def test_null_safe_join_stays_hash_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_null_safe")
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_partition_pruned_scan_prunes_directories(spark, sf_dir):
+    # the partition-column filter must become a PartitionFilters entry
+    # (directory pruning), NOT a data filter evaluated per row
+    plan = plan_of(spark, sf_dir, "scan_partition_pruned")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0], plan

@@ -419,3 +419,91 @@ def fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
         F.date_trunc("week", "o_orderdate").alias("week_start"),
     )
+
+
+@register(
+    "fn_decimal",
+    sql="""
+        WITH d AS (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_extendedprice AS DECIMAL(18,4)) AS price_d,
+                   CAST(l_discount AS DECIMAL(18,4)) AS disc_d
+            FROM lineitem WHERE l_orderkey < 2000
+        )
+        SELECT l_orderkey, l_linenumber, price_d,
+               CAST(price_d * disc_d AS DECIMAL(37,8)) AS rebate_d,
+               CAST(round(price_d * (CAST(1 AS DECIMAL(18,4)) - disc_d), 2)
+                    AS DECIMAL(18,2)) AS net_d
+        FROM d
+    """,
+)
+def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal arithmetic (closes the SURVEY §2C 'no decimal'
+    gap): money math carried as DECIMAL, not double — cast, multiply
+    (scale adds), subtract, round to cents. Decimal ops are exact and
+    associative, so partial aggregation and shuffle order can never
+    perturb a financial total the way float summation can; both
+    engines produce bit-identical digits, which the oracle hash
+    proves. Result scales are pinned with explicit casts because
+    Spark and DuckDB widen intermediate precision differently."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    d = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price_d"),
+        F.col("l_discount").cast("decimal(18,4)").alias("disc_d"),
+    )
+    one = F.lit(1).cast("decimal(18,4)")
+    return d.select(
+        "l_orderkey",
+        "l_linenumber",
+        "price_d",
+        (F.col("price_d") * F.col("disc_d")).cast("decimal(37,8)").alias("rebate_d"),
+        F.round(F.col("price_d") * (one - F.col("disc_d")), 2)
+        .cast("decimal(18,2)")
+        .alias("net_d"),
+    )
+
+
+@register(
+    "fn_try_errors",
+    sql="""
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+                        ELSE 'n/a' END AS num_str,
+                   CAST(doc_id % 5 AS INTEGER) AS denom
+            FROM documents
+        )
+        SELECT doc_id,
+               TRY_CAST(num_str AS INTEGER) AS parsed,
+               CASE WHEN denom = 0 THEN NULL
+                    ELSE 100.0 / denom END AS ratio,
+               TRY_CAST(num_str AS INTEGER) IS NULL AS parse_failed
+        FROM m
+    """,
+)
+def fn_try_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (batch R9: the reference swallows
+    malformed records, streamer.py:32-33 — we make failure a VALUE):
+    try_cast yields NULL instead of raising on unparseable input,
+    try_divide absorbs division by zero. Deterministic mess is
+    synthesized from doc_id so both engines see identical inputs. At
+    scale this is what keeps one bad record from killing a 1000-
+    executor stage — errors become rows you can filter, count, and
+    quarantine."""
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string"))
+        .otherwise(F.lit("n/a"))
+        .alias("num_str"),
+        (F.col("doc_id") % 5).cast("int").alias("denom"),
+    )
+    parsed = F.expr("try_cast(num_str AS INT)")
+    return m.select(
+        "doc_id",
+        parsed.alias("parsed"),
+        F.try_divide(F.lit(100.0), F.nullif("denom", F.lit(0))).alias("ratio"),
+        parsed.isNull().alias("parse_failed"),
+    )

@@ -493,3 +493,21 @@ def agg_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value") > 0).alias("all_positive"),
         F.bool_or(F.col("value") > 95).alias("any_huge"),
     )
+
+
+@register("agg_approx_quantile", sql=None)  # approximate => rows-only check
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate grouped percentiles via percentile_approx
+    (Greenwald-Khanna sketch, accuracy 10000): the mergeable-sketch
+    path for quantiles at 100 TB, where agg_quantiles' exact sort-
+    based form would shuffle the full column. Sketch states merge
+    associatively (map-side combine); error is bounded by 1/accuracy
+    of rank. Tolerance vs the exact quantiles is property-tested in
+    tests/test_aggregates.py."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000).alias(
+            "price_pcts"
+        ),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_median"),
+    )

@@ -276,3 +276,39 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# One SQL text, two engines: the portable-ANSI subset both Spark SQL
+# and DuckDB parse identically — the SQL front-end demonstration.
+PORTABLE_SQL = """
+    WITH cust_rev AS (
+        SELECT o_custkey,
+               round(sum(o_totalprice), 2) AS total_spent,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_mktsegment, r.total_spent, r.n_orders,
+           CAST(rank() OVER (PARTITION BY c.c_mktsegment
+                             ORDER BY r.total_spent DESC, c.c_custkey)
+                AS BIGINT) AS seg_rank
+    FROM customer c
+    JOIN cust_rev r ON c.c_custkey = r.o_custkey
+    ORDER BY c.c_mktsegment, seg_rank
+    LIMIT 100
+"""
+
+
+@register("sql_api_query", sql=PORTABLE_SQL)
+def sql_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end as a first-class surface: register the
+    fixtures as temp views and execute the EXACT SAME SQL text the
+    DuckDB oracle runs — CTE, aggregate, join, ranking window, bounded
+    ORDER BY. Proves a reference user can bring raw SQL, not just the
+    DataFrame API, and Catalyst plans it identically (broadcast the
+    dim, partial-agg the fact, TakeOrderedAndProject the top-100).
+    Dialect discipline: explicit casts pin rank()'s type where the
+    engines' defaults differ."""
+    for name in ("orders", "customer"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(PORTABLE_SQL)

@@ -165,3 +165,98 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exercised as a full-fidelity roundtrip of every events column."""
     path = _events_copy(spark, sf_dir, "orc")
     return spark.read.orc(path)
+
+
+# partitioned-events dirs already written this process, keyed by sf_dir
+_part_dir_cache: dict[str, str] = {}
+
+
+@register(
+    "scan_partition_pruned",
+    sql="""
+        SELECT event_id, user_id, round(value, 2) AS value, event_type
+        FROM events WHERE event_type = 'click'
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition PRUNING on read (the other half of sink_partitioned's
+    story): events written date-lake-style as event_type=<v>/ dirs,
+    then scanned with an equality filter on the partition column. The
+    filter never touches data files — it prunes DIRECTORIES at plan
+    time (PartitionFilters in the scan node, plan-asserted), so a
+    1000-partition corpus reads 1/1000th of its files. This is the
+    access pattern that makes date-partitioned 100 TB sinks queryable
+    interactively. Write happens once per process (cached); the
+    oracle reads the unpartitioned original."""
+    key = sf_dir
+    path = _part_dir_cache.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="thsa_part_"), "events_by_type")
+        (
+            table(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+        _part_dir_cache[key] = path
+    ev = spark.read.parquet(path)
+    return ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.round("value", 2).alias("value"), "event_type"
+    )
+
+
+# corrupt-NDJSON drop dirs, keyed by sf_dir; every 50th line is mangled
+_corrupt_ndjson_cache: dict[str, str] = {}
+
+
+@register(
+    "scan_corrupt_permissive",
+    sql="""
+        SELECT CASE WHEN doc_id % 50 = 0 THEN NULL ELSE lang END AS lang,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def scan_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch R9: PERMISSIVE scan of an NDJSON drop where every 50th
+    line is deterministically mangled (unclosed brace prefix). Corrupt
+    lines survive the read as all-NULL rows carrying their raw text in
+    _corrupt_record instead of killing the job (the reference's
+    swallow-and-continue, streamer.py:32-33, made auditable). Output
+    counts lines per lang with corrupt lines in the NULL group — the
+    oracle derives the same partition from the mangle rule. The text
+    write is distributed and cached per process."""
+    key = sf_dir
+    path = _corrupt_ndjson_cache.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="thsa_corrupt_"), "drop")
+        line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+        (
+            table(spark, sf_dir, "documents")
+            .select(
+                F.when(F.col("doc_id") % 50 == 0, F.concat(F.lit("{broken "), line))
+                .otherwise(line)
+                .alias("value")
+            )
+            .write.mode("overwrite")
+            .text(path)
+        )
+        _corrupt_ndjson_cache[key] = path
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return parsed.groupBy("lang").agg(F.count("*").alias("n_lines"))
