@@ -264,3 +264,32 @@ def test_decode_image_stub_raises_clearly():
 
     with pytest.raises(NotImplementedError, match="pillow"):
         decode_image(b"\x89PNG")
+
+
+def test_arrow_batch_meta_matches_python_reference(spark, sf_dir):
+    """mapInArrow metadata must agree with direct Python zlib/len over
+    the same blobs."""
+    import zlib
+
+    reg = load_all()
+    got = {r["doc_id"]: r for r in reg["mm_arrow_batch"].fn(spark, sf_dir).collect()}
+    docs = table(spark, sf_dir, "documents").limit(20).collect()
+    for row in docs:
+        blob = row["text"].encode("utf-8")
+        g = got[row["doc_id"]]
+        assert g["n_bytes"] == len(blob)
+        assert g["crc32"] == zlib.crc32(blob)
+
+
+def test_sorted_layout_files_are_disjoint(spark, sf_dir):
+    """Range-clustered files must cover disjoint ts ranges — the
+    invariant that lets a time filter prune to one file."""
+    reg = load_all()
+    manifest = sorted(
+        reg["sink_sorted_layout"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["file_rank"],
+    )
+    total = sum(r["n_rows"] for r in manifest)
+    assert total == table(spark, sf_dir, "events").count()
+    for prev, cur in zip(manifest, manifest[1:]):
+        assert prev["max_ts"] <= cur["min_ts"], (prev, cur)

@@ -181,3 +181,15 @@ def test_partition_pruned_scan_prunes_directories(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "scan_partition_pruned")
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "event_type" in pf[0], plan
+
+
+def test_cache_reuse_reads_in_memory(spark, sf_dir):
+    # the second consumer must scan the columnar cache, not re-scan
+    # parquet: InMemoryTableScan appears in the executed plan
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    df = load_all()["cache_reuse"].fn(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "InMemoryTableScan" in plan, plan

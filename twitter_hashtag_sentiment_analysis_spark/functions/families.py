@@ -507,3 +507,60 @@ def fn_try_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.lit(100.0), F.nullif("denom", F.lit(0))).alias("ratio"),
         parsed.isNull().alias("parse_failed"),
     )
+
+
+@register(
+    "fn_variant",
+    sql="""
+        SELECT event_id,
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) * 2
+                   AS k_doubled,
+               json_extract_string(props, '$.missing') AS missing_str,
+               json_extract_string(props, '$.k') IS NOT NULL AS has_k
+        FROM events WHERE event_id < 5000
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (semi-structured) family: parse_json lifts the JSON
+    props column into Spark's binary Variant encoding once, then typed
+    path extraction (try_variant_get) replaces repeated string
+    re-parsing — the open-table-format answer to schema-on-read at
+    100 TB (parse once per row, O(1) typed field access, shredding-
+    ready). Missing paths yield NULL, not errors. The oracle is the
+    equivalent JSON string extraction."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k_int"),
+        (k * 2).alias("k_doubled"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
+        k.isNotNull().alias("has_k"),
+    )
+
+
+@register(
+    "fn_posexplode",
+    sql="""
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 200
+        ), unnest(range(1, len(toks) + 1)) AS t(i)
+    """,
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal expansion (posexplode / UNNEST WITH ORDINALITY): 1->N
+    explosion that KEEPS each element's position — the tokenizer shape
+    where offset matters (sequence packing, span labeling). Position
+    is generated during the explode itself, not by a window over the
+    exploded rows, so the op stays a narrow partition-local map — no
+    shuffle, no sort (compare text_ngrams' sequence+element_at, which
+    this generalizes). Spark pos is 0-based; the oracle's 1-based
+    ordinality is shifted to match."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

@@ -312,3 +312,44 @@ def sql_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders", "customer"):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(PORTABLE_SQL)
+
+
+@register(
+    "cache_reuse",
+    sql="""
+        WITH base AS (
+            SELECT l_returnflag, l_linestatus, l_quantity
+            FROM lineitem WHERE l_quantity > 20
+        )
+        SELECT 'by_flag' AS dim, l_returnflag AS key,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM base GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'by_status' AS dim, l_linestatus AS key,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM base GROUP BY l_linestatus
+    """,
+)
+def cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized intermediate reuse: one filtered projection is
+    .cache()d and consumed by TWO aggregations — without the cache each
+    union branch re-scans and re-filters the fact table; with it the
+    second branch reads columnar in-memory batches (InMemoryTableScan,
+    plan-asserted). This is the fan-out shape of every multi-metric
+    dashboard job; at cluster scale the cache is per-executor memory
+    (MEMORY_AND_DISK) and saves one full scan per extra consumer."""
+    base = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 20)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .cache()
+    )
+    by_flag = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    ).select(F.lit("by_flag").alias("dim"), F.col("l_returnflag").alias("key"), "n", "qty")
+    by_status = base.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    ).select(F.lit("by_status").alias("dim"), F.col("l_linestatus").alias("key"), "n", "qty")
+    return by_flag.unionAll(by_status)

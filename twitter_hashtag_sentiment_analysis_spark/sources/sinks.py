@@ -15,7 +15,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -92,4 +92,86 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ob.join(lb, ob.o_orderkey == lb.l_orderkey)
         .groupBy("o_orderkey")
         .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@register(
+    "catalog_ctas",
+    sql="""
+        WITH seg AS (
+            SELECT c_mktsegment, round(avg(c_acctbal), 2) AS avg_bal,
+                   CAST(count(*) AS BIGINT) AS n_cust
+            FROM customer GROUP BY c_mktsegment
+            UNION ALL
+            SELECT 'SYNTHETIC', 0.00, 0
+        )
+        SELECT * FROM seg
+    """,
+)
+def catalog_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog DDL surface: CREATE TABLE AS SELECT into the session
+    catalog, then INSERT INTO appending a row, then read back — the
+    managed-table lifecycle (CTAS + append) every warehouse user
+    expects, executed through pure SQL. The CTAS write is a normal
+    distributed parquet job; the catalog entry makes the result
+    addressable by name across queries. Fresh-session-safe: drops the
+    table and clears its orphaned warehouse dir first."""
+    import shutil
+    from urllib.parse import urlparse
+
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    spark.sql("DROP TABLE IF EXISTS thsa_seg_summary")
+    shutil.rmtree(os.path.join(wh, "thsa_seg_summary"), ignore_errors=True)
+    spark.sql(
+        """
+        CREATE TABLE thsa_seg_summary USING parquet AS
+        SELECT c_mktsegment, round(avg(c_acctbal), 2) AS avg_bal,
+               CAST(count(*) AS BIGINT) AS n_cust
+        FROM customer_v GROUP BY c_mktsegment
+        """
+    )
+    spark.sql(
+        "INSERT INTO thsa_seg_summary VALUES ('SYNTHETIC', CAST(0.00 AS DOUBLE), CAST(0 AS BIGINT))"
+    )
+    return spark.table("thsa_seg_summary")
+
+
+#: Range-layout geometry: 4 disjoint ts ranges, one file each.
+RANGE_FILES = 4
+
+
+@register("sink_sorted_layout", sql=None)  # file boundaries are sampled => rows-only
+def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered file layout (the z-order-lite every lakehouse
+    compaction job runs): repartitionByRange on event time +
+    sortWithinPartitions before the write produces files whose ts
+    ranges are DISJOINT, so any time-range query prunes to the one
+    file that overlaps (parquet row-group min/max stats do the rest).
+    Output is the per-file manifest (rank, min_ts, max_ts, n_rows) —
+    disjointness is asserted in tests. Rows-only: RangePartitioning
+    samples boundaries, so exact file membership is not
+    oracle-replicable, but the disjointness INVARIANT is what matters
+    at 100 TB."""
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = tempfile.mkdtemp(prefix="thsa_rangesink_") + "/events_ranged"
+    (
+        ev.repartitionByRange(RANGE_FILES, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    w = Window.orderBy("min_ts")
+    return (
+        per_file.withColumn("file_rank", F.row_number().over(w))
+        .select("file_rank", "min_ts", "max_ts", "n_rows")
     )
