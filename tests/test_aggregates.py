@@ -62,3 +62,24 @@ def test_approx_quantile_within_sketch_tolerance(spark, sf_dir):
         for a, e in zip(pp_a, pp_e):
             assert abs(a - e) <= 0.02 * max(abs(e), 1.0), (flag, a, e)
         assert abs(qm_a - qm_e) <= max(0.05 * abs(qm_e), 1.0), (flag, qm_a, qm_e)
+
+
+def test_observed_metrics_match_recount(spark, sf_dir):
+    """df.observe metrics must equal an independent recount of the
+    same filtered scan."""
+    from pyspark.sql import functions as F
+
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    df = load_all()["obs_metrics"].fn(spark, sf_dir)
+    df.collect()  # action materializes the observation
+    got = df.observation.get
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_quantity") >= 25
+    )
+    expect = li.agg(
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price_seen"),
+    ).collect()[0]
+    assert got["rows_seen"] == expect["rows_seen"]
+    assert got["price_seen"] == expect["price_seen"]

@@ -293,3 +293,26 @@ def test_sorted_layout_files_are_disjoint(spark, sf_dir):
     assert total == table(spark, sf_dir, "events").count()
     for prev, cur in zip(manifest, manifest[1:]):
         assert prev["max_ts"] <= cur["min_ts"], (prev, cur)
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Fixed-iteration PageRank must (a) keep every rank positive,
+    (b) approximately conserve mass (sum ~= n for the 1-damping+d*mass
+    formulation when sinks are negligible), and (c) rank hub words
+    (high in-degree function words) above the median."""
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["graph_pagerank"].fn(spark, sf_dir).collect()
+    ranks = {r["word"]: r["rank"] for r in rows}
+    assert all(v > 0 for v in ranks.values())
+    n = len(ranks)
+    total = sum(ranks.values())
+    # the word graph is strongly connected enough that leaked sink
+    # mass stays small
+    assert 0.5 * n <= total <= 1.5 * n, (total, n)
+    # the fixture vocabulary is near-uniform, so the distribution is
+    # flat — but the most-linked word must still separate from the
+    # median, proving mass actually flowed along edges
+    med = sorted(ranks.values())[n // 2]
+    hub = max(ranks, key=ranks.get)
+    assert ranks[hub] > 1.05 * med, (hub, ranks[hub], med)

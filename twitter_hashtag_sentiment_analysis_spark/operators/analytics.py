@@ -353,3 +353,113 @@ def cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
     ).select(F.lit("by_status").alias("dim"), F.col("l_linestatus").alias("key"), "n", "qty")
     return by_flag.unionAll(by_status)
+
+
+@register(
+    "obs_metrics",
+    sql="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        WHERE l_quantity >= 25
+        GROUP BY l_returnflag
+    """,
+)
+def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed metrics (df.observe): accumulator-style dataset metrics
+    collected DURING the pass — row count, sum, null count ride the
+    same scan as the query instead of a second job (the reference's
+    per-record CloudWatch print, R9, as a zero-cost aggregate). The
+    observation is attached to the filtered scan feeding the real
+    aggregate; tests assert the observed values equal an independent
+    recount. Rows out are the normal query result — observe never
+    changes the data plane."""
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25)
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price_seen"),
+    )
+    out = observed.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+    # stash the Observation so tests can read .get after an action;
+    # harmless for the driver, which only consumes the DataFrame
+    out.observation = obs
+    return out
+
+
+#: PageRank parameters: standard damping, fixed iteration budget (the
+#: fixture graph converges in ~10 rounds; production runs until the
+#: rank delta underflows a tolerance, same loop).
+PR_DAMPING = 0.85
+PR_ITERS = 12
+
+
+@register("graph_pagerank", sql=None)  # iterative float fixpoint => rows-only
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the word co-occurrence graph (edges =
+    bigram counts from the corpus, the text-derived graph a keyword/
+    entity ranker actually builds). Iterative dataflow on DataFrames:
+    each round is contribution-scatter (edge join) -> gather (groupBy
+    sum) -> damping update, with lineage truncated per round via
+    localCheckpoint — the same loop shape as dedup_connected_
+    components, but with float mass instead of min-labels. At corpus
+    scale the vocabulary graph is ~1e6 nodes (edges partition by src;
+    ranks co-partition by node key, so each iteration is ONE shuffle).
+    Rows-only: the fixpoint is float-iterative; invariants (mass
+    conservation, positivity, convergence) are property-tested in
+    tests/test_llm_ops.py. Output: (word, round(rank, 6)) for the
+    full vocabulary."""
+    d = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    bigrams = F.expr(
+        "IF(size(toks) >= 2, "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS src, element_at(toks, i+1) AS dst)), "
+        "CAST(array() AS ARRAY<STRUCT<src: STRING, dst: STRING>>))"
+    )
+    edges = (
+        d.select(F.explode(bigrams).alias("e"))
+        .select("e.src", "e.dst")
+        .filter((F.col("src") != "") & (F.col("dst") != ""))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # normalized edge weight = transition probability src -> dst
+    trans = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    )
+    trans = trans.localCheckpoint(eager=True)  # graph built once
+    nodes = (
+        edges.select(F.col("src").alias("word"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("word", F.lit(1.0).alias("rank"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            trans.join(ranks, trans.src == ranks.word)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.word == contribs.dst, "left")
+            .select(
+                "word",
+                (
+                    F.lit(1 - PR_DAMPING)
+                    + F.lit(PR_DAMPING) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("word", F.round("rank", 6).alias("rank"))
