@@ -511,3 +511,38 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_median"),
     )
+
+
+#: Histogram geometry: fixed-width bins over the value domain.
+HIST_BIN_WIDTH = 10.0
+
+
+@register(
+    "agg_histogram",
+    sql=f"""
+        SELECT event_type,
+               CAST(floor(value / {HIST_BIN_WIDTH}) AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(value), 2) AS bin_min,
+               round(max(value), 2) AS bin_max
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per slice: bin = floor(value/width), count
+    + observed min/max per bin — the distribution profile a data-
+    quality dashboard computes per column (and the binning that feeds
+    equi-width histogram statistics in any optimizer). One hash
+    aggregate on the (slice, bin) composite key, fully partial-
+    aggregable; bins with no data simply don't appear (dense spines
+    are ts_resample_gapfill's job)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / HIST_BIN_WIDTH).cast("int").alias("bin"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("bin_min"),
+        F.round(F.max("value"), 2).alias("bin_max"),
+    )

@@ -99,3 +99,30 @@ def sub_in_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# One LATERAL text, two engines (same trick as analytics.PORTABLE_SQL)
+LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.total_spent, t.n_orders
+    FROM customer c, LATERAL (
+        SELECT round(sum(o.o_totalprice), 2) AS total_spent,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o WHERE o.o_custkey = c.c_custkey
+    ) t
+    WHERE t.n_orders >= 1
+"""
+
+
+@register("sub_lateral", sql=LATERAL_SQL)
+def sub_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the per-outer-row derived table
+    (SQL:1999's answer to 'apply this subplan to each row'). Catalyst
+    decorrelates it into an aggregate + equi-join exactly like the
+    EXISTS forms above, so the naive O(outer x inner) re-execution
+    never happens; DuckDB's decorrelator does the same, and both run
+    the IDENTICAL SQL text. The aggregate-per-customer shape is the
+    canonical use: enrich each entity with a computed rollup of its
+    fact rows."""
+    for name in ("orders", "customer"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(LATERAL_SQL)
