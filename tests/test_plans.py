@@ -193,3 +193,13 @@ def test_cache_reuse_reads_in_memory(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_expanded_composites_broadcast_all_dims(spark, sf_dir):
+    # Q7/Q8/Q14/Q19: every dimension side must broadcast; the only
+    # sort-merge pair allowed is the lineitem-orders fact join
+    for q in ("q_volume_shipping", "q_market_share", "q_promo_revenue",
+              "q_discounted_revenue"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, (q, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
