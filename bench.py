@@ -31,9 +31,14 @@ def main() -> None:
     reg = load_all()
     names = only or sorted(reg)
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warm the JVM + parquet footers + one shuffle/codegen path once so
+    # per-query numbers measure the query, not session startup (without
+    # this the alphabetically-first query absorbs executor spin-up)
+    warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    warm.count()
+    warm.groupBy("l_returnflag").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:

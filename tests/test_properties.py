@@ -95,3 +95,31 @@ def test_split_ratio_shape(seed):
     assert 0.70 <= counts["train"] / 512 <= 0.90
     assert 0.03 <= counts["val"] / 512 <= 0.18
     assert 0.03 <= counts["test"] / 512 <= 0.18
+
+
+def test_text_normalize_is_idempotent(spark, sf_dir):
+    """Normalization must be a projection onto its own fixed points:
+    normalizing an already-normalized corpus changes nothing."""
+    from pyspark.sql import functions as F
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.text_analysis import (
+        NORM_STOPWORDS,
+    )
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    once = load_all()["text_normalize"].fn(spark, sf_dir)
+    stop = F.array(*[F.lit(w) for w in NORM_STOPWORDS])
+    toks = F.filter(
+        F.split(F.lower(F.trim("norm_text")), " "),
+        lambda w: (w != "") & ~F.array_contains(stop, w),
+    )
+    twice = once.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("norm_text2"),
+    )
+    diff = (
+        once.join(twice, "doc_id")
+        .filter(F.col("norm_text") != F.col("norm_text2"))
+        .count()
+    )
+    assert diff == 0
