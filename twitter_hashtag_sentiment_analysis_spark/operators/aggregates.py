@@ -106,13 +106,18 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("agg_approx_distinct", sql=None)  # approximate => rows-only check
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct count (rsd=2%). The scale path for
-    count(distinct) on high-cardinality keys: constant-size sketches
-    merge associatively, no dedup shuffle of the raw values."""
+    """HyperLogLog++ distinct count (rsd=5%, the default). The scale
+    path for count(distinct) on high-cardinality keys: constant-size
+    sketches merge associatively, no dedup shuffle of the raw values.
+    Precision is a real knob: rsd=2% quadruples register count and
+    measured 4x slower than 5% here — and slower than EXACT distinct
+    at this fixture's cardinality. HLL only pays off when the distinct
+    set dwarfs the sketch (the 100 TB case); rsd is chosen for that
+    regime, not to win at 600 k rows."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
     )
 
 
