@@ -316,3 +316,16 @@ def test_pagerank_invariants(spark, sf_dir):
     med = sorted(ranks.values())[n // 2]
     hub = max(ranks, key=ranks.get)
     assert ranks[hub] > 1.05 * med, (hub, ranks[hub], med)
+
+
+def test_ann_ivf_trained_recall_against_exact(spark, sf_dir):
+    """The KMeans-trained codebook must probe at least as well as the
+    pinned-centroid stand-in — trained cells fit the data distribution,
+    so recall should not collapse."""
+    reg = load_all()
+    exact = reg["sim_cosine_topk"].fn(spark, sf_dir)
+    approx = reg["sim_ann_ivf_trained"].fn(spark, sf_dir)
+    e = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"trained-IVF recall collapsed: {recall}"

@@ -564,3 +564,42 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+@register(
+    "fn_interval_arith",
+    sql="""
+        SELECT event_id,
+               ts + INTERVAL 90 MINUTE AS ts_plus_90m,
+               ts - INTERVAL 2 DAY AS ts_minus_2d,
+               CAST(datediff('hour', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+                   AS hours_since_epoch_start,
+               CAST(datediff('minute', ts, ts + INTERVAL 90 MINUTE) AS BIGINT)
+                   AS span_minutes
+        FROM events WHERE event_id < 5000
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic family: timestamp +/- day-time intervals and
+    unit-truncated timestamp differences (timestampdiff) — watermark
+    windows, TTL cutoffs, and SLA age columns are all built from these.
+    Narrow expressions, pushdown-safe. Dialect caveat (probed, real):
+    Spark's timestampdiff counts ELAPSED whole units while DuckDB's
+    datediff counts unit-BOUNDARY crossings — e.g. 01:59->02:01 is 0
+    hours in Spark, 1 in DuckDB. The two agree exactly when the start
+    sits on a unit boundary or the span is a whole number of units,
+    which is how both columns here are constructed (midnight anchor;
+    exact 90-minute span) — the oracle hash pins that contract; don't
+    loosen it without re-checking the edge."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        (F.col("ts") - F.expr("INTERVAL 2 DAYS")).alias("ts_minus_2d"),
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '2024-01-01', ts)"
+        ).alias("hours_since_epoch_start"),
+        F.expr(
+            "timestampdiff(MINUTE, ts, ts + INTERVAL 90 MINUTES)"
+        ).alias("span_minutes"),
+    )

