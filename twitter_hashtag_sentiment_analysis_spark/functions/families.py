@@ -603,3 +603,48 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestampdiff(MINUTE, ts, ts + INTERVAL 90 MINUTES)"
         ).alias("span_minutes"),
     )
+
+
+@register(
+    "fn_array_hof",
+    sql="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE doc_id < 2000
+        )
+        SELECT doc_id,
+               len(list_filter(toks, w -> len(w) > 5)) > 0 AS has_long,
+               len(list_filter(toks, w -> w != '')) = len(toks) AS all_nonempty,
+               CAST(len(list_filter(toks, w -> w LIKE 's%')) AS INTEGER)
+                   AS n_s_words,
+               CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
+                   AS total_chars,
+               list_transform(toks[1:2], w -> upper(w)) AS first2_upper
+        FROM t
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: exists / forall / filter+size /
+    aggregate (fold) / transform — per-row collection logic that stays
+    INSIDE codegen instead of exploding rows or crossing into Python
+    (explode+groupBy would shuffle; a UDF would serialize). This is
+    the same machinery the similarity kernels build on; here it runs
+    the classic corpus feature shapes (any-long-token, all-non-empty,
+    prefix counts, char totals). DuckDB expresses exists/forall as
+    list_filter cardinality tests — semantics pinned by the oracle."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda w: F.length(w) > 5).alias("has_long"),
+        F.forall(toks, lambda w: w != "").alias("all_nonempty"),
+        F.size(F.filter(toks, lambda w: w.startswith("s"))).alias("n_s_words"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("total_chars"),
+        F.transform(F.slice(toks, 1, 2), lambda w: F.upper(w)).alias(
+            "first2_upper"
+        ),
+    )

@@ -292,3 +292,28 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("second_purchase"),
     )
+
+
+# One INTERVAL-range window text, two engines (the portable-SQL trick)
+TIME_RANGE_SQL = """
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           round(sum(value) OVER w, 2) AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_time_range", sql=TIME_RANGE_SQL)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based RANGE frame: per user, a rolling trailing-1-hour
+    count/sum keyed by EVENT TIME, not row position — the sliding-
+    window aggregate without exploding one row per window (compare
+    stream_sliding, which materializes window starts). The frame is
+    evaluated in one sort per partition with a moving pointer: O(n)
+    per user regardless of event density. Both engines run the
+    identical SQL text (count/sum are order-insensitive inside the
+    frame, so ts ties cannot diverge)."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(TIME_RANGE_SQL)
