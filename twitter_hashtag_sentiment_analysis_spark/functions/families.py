@@ -648,3 +648,38 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first2_upper"
         ),
     )
+
+
+@register(
+    "fn_binary_base64",
+    sql="""
+        SELECT doc_id,
+               to_base64(CAST(text AS BLOB)) AS b64,
+               CAST(from_base64(to_base64(CAST(text AS BLOB))) AS VARCHAR)
+                   AS roundtrip,
+               lower(hex(substr(text, 1, 4))) AS head_hex,
+               CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
+        FROM documents WHERE doc_id < 2000
+    """,
+)
+def fn_binary_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/base64 family — DIRECT reference parity: the Lambda
+    boundary base64-decodes every incoming record and re-encodes the
+    transformed payload (ProcessStreamData.py:16,28). Here that wire
+    plumbing is engine-native: base64/unbase64 roundtrip, hex views,
+    byte length — all codegen'd binary expressions, the same column
+    discipline the multimodal blob operators build on."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    blob = F.encode(F.col("text"), "utf-8")
+    # Spark's base64 is MIME (RFC 2045: CRLF every 76 chars); DuckDB's
+    # is plain RFC 4648 — strip the soft wraps so the wire form matches
+    b64 = F.regexp_replace(F.base64(blob), "[\\r\\n]", "")
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.decode(F.unbase64(F.base64(blob)), "utf-8").alias("roundtrip"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "utf-8"))).alias(
+            "head_hex"
+        ),
+        F.length(blob).cast("int").alias("n_bytes"),
+    )
