@@ -196,10 +196,28 @@ def test_cache_reuse_reads_in_memory(spark, sf_dir):
 
 
 def test_expanded_composites_broadcast_all_dims(spark, sf_dir):
-    # Q7/Q8/Q14/Q19: every dimension side must broadcast; the only
-    # sort-merge pair allowed is the lineitem-orders fact join
+    # Q7/Q8/Q14/Q19/Q17/Q21: every dimension side must broadcast; the
+    # only sort-merge pair allowed is the lineitem-orders fact join
     for q in ("q_volume_shipping", "q_market_share", "q_promo_revenue",
-              "q_discounted_revenue"):
+              "q_discounted_revenue", "q_small_qty_revenue",
+              "q_waiting_suppliers"):
         plan = plan_of(spark, sf_dir, q)
         assert "BroadcastHashJoin" in plan, (q, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
+
+
+def test_customer_distribution_keeps_zero_count(spark):
+    # Q13's defining semantic: the priority filter lives in the JOIN
+    # condition, so a customer with no qualifying orders appears with
+    # c_count = 0 instead of vanishing (what a WHERE would do).
+    # sf0.01 is the smallest fixture containing a zero-count customer.
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    sf01 = "/root/testdata/sf0.01"
+    rows = {
+        r["c_count"]: r["custdist"]
+        for r in load_all()["q_customer_distribution"].fn(spark, sf01).collect()
+    }
+    n_cust = spark.read.parquet(f"{sf01}/customer.parquet").count()
+    assert sum(rows.values()) == n_cust  # every customer exactly once
+    assert 0 in rows  # zero-order customers survive the left join

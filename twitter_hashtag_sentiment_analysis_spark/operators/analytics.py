@@ -715,6 +715,200 @@ def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_customer_distribution",
+    sql="""
+        WITH c_orders AS (
+            SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                              AND o.o_orderpriority <> '5-LOW'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM c_orders
+        GROUP BY c_count
+    """,
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer, INCLUDING
+    zero-order customers — the filter (exclude low-priority orders)
+    lives in the JOIN condition, not WHERE, so customers whose only
+    orders are excluded still appear with c_count = 0 (the left-join
+    semantic WHERE would destroy). Two aggregations: per-customer count
+    (shuffle on custkey, partial-agg'd), then the tiny count-of-counts.
+    count(o_orderkey) not count(*): null-extended rows must count 0."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q_top_supplier",
+    sql="""
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) achieving maximum quarterly revenue —
+    an aggregate reused TWICE (as the ranking base and inside the
+    scalar-max subquery). The revenue aggregate is computed once and
+    cached-by-plan (Catalyst reuses the exchange); the max is a 1-row
+    broadcast joined back as a filter, and supplier broadcasts onto the
+    tiny winner set. Rounding before the max comparison keeps the
+    tie-set byte-stable across engines."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    sql="""
+        WITH part_avg AS (
+            SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cap
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN part_avg a ON a.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < a.qty_cap
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from small-quantity orders of one brand's
+    parts, where 'small' is defined per part as < 20% of that part's
+    average quantity — the correlated scalar subquery, decorrelated
+    into a groupBy + join (how Catalyst itself rewrites it). The
+    per-part average is one partial-agg'd shuffle producing ~|part|
+    rows, broadcast back onto the fact scan; the brand filter prunes
+    via the broadcast part dim before the threshold test."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(part_avg), l.l_partkey == F.col("pa_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_waiting_suppliers",
+    sql="""
+        WITH ol AS (
+            SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ),
+        per_order AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN l_shipdate >
+                                            o_orderdate + INTERVAL 60 DAY
+                                       THEN l_suppkey END) AS n_late_supp
+            FROM ol
+            GROUP BY l_orderkey
+        )
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM ol l1
+        JOIN per_order po ON l1.l_orderkey = po.l_orderkey
+        JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+          AND po.n_supp >= 2
+          AND po.n_late_supp = 1
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted to the fixture schema (lateness = shipped more
+    than 60 days after the order date; no receipt/commit columns):
+    suppliers who were the SOLE late shipper on a finished multi-
+    supplier order. The classic EXISTS / NOT-EXISTS pair is
+    decorrelated into ONE per-order aggregate (distinct suppliers,
+    distinct late suppliers) joined back — two passes over the joined
+    fact instead of TPC-H's three correlated scans, and the identical
+    formulation runs on both engines. The per-order stats are a
+    partial-agg'd shuffle on orderkey, reusing the partitioning the
+    orders join already established; supplier broadcasts."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    ol = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "is_late"
+        ),
+    )
+    per_order = ol.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        ol.filter(F.col("is_late"))
+        .join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)), "l_orderkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@register(
     "q_dormant_customers",
     sql="""
         SELECT c.c_mktsegment,
