@@ -1,0 +1,99 @@
+"""Data-quality audit operators — the Deequ/Great-Expectations shape a
+training-data pipeline runs before ingestion (and the batch analog of
+the reference's per-record validation logging, stream_processor.py:181-186).
+
+Design rule: ALL rules ride ONE pass over the fact table. Each rule is
+a conditional sum inside a single global aggregate; the per-rule rows
+are unpivoted from that one result row with `stack`. Adding a rule adds
+an expression, not a scan — at 100 TB the audit costs exactly one read
+no matter how many expectations are declared. NULL counts as a
+violation everywhere (when(cond, 0).otherwise(1) sends NULL to 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import table
+from ..registry import register
+
+
+@register(
+    "dq_checks",
+    sql="""
+        WITH joined AS (
+            SELECT l.*, o.o_orderkey AS fk_ref
+            FROM lineitem l
+            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        stats AS (
+            SELECT
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                              THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+                CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1
+                              THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+                CAST(sum(CASE WHEN l_extendedprice > 0
+                              THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+                CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS v_flag,
+                CAST(sum(CASE WHEN l_shipdate IS NOT NULL
+                              THEN 0 ELSE 1 END) AS BIGINT) AS v_ship,
+                CAST(sum(CASE WHEN fk_ref IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_fk
+            FROM joined
+        )
+        SELECT r.rule, r.n_violations, s.n_rows, r.n_violations = 0 AS ok
+        FROM stats s, LATERAL (VALUES
+            ('qty_in_range', s.v_qty),
+            ('discount_unit_interval', s.v_disc),
+            ('price_positive', s.v_price),
+            ('returnflag_domain', s.v_flag),
+            ('shipdate_not_null', s.v_ship),
+            ('orderkey_resolves', s.v_fk)
+        ) AS r(rule, n_violations)
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit: six expectations (range, unit
+    interval, positivity, domain membership, non-null, referential
+    integrity) evaluated in ONE scan + ONE 1-row aggregate, then
+    unpivoted to a (rule, n_violations, n_rows, ok) report. The FK rule
+    rides a left join against orders — o_orderkey is unique so the join
+    never amplifies, and at scale it's the same co-partitioned hash
+    join every fact query already pays. stack() emits the report rows
+    from the single aggregate row: rules scale without extra passes."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("fk_ref")
+    )
+    joined = li.join(o, li.l_orderkey == F.col("fk_ref"), "left")
+
+    def viol(cond):  # NULL condition counts as a violation
+        return F.sum(F.when(cond, 0).otherwise(1)).cast("long")
+
+    stats = joined.agg(
+        F.count("*").alias("n_rows"),
+        viol(F.col("l_quantity").between(1, 50)).alias("v_qty"),
+        viol(F.col("l_discount").between(0, 1)).alias("v_disc"),
+        viol(F.col("l_extendedprice") > 0).alias("v_price"),
+        viol(F.col("l_returnflag").isin("A", "N", "R")).alias("v_flag"),
+        viol(F.col("l_shipdate").isNotNull()).alias("v_ship"),
+        F.sum(F.when(F.col("fk_ref").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_fk"),
+    )
+    report = stats.select(
+        F.expr(
+            "stack(6, "
+            "'qty_in_range', v_qty, "
+            "'discount_unit_interval', v_disc, "
+            "'price_positive', v_price, "
+            "'returnflag_domain', v_flag, "
+            "'shipdate_not_null', v_ship, "
+            "'orderkey_resolves', v_fk) AS (rule, n_violations)"
+        ),
+        "n_rows",
+    )
+    return report.withColumn("ok", F.col("n_violations") == 0)

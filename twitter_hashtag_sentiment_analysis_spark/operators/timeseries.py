@@ -143,3 +143,163 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("total", F.lit(0.0)).alias("total"),
         )
     )
+
+
+#: Anomaly detection window: trailing history size and minimum history
+#: before a point can be judged (variance of < 5 points is noise).
+ANOM_LOOKBACK = 20
+ANOM_MIN_PRIOR = 5
+ANOM_Z = 2.5
+
+
+@register(
+    "ts_anomaly_zscore",
+    sql=f"""
+        WITH stats AS (
+            SELECT event_id, user_id, ts, value,
+                   avg(value) OVER w AS mu,
+                   stddev_samp(value) OVER w AS sigma,
+                   count(*) OVER w AS n_prior
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {ANOM_LOOKBACK} PRECEDING
+                                  AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, ts, value,
+               round((value - mu) / sigma, 3) AS z
+        FROM stats
+        WHERE n_prior >= {ANOM_MIN_PRIOR}
+          AND sigma > 1e-9
+          AND abs((value - mu) / sigma) > {ANOM_Z}
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event is judged against
+    the mean/stddev of its user's trailing ANOM_LOOKBACK events — the
+    PRECEDING-only frame excludes the current point so an outlier can't
+    mask itself (the self-inclusion bug naive rolling z-scores have).
+    One shuffle on user_id serves both window aggregates; the frame is
+    rows-bounded so state per key is O(LOOKBACK) regardless of history
+    length — the same plan at 100 TB with user-bucketed storage runs
+    shuffle-free. Points with under ANOM_MIN_PRIOR predecessors or ~zero
+    variance are unjudgeable and excluded on BOTH engines."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_LOOKBACK, -1)
+    )
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_prior"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        stats.filter(
+            (F.col("n_prior") >= ANOM_MIN_PRIOR)
+            & (F.col("sigma") > 1e-9)
+            & (F.abs(z) > ANOM_Z)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.round(z, 3).alias("z"),
+        )
+    )
+
+
+@register(
+    "event_funnel",
+    sql="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        ),
+        counts AS (
+            SELECT 'signup' AS step, 1 AS step_order,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL
+            SELECT 'click', 2, CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 'purchase', 3, CAST(count(*) AS BIGINT) FROM s3
+        )
+        SELECT step, step_order, n_users,
+               round(n_users * 1.0 /
+                     (SELECT n_users FROM counts WHERE step_order = 1),
+                     4) AS conv_from_first
+        FROM counts
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (signup -> click -> purchase): a user counts
+    for step N only with an event AFTER their step-N-1 time — the
+    strict-ordering semantic that separates funnel analysis from plain
+    conditional counts (a purchase before signup doesn't convert).
+    Correlated 'first event after t' subqueries are decorrelated into a
+    chain of min-aggregates joined on user_id: every stage shuffles on
+    the SAME key, so Catalyst reuses one partitioning end-to-end and
+    each step's state is one timestamp per user. Output: per-step user
+    counts + conversion vs step 1 (1-row broadcast divisor)."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, tcol: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1.select("user_id", "t1"), "click", "t1", "t2")
+    s3 = first_after(s2, "purchase", "t2", "t3")
+    counts = (
+        s1.agg(F.count("*").alias("n_users")).select(
+            F.lit("signup").alias("step"), F.lit(1).alias("step_order"), "n_users"
+        )
+        .unionAll(
+            s2.agg(F.count("*").alias("n_users")).select(
+                F.lit("click").alias("step"), F.lit(2).alias("step_order"), "n_users"
+            )
+        )
+        .unionAll(
+            s3.agg(F.count("*").alias("n_users")).select(
+                F.lit("purchase").alias("step"),
+                F.lit(3).alias("step_order"),
+                "n_users",
+            )
+        )
+    )
+    first = counts.filter(F.col("step_order") == 1).select(
+        F.col("n_users").alias("n_first")
+    )
+    return counts.join(F.broadcast(first)).select(
+        "step",
+        "step_order",
+        "n_users",
+        F.round(F.col("n_users") / F.col("n_first"), 4).alias("conv_from_first"),
+    )

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "twitter_hashtag_sentiment_analysis_spark.operators.setops",
     "twitter_hashtag_sentiment_analysis_spark.operators.analytics",
     "twitter_hashtag_sentiment_analysis_spark.operators.maintenance",
+    "twitter_hashtag_sentiment_analysis_spark.operators.quality",
     "twitter_hashtag_sentiment_analysis_spark.functions.families",
     "twitter_hashtag_sentiment_analysis_spark.functions.sentiment",
     "twitter_hashtag_sentiment_analysis_spark.functions.udfs",
