@@ -314,6 +314,50 @@ def sql_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PORTABLE_SQL)
 
 
+# One recursive SQL text, two engines (same discipline as PORTABLE_SQL):
+# a fanout-16 part hierarchy (parent = floor(key/16), the BOM shape)
+# walked to every ancestor, then the classic BOM-explosion rollup.
+# FLOOR-div instead of `//`/`DIV` keeps the text portable; depth is
+# log16(|part|) — 4 rounds at sf0.1, ~7 at 100 TB part counts — and each
+# recursion round is one whole Spark job, so fanout directly buys
+# wall-clock (fanout-4 costs twice the rounds for the same closure).
+RECURSIVE_SQL = """
+    WITH RECURSIVE
+    edges AS (
+        SELECT p_partkey AS child,
+               CAST(FLOOR(p_partkey / 16) AS BIGINT) AS parent
+        FROM part WHERE p_partkey >= 16
+    ),
+    walk(child, anc, depth) AS (
+        SELECT child, parent, 1 FROM edges
+        UNION ALL
+        SELECT w.child, e.parent, w.depth + 1
+        FROM walk w JOIN edges e ON w.anc = e.child
+    )
+    SELECT anc AS ancestor_key,
+           CAST(count(*) AS BIGINT) AS n_descendants,
+           CAST(max(depth) AS BIGINT) AS max_depth,
+           round(sum(p.p_retailprice), 2) AS subtree_value
+    FROM walk JOIN part p ON walk.child = p.p_partkey
+    GROUP BY anc
+"""
+
+
+@register("sql_recursive_cte", sql=RECURSIVE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop): transitive
+    ancestor closure over a derived part hierarchy, then a BOM-explosion
+    rollup (descendant count, depth, subtree value per ancestor) — the
+    org-chart/bill-of-materials query shape that previously forced a
+    driver-side loop (cf. dedup_connected_components' manual fixpoint).
+    The EXACT same SQL text runs on both engines; each recursion round
+    is one co-partitioned join on the ancestor key, and the frontier
+    shrinks geometrically (every part has one parent chain), so total
+    work is O(n log n) rows regardless of corpus size."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(RECURSIVE_SQL)
+
+
 @register(
     "cache_reuse",
     sql="""

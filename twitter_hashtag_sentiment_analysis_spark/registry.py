@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "twitter_hashtag_sentiment_analysis_spark.operators.multimodal",
     "twitter_hashtag_sentiment_analysis_spark.streaming.queries",
     "twitter_hashtag_sentiment_analysis_spark.sources.sinks",
+    "twitter_hashtag_sentiment_analysis_spark.sources.pydatasource",
 )
 
 _loaded = False

@@ -1,0 +1,124 @@
+"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource` API).
+
+The reference's ingest edge is a bespoke push producer (streamer.py:
+44-48 pumps tweets into a delivery stream). Spark 4's Python Data
+Source API is the engine-native way to wrap such a producer: a plain
+Python class becomes a first-class `spark.read.format(...)` source with
+schema, partition planning, and Arrow-batched rows — no JVM connector
+required.
+
+This source generates a deterministic synthetic tweet corpus from pure
+integer arithmetic: row i derives its language, word count, and text
+solely from i, so the EXACT same corpus is replicable in ANSI SQL on
+the oracle side (range() + list indexing) — the generator is
+hash-checked end-to-end like every other operator, not just smoke-run.
+
+Partition planning: the row range is split into `numPartitions` equal
+InputPartitions; each executor materializes only its slice (the same
+contract a Kafka/Kinesis connector's split planner fulfills). At scale
+the generator is embarrassingly parallel — zero shuffle, zero driver
+data.
+
+The DataSource subclass is defined INSIDE the query function: Spark
+pickles the registered class to every Python worker, and a module-level
+class would be serialized by reference (workers would then need this
+package on their import path — an assumption a connector must not
+make). A function-local class is serialized by VALUE, constants
+embedded, so the source runs on workers that have only pyspark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+
+#: Deterministic generator constants — mirrored literally in the oracle
+#: SQL below and embedded by value into the pickled reader class.
+PYDS_LANGS = ("en", "es", "de", "fr", "zh")
+PYDS_VOCAB = (
+    "spark", "join", "filter", "stream", "window", "shuffle", "batch",
+    "schema", "query", "table", "column", "index", "merge", "sort",
+    "cache", "scan",
+)
+PYDS_ROWS = 2000
+PYDS_PARTITIONS = 4
+
+_registered = False
+
+
+@register(
+    "source_python_datasource",
+    sql=f"""
+        SELECT i AS id,
+               (['en', 'es', 'de', 'fr', 'zh'])[(i % 5) + 1] AS lang,
+               CAST(3 + (i * 7) % 8 AS INT) AS n_words,
+               array_to_string(
+                   list_transform(
+                       range(0, 3 + (i * 7) % 8),
+                       j -> (['spark', 'join', 'filter', 'stream', 'window',
+                              'shuffle', 'batch', 'schema', 'query', 'table',
+                              'column', 'index', 'merge', 'sort', 'cache',
+                              'scan'])[((i * 31 + j * 17) % 16) + 1]
+                   ), ' '
+               ) AS text
+        FROM range(0, {PYDS_ROWS}) t(i)
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API end-to-end: register the class
+    once per session, then `spark.read.format("synthetic_tweets")` with
+    options — 4 planned InputPartitions, rows generated executor-side.
+    The oracle regenerates the identical corpus in SQL (range + list
+    indexing over the same constants), so this is the rare connector
+    whose output is exact-hash-verified, not just row-counted."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    langs, vocab = PYDS_LANGS, PYDS_VOCAB
+
+    class _RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
+
+    class SyntheticTweetsReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_rows = int(options.get("numrows", 2000))
+            self.n_parts = int(options.get("numpartitions", 4))
+
+        def partitions(self):
+            step = (self.n_rows + self.n_parts - 1) // self.n_parts
+            return [
+                _RangePartition(lo, min(lo + step, self.n_rows))
+                for lo in range(0, self.n_rows, step)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                n_words = 3 + (i * 7) % 8
+                text = " ".join(
+                    vocab[(i * 31 + j * 17) % 16] for j in range(n_words)
+                )
+                yield (i, langs[i % 5], n_words, text)
+
+    class SyntheticTweetsDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_tweets"
+
+        def schema(self) -> str:
+            return "id BIGINT, lang STRING, n_words INT, text STRING"
+
+        def reader(self, schema) -> SyntheticTweetsReader:
+            return SyntheticTweetsReader(self.options)
+
+    global _registered
+    if not _registered:
+        spark.dataSource.register(SyntheticTweetsDataSource)
+        _registered = True
+    return (
+        spark.read.format("synthetic_tweets")
+        .option("numRows", PYDS_ROWS)
+        .option("numPartitions", PYDS_PARTITIONS)
+        .load()
+    )
