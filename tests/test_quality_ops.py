@@ -1,0 +1,150 @@
+"""Planted-fixture tests for the audit/anomaly/funnel/connector family.
+
+Each test writes a tiny parquet fixture with KNOWN defects or event
+orderings and asserts the operator reports exactly them — the oracle
+differential proves engine agreement on clean fixtures; these prove the
+semantics on inputs the driver tables don't contain (violations,
+spikes, out-of-order funnels)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"{name}.parquet"))
+
+
+TS0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(eid, minutes, user, etype, value=1.0):
+    return (eid, TS0 + dt.timedelta(minutes=minutes), user, etype, value, "{}")
+
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_dq_checks_counts_planted_violations(spark, tmp_path):
+    """One violation planted per rule (plus an FK orphan) -> the report
+    counts each exactly once and flips ok only on violated rules."""
+    li_schema = (
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_returnflag string, l_shipdate timestamp"
+    )
+    good = (1, 10.0, 100.0, 0.05, "N", TS0)
+    rows = [
+        good,
+        (1, 99.0, 100.0, 0.05, "N", TS0),      # qty out of range
+        (1, 10.0, 100.0, 1.5, "N", TS0),       # discount > 1
+        (1, 10.0, -5.0, 0.05, "N", TS0),       # price not positive
+        (1, 10.0, 100.0, 0.05, "X", TS0),      # flag outside domain
+        (1, 10.0, 100.0, 0.05, "N", None),     # null shipdate
+        (777, 10.0, 100.0, 0.05, "N", TS0),    # orphan orderkey
+    ]
+    _write(spark, tmp_path, "lineitem", rows, li_schema)
+    _write(spark, tmp_path, "orders", [(1,)], "o_orderkey long")
+    out = {
+        r["rule"]: (r["n_violations"], r["ok"])
+        for r in load_all()["dq_checks"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "qty_in_range": (1, False),
+        "discount_unit_interval": (1, False),
+        "price_positive": (1, False),
+        "returnflag_domain": (1, False),
+        "shipdate_not_null": (1, False),
+        "orderkey_resolves": (1, False),
+    }
+
+
+def test_dq_checks_all_green_on_clean_rows(spark, tmp_path):
+    li_schema = (
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_returnflag string, l_shipdate timestamp"
+    )
+    _write(spark, tmp_path, "lineitem", [(1, 10.0, 100.0, 0.05, "N", TS0)] * 3,
+           li_schema)
+    _write(spark, tmp_path, "orders", [(1,)], "o_orderkey long")
+    rows = load_all()["dq_checks"].fn(spark, str(tmp_path)).collect()
+    assert all(r["ok"] and r["n_violations"] == 0 for r in rows)
+    assert len(rows) == 6
+
+
+def test_anomaly_zscore_flags_planted_spike(spark, tmp_path):
+    """30 calm points then a 100x spike: exactly the spike is flagged.
+    The PRECEDING-only frame means the spike can't suppress itself."""
+    rows = [_ev(i, i, 7, "view", 10.0 + (i % 3) * 0.5) for i in range(30)]
+    rows.append(_ev(30, 30, 7, "view", 1000.0))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = load_all()["ts_anomaly_zscore"].fn(spark, str(tmp_path)).collect()
+    assert [r["event_id"] for r in out] == [30]
+    assert out[0]["z"] > 100
+
+
+def test_anomaly_zscore_needs_history(spark, tmp_path):
+    """A spike in the first ANOM_MIN_PRIOR events is unjudgeable —
+    no flag, no crash (stddev of <2 points is NULL)."""
+    rows = [_ev(0, 0, 7, "view", 10.0), _ev(1, 1, 7, "view", 1000.0)]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    assert load_all()["ts_anomaly_zscore"].fn(spark, str(tmp_path)).count() == 0
+
+
+def test_event_funnel_requires_strict_order(spark, tmp_path):
+    """User A converts in order; user B's purchase PRECEDES signup so B
+    counts for signup+click only; user C only signs up."""
+    rows = [
+        # A: signup -> click -> purchase (full funnel)
+        _ev(1, 0, 1, "signup"), _ev(2, 5, 1, "click"), _ev(3, 9, 1, "purchase"),
+        # B: purchase BEFORE signup, then click after signup
+        _ev(4, 0, 2, "purchase"), _ev(5, 3, 2, "signup"), _ev(6, 8, 2, "click"),
+        # C: signup only
+        _ev(7, 1, 3, "signup"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r["step"]: r["n_users"]
+        for r in load_all()["event_funnel"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {"signup": 3, "click": 2, "purchase": 1}
+
+
+def test_python_datasource_plans_partitions(spark):
+    """The connector's split planner must yield the requested 4
+    partitions (executor-parallel generation, not a driver loop)."""
+    df = load_all()["source_python_datasource"].fn(spark, "")
+    assert df.rdd.getNumPartitions() == 4
+    first = df.filter("id = 0").collect()[0]
+    assert first["lang"] == "en" and first["n_words"] == 3
+
+
+def test_recursive_cte_closed_form(spark, sf_dir):
+    """Fanout-16 hierarchy: the direct+transitive descendants of
+    ancestor 1 are exactly the keys whose /16-chain passes through 1 —
+    computable in closed form against the part table."""
+    parts = [
+        r["p_partkey"]
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey")
+        .collect()
+    ]
+    expected = set()
+    for k in parts:
+        node = k
+        while node >= 16:
+            node //= 16
+            if node == 1:
+                expected.add(k)
+                break
+    out = {
+        r["ancestor_key"]: r["n_descendants"]
+        for r in load_all()["sql_recursive_cte"].fn(spark, sf_dir).collect()
+    }
+    assert out[1] == len(expected)
