@@ -206,6 +206,14 @@ def test_expanded_composites_broadcast_all_dims(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
 
 
+def test_bloom_runtime_filter_reaches_fact_scan(spark, sf_dir):
+    # the injected runtime bloom filter must appear as a
+    # BloomFilterMightContain predicate on the fact side (pre-shuffle
+    # row kill), and survive into the executed plan
+    plan = plan_of(spark, sf_dir, "join_bloom_runtime")
+    assert "bloom" in plan.lower(), plan
+
+
 def test_customer_distribution_keeps_zero_count(spark):
     # Q13's defining semantic: the priority filter lives in the JOIN
     # condition, so a customer with no qualifying orders appears with

@@ -396,3 +396,61 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(
         F.broadcast(grouped), left.lang_k.eqNullSafe(grouped.lang_k)
     ).select("doc_id", grouped.lang_k, "n_docs")
+
+
+@register(
+    "join_bloom_runtime",
+    sql="""
+        SELECT o.o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(l.l_extendedprice), 2) AS total_price
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY o.o_orderstatus
+    """,
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join (Spark's InjectRuntimeFilter): the
+    selective dimension predicate ('1-URGENT', ~1/5 of orders) is
+    turned into a bloom filter AGGREGATE over the build side and pushed
+    into the fact scan as a might-contain predicate — fact rows whose
+    orderkey cannot match die AT THE SCAN, before the shuffle, the 100
+    TB lever when the build side is too big to broadcast but its key
+    set is still selective. The rule declines when the build side is
+    broadcastable-by-size (a broadcast join subsumes the bloom filter),
+    which every sub-10MB fixture side is — so the plan is pinned under
+    scoped thresholds (QueryExecution memoizes its optimized plan, the
+    session confs are restored immediately) with a merge hint standing
+    in for the at-scale row counts. tests/test_plans.py asserts
+    BloomFilterMightContain reached the executed fact scan; results are
+    bloom-invariant (false positives only skip the skip), so the oracle
+    is the plain join."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = (
+            l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            )
+        )
+        # force optimization NOW (lazy val memoizes) so the runtime
+        # filter is injected under the scoped confs, not the restored ones
+        j._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return j

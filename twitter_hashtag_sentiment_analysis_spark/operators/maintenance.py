@@ -102,3 +102,86 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "scd2_intervals",
+    sql="""
+        WITH ordered AS (
+            SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                   CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                             OR lag(o_orderpriority) OVER w <> o_orderpriority
+                        THEN 1 ELSE 0 END AS chg
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ),
+        islands AS (
+            SELECT o_custkey, o_orderpriority, o_orderdate,
+                   sum(chg) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS island
+            FROM ordered
+        ),
+        runs AS (
+            SELECT o_custkey, island,
+                   min(o_orderpriority) AS o_orderpriority,
+                   min(o_orderdate) AS valid_from,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM islands GROUP BY o_custkey, island
+        )
+        SELECT o_custkey,
+               CAST(island AS BIGINT) AS version,
+               o_orderpriority,
+               valid_from,
+               lead(valid_from) OVER wv AS valid_to,
+               lead(valid_from) OVER wv IS NULL AS is_current,
+               n_orders
+        FROM runs
+        WINDOW wv AS (PARTITION BY o_custkey ORDER BY island)
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history: each customer's order-priority
+    timeline compressed into validity intervals — consecutive orders
+    with the SAME priority collapse into one version row carrying
+    [valid_from, valid_to) and an is_current flag (the change-capture
+    shape every warehouse dimension load emits; Delta/Iceberg MERGEs
+    write exactly these rows). Gaps-and-islands: lag -> change flag ->
+    running sum = version id, then one aggregate per island and a lead
+    for the closing bound. All four windows/aggregates share the ONE
+    o_custkey shuffle; every value is exact (timestamps, strings,
+    counts), so the oracle hash-matches bit-for-bit."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderpriority").over(w)
+    flagged = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            prev.isNull() | (prev != F.col("o_orderpriority")), 1
+        ).otherwise(0).alias("chg"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = islands.groupBy("o_custkey", "island").agg(
+        F.min("o_orderpriority").alias("o_orderpriority"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("island")
+    nxt = F.lead("valid_from").over(wv)
+    return runs.select(
+        "o_custkey",
+        F.col("island").cast("long").alias("version"),
+        "o_orderpriority",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_orders",
+    )

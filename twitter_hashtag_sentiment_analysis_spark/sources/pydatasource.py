@@ -29,7 +29,10 @@ embedded, so the source runs on workers that have only pyspark.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 
@@ -121,4 +124,127 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("numRows", PYDS_ROWS)
         .option("numPartitions", PYDS_PARTITIONS)
         .load()
+    )
+
+
+#: Streaming variant constants: same corpus, drained in 1000-row
+#: micro-batches (2 batches to the cap — the minimum that proves
+#: multi-batch offset progression; each extra batch costs a commit
+#: round, so batch count is wall-clock, not realism).
+PYDS_STREAM_BATCH = 1000
+_stream_registered = False
+
+
+@register(
+    "stream_python_source",
+    sql=f"""
+        SELECT (['en', 'es', 'de', 'fr', 'zh'])[(i % 5) + 1] AS lang,
+               CAST(count(*) AS BIGINT) AS n_tweets,
+               CAST(sum(3 + (i * 7) % 8) AS BIGINT) AS total_words
+        FROM range(0, {PYDS_ROWS}) t(i)
+        GROUP BY 1
+    """,
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python STREAMING data source (SimpleDataSourceStreamReader)
+    — the reference's push producer (streamer.py:44-48) as an
+    engine-native streaming connector: offsets are row indices, each
+    micro-batch pulls the next 1000-row slice, and `readBetweenOffsets`
+    makes batches REPLAYABLE for exactly-once recovery (the part the
+    reference's fire-and-forget put_record cannot do). The capped
+    generator emits the same deterministic corpus as
+    `source_python_datasource`; an aggregate over the drained stream is
+    therefore exact-hash-verified against the SQL regeneration.
+    availableNow drains only the prefetched slice on this API, so the
+    query runs a real processing-time trigger polled until the cap is
+    reached — the reference's 60 s buffer loop
+    (stream_processor.py:295-297) scaled down."""
+    import time
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    langs, vocab = PYDS_LANGS, PYDS_VOCAB
+    cap, batch = PYDS_ROWS, PYDS_STREAM_BATCH
+
+    class SyntheticTweetsStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def _rows(self, lo: int, hi: int):
+            # a LIST iterator, not a generator: Spark's prefetch cache
+            # copy.copy()s the iterator for replay, and generators
+            # aren't copyable (TypeError: cannot pickle 'generator')
+            out = []
+            for i in range(lo, hi):
+                n_words = 3 + (i * 7) % 8
+                text = " ".join(
+                    vocab[(i * 31 + j * 17) % 16] for j in range(n_words)
+                )
+                out.append((i, langs[i % 5], n_words, text))
+            return iter(out)
+
+        def read(self, start):
+            lo = start["i"]
+            hi = min(lo + batch, cap)
+            return (self._rows(lo, hi), {"i": hi})
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["i"], end["i"])
+
+    class SyntheticTweetsStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_tweets_stream"
+
+        def schema(self) -> str:
+            return "id BIGINT, lang STRING, n_words INT, text STRING"
+
+        def simpleStreamReader(self, schema):
+            return SyntheticTweetsStreamReader()
+
+    global _stream_registered
+    if not _stream_registered:
+        spark.dataSource.register(SyntheticTweetsStreamSource)
+        _stream_registered = True
+
+    import tempfile
+
+    stream = spark.readStream.format("synthetic_tweets_stream").load()
+    name = f"pystream_out_{os.getpid()}"
+    ck = tempfile.mkdtemp(prefix="thsa_ck_pystream_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0]["n"]
+            if got == cap:
+                break
+            time.sleep(0.1)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # the drained micro-batches are now data at rest; the aggregate is
+    # a plain batch plan over them (stateful streaming aggregation is
+    # covered by stream_update_mode/stream_tumbling — keeping the
+    # stream leg stateless here halves per-batch commit cost)
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tweets"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
     )
