@@ -683,3 +683,52 @@ def fn_binary_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length(blob).cast("int").alias("n_bytes"),
     )
+
+
+@register(
+    "fn_collation",
+    sql="""
+        WITH mangled AS (
+            SELECT CASE WHEN c_custkey % 2 = 0
+                        THEN upper(c_mktsegment)
+                        ELSE lower(c_mktsegment) END AS seg,
+                   c_acctbal
+            FROM customer
+        )
+        SELECT lower(seg) AS segment,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM mangled
+        GROUP BY lower(seg)
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): keys are
+    deterministically case-mangled (even keys UPPER, odd lower), then
+    grouped under UTF8_LCASE — the collation makes 'BUILDING' and
+    'building' ONE group inside the hash aggregate itself, where a
+    pre-Spark-4 engine must rewrite every key with lower() first
+    (extra projection over 100 TB of keys; collation instead changes
+    the comparator, preserving original bytes for output). The oracle
+    IS the lower() rewrite — proving the two formulations agree. The
+    emitted key is canonicalized + cast back to binary collation so
+    the driver sees a plain string schema."""
+    c = table(spark, sf_dir, "customer")
+    mangled = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg"),
+        "c_acctbal",
+    )
+    return (
+        mangled.groupBy(F.expr("seg COLLATE UTF8_LCASE").alias("seg_ci"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.lower("seg_ci").cast("string").alias("segment"),
+            "n",
+            "total_bal",
+        )
+    )

@@ -551,3 +551,47 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("bin_min"),
         F.round(F.max("value"), 2).alias("bin_max"),
     )
+
+
+@register(
+    "agg_approx_top_k",
+    sql="""
+        SELECT tok AS token, CAST(c AS BIGINT) AS cnt
+        FROM (
+            SELECT tok, count(*) AS c
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+            GROUP BY tok
+            ORDER BY c DESC, tok
+            LIMIT 20
+        )
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4): the
+    frequent-token profile a corpus curation pass runs before stopword
+    and boilerplate decisions. The sketch is a fixed-memory mergeable
+    summary — partials combine map-side like any aggregate, so the
+    full-corpus token census never shuffles more than maxItemsTracked
+    entries per partition regardless of corpus size (vs the exact
+    groupBy whose shuffle is O(vocabulary)). On the fixture vocabulary
+    (31 tokens < the 10k tracking budget) the sketch is provably exact
+    and boundary ties are absent, so the oracle is the exact top-20 —
+    at real vocabulary scale the same plan degrades gracefully to
+    approximate instead of falling over."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sk = toks.agg(F.expr("approx_top_k(token, 20)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+    )

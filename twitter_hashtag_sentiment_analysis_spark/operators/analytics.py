@@ -989,3 +989,42 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_cust"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+# Named-parameter SQL: the Spark text carries :params (bound via
+# spark.sql(args=...)); the oracle text inlines the same values — the
+# pair must stay in sync with PARAM_ARGS.
+PARAM_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_totalprice > :min_price
+      AND o_orderdate >= CAST(:since AS TIMESTAMP)
+    GROUP BY o_orderpriority
+"""
+PARAM_ARGS = {"min_price": 150000.0, "since": "1997-06-01"}
+
+
+@register(
+    "sql_parameterized",
+    sql="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        WHERE o_totalprice > 150000.0
+          AND o_orderdate >= CAST('1997-06-01' AS TIMESTAMP)
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql named args): the query text carries
+    :min_price / :since placeholders bound at execution — the
+    injection-safe front-end every BI/metadata-driven layer needs
+    (values arrive as TYPED literals in the plan, never string-spliced,
+    so Catalyst constant-folds and pushes them down exactly like
+    hand-written literals; the parquet scan gets the same PushedFilters).
+    The oracle runs the identical query with the values inlined."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(PARAM_SQL, args=PARAM_ARGS)
