@@ -148,3 +148,52 @@ def test_recursive_cte_closed_form(spark, sf_dir):
         for r in load_all()["sql_recursive_cte"].fn(spark, sf_dir).collect()
     }
     assert out[1] == len(expected)
+
+
+def test_stream_python_source_restart_exactly_once(spark, tmp_path):
+    """Kill the python-source stream mid-drain, restart from the SAME
+    checkpoint: offsets resume (no gaps) and readBetweenOffsets replays
+    the in-flight batch (no duplicates) — exactly-once end to end.
+    File sink (memory sink cannot recover from a checkpoint)."""
+    import time
+
+    reg = load_all()
+    reg["stream_python_source"].fn(spark, "")  # side effect: registers format
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+
+    def count_rows():
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:
+            return 0
+
+    def run_until(target_fn, timeout_s):
+        q = (
+            spark.readStream.format("synthetic_tweets_stream")
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + timeout_s
+        while time.time() < deadline and not target_fn():
+            time.sleep(0.05)
+        q.stop()
+        q.awaitTermination(30)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_until(lambda: count_rows() > 0, 60)       # stop mid-drain
+        n_before = count_rows()
+        assert 0 < n_before <= 2000
+        run_until(lambda: count_rows() >= 2000, 90)   # resume + finish
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2000, "gaps or duplicate batches after restart"
+    assert got.select("id").distinct().count() == 2000, "replayed dup ids"
