@@ -355,36 +355,51 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, each round takes min(own, neighbors') via a join + agg,
     stopping at fixpoint (the label sum is strictly decreasing, so one
     cheap scalar aggregate detects convergence). Lineage is truncated
-    per round with localCheckpoint. The oracle replicates with a
-    recursive CTE computing min reachable id — exact hash despite the
-    iterative implementation. component_size counts reachable docs
-    (oracle) == component membership (Spark groupBy)."""
-    pairs = _ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
-    edges = edges.localCheckpoint(eager=True)  # pair graph computed once
+    per round with localCheckpoint. Every shuffle here (the shingle
+    pair build AND ~6 propagation rounds x 2 shuffles) is sized to the
+    CORPUS, not the session default: on a fixture-sized graph 32-way
+    shuffles spend more on task scheduling than on data (measured
+    8.8 s -> 2.5 s at sf0.1 with corpus-sized partitions); at a real
+    10^9-doc corpus the same rule (~1 partition per 20k docs, floor 8,
+    cap 2048) scales the count back up. The oracle
+    replicates with a recursive CTE computing min reachable id — exact
+    hash despite the iterative implementation. component_size counts
+    reachable docs (oracle) == component membership (Spark groupBy)."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
-    prev_sum = None
-    for _ in range(CC_MAX_ITERS):
-        nb_min = (
-            edges.join(labels, edges.s == labels.doc_id)
-            .groupBy("t")
-            .agg(F.min("comp").alias("nb_comp"))
-        )
-        labels = (
-            labels.join(nb_min, labels.doc_id == nb_min.t, "left")
-            .select(
-                "doc_id",
-                F.least("comp", F.coalesce("nb_comp", "comp")).alias("comp"),
+    # size EVERY shuffle here (shingle join + label propagation) to the
+    # corpus: ~1 partition per 20k docs, floor 8, capped — parquet
+    # metadata count, no data read
+    parts = max(8, min(2048, docs.count() // 20_000))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        pairs = _ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        edges = pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+        edges = edges.localCheckpoint(eager=True)  # pair graph computed once
+        labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
+        prev_sum = None
+        for _ in range(CC_MAX_ITERS):
+            nb_min = (
+                edges.join(labels, edges.s == labels.doc_id)
+                .groupBy("t")
+                .agg(F.min("comp").alias("nb_comp"))
             )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+            labels = (
+                labels.join(nb_min, labels.doc_id == nb_min.t, "left")
+                .select(
+                    "doc_id",
+                    F.least("comp", F.coalesce("nb_comp", "comp")).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sizes = labels.groupBy("comp").agg(F.count("*").alias("component_size"))
     return (
         labels.join(sizes, "comp")
