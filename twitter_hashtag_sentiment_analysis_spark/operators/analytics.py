@@ -1028,3 +1028,69 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle runs the identical query with the values inlined."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(PARAM_SQL, args=PARAM_ARGS)
+
+
+@register(
+    "sql_scalar_udf",
+    sql="""
+        SELECT CASE WHEN l_extendedprice < 1000 THEN 'low'
+                    WHEN l_extendedprice < 5000 THEN 'mid'
+                    ELSE 'high' END AS band,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS net_total
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 CREATE FUNCTION ... RETURN expr):
+    business logic named ONCE in the catalog and reused across queries
+    — and, unlike Python UDFs, Catalyst INLINES the body into the plan,
+    so net_price()/price_band() compile into whole-stage codegen with
+    zero serialization boundary (the 100 TB answer to 'wrap it in a
+    UDF': same expression performance, reusable name). The oracle runs
+    the inlined expressions directly — equality proves the inlining
+    semantics."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p < 1000 THEN 'low' "
+        "WHEN p < 5000 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        """
+        SELECT price_band(l_extendedprice) AS band,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(sum(net_price(l_extendedprice, l_discount)), 2) AS net_total
+        FROM lineitem
+        GROUP BY price_band(l_extendedprice)
+        """
+    )
+
+
+# GROUP BY ALL / ORDER BY ALL — one text, both engines (the dialect
+# convergence DuckDB started and Spark 4 adopted).
+GROUP_BY_ALL_SQL = """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", sql=GROUP_BY_ALL_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL: every non-aggregate select item
+    becomes a grouping key, orderings follow the projection — the exact
+    same SQL text runs on both engines (Spark 4 adopted the DuckDB
+    dialect shorthand). Semantically identical plan to an explicit
+    GROUP BY 1, 2: partial-agg'd hash aggregate, no extra shuffle."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(GROUP_BY_ALL_SQL)
