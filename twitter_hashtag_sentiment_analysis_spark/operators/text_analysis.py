@@ -365,3 +365,67 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(toks, " ").alias("norm_text"),
         F.size(toks).alias("n_tokens_norm"),
     )
+
+
+@register(
+    "text_perplexity_proxy",
+    sql="""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS ts
+            FROM documents WHERE text <> ''
+        ),
+        bigrams AS (
+            SELECT doc_id, lang,
+                   ts[i] AS w1, ts[i + 1] AS w2
+            FROM toks, LATERAL unnest(range(1, len(ts))) AS u(i)
+        ),
+        uni AS (
+            SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1
+        ),
+        bi AS (
+            SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY w1, w2
+        )
+        SELECT b.lang,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(log2(bi.c2 * 1.0 / uni.c1)), 4) AS avg_log2_prob
+        FROM bigrams b
+        JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+        JOIN uni ON b.w1 = uni.w1
+        GROUP BY b.lang
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality proxy (the KenLM-style filter signal
+    every LLM data pipeline runs): a bigram model is TRAINED ON THE
+    CORPUS ITSELF in one aggregate pass — P(w2|w1) = c(w1,w2)/c(w1) —
+    then every bigram occurrence is scored against it and averaged per
+    language (avg log2 probability ~ negative cross-entropy; gibberish
+    scores low). Three shuffles total, all on token keys: bigram
+    explode -> two model aggregates -> score join. The model tables
+    are vocabulary-sized (quadratic in vocab, linear in nothing else),
+    so at 100 TB they broadcast or bucket-join while the corpus scan
+    stays one pass. Per-LANG output (5 rows) keeps the float average
+    off rounding boundaries; the MLE model needs no smoothing because
+    every scored bigram was observed by construction."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("ts"))
+    bigram_expr = F.expr(
+        "IF(size(ts) >= 2, "
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2)), "
+        "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>))"
+    )
+    bigrams = toks.select(
+        "doc_id", "lang", F.explode(bigram_expr).alias("b")
+    ).select("doc_id", "lang", "b.w1", "b.w2")
+    uni = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    scored = (
+        bigrams.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .select("lang", F.log2(F.col("c2") / F.col("c1")).alias("lp"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_log2_prob"),
+    )
