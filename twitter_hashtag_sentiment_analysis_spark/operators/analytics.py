@@ -489,27 +489,36 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     ranks = nodes.select("word", F.lit(1.0).alias("rank"))
-    for i in range(PR_ITERS):
-        contribs = (
-            trans.join(ranks, trans.src == ranks.word)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
-        )
-        # truncate lineage EVERY round: measured 4x faster end-to-end
-        # than every-3rd-round truncation here — un-truncated rounds
-        # re-execute chained shuffles inside the next checkpoint job,
-        # which costs far more than the extra materialization saves
-        ranks = (
-            nodes.join(contribs, nodes.word == contribs.dst, "left")
-            .select(
-                "word",
-                (
-                    F.lit(1 - PR_DAMPING)
-                    + F.lit(PR_DAMPING) * F.coalesce("mass", F.lit(0.0))
-                ).alias("rank"),
+    # 12 rounds x 2 shuffles on a VOCABULARY-sized graph: size the
+    # iteration shuffles to the graph (checkpointed, so count is free),
+    # not the session default — same rule as dedup_connected_components
+    parts = max(8, min(2048, trans.count() // 100_000))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        for i in range(PR_ITERS):
+            contribs = (
+                trans.join(ranks, trans.src == ranks.word)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
             )
-            .localCheckpoint(eager=True)
-        )
+            # truncate lineage EVERY round: measured 4x faster end-to-end
+            # than every-3rd-round truncation here — un-truncated rounds
+            # re-execute chained shuffles inside the next checkpoint job,
+            # which costs far more than the extra materialization saves
+            ranks = (
+                nodes.join(contribs, nodes.word == contribs.dst, "left")
+                .select(
+                    "word",
+                    (
+                        F.lit(1 - PR_DAMPING)
+                        + F.lit(PR_DAMPING) * F.coalesce("mass", F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return ranks.select("word", F.round("rank", 6).alias("rank"))
 
 
