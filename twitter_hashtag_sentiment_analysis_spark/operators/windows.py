@@ -242,18 +242,18 @@ def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_ignore_nulls",
     sql="""
         WITH e AS (
-            SELECT event_id, ts, event_type,
+            SELECT event_id, user_id, ts, event_type,
                    CASE WHEN event_type = 'purchase' THEN round(value, 2)
                         END AS purchase_value
             FROM events
         )
-        SELECT event_id, event_type, purchase_value,
+        SELECT event_id, user_id, event_type, purchase_value,
                last_value(purchase_value IGNORE NULLS) OVER (
-                   ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS last_purchase,
                nth_value(purchase_value, 2 IGNORE NULLS) OVER (
-                   ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS second_purchase
         FROM e
@@ -265,14 +265,17 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nth_value) — the gap-fill / last-observation-carried-forward
     primitive of every sparse time series (sensor readings, sporadic
     purchases). A sparse column is derived deterministically (value
-    only on purchase events); the frame is running-rows, so state per
-    partition is O(1) and the whole pass is one sort. Dialect note:
-    Spark takes ignoreNulls as a function argument, DuckDB as the
-    SQL-standard IGNORE NULLS clause — same semantics, pinned by the
-    oracle hash."""
+    only on purchase events); carry-forward is PER USER — partitioning
+    by the entity key is both the correct LOCF semantics and what keeps
+    the window parallel (a global ORDER BY window is a single-partition
+    sort at 100 TB). Frame is running-rows, so state per partition is
+    O(1). Dialect note: Spark takes ignoreNulls as a function argument,
+    DuckDB as the SQL-standard IGNORE NULLS clause — same semantics,
+    pinned by the oracle hash."""
     ev = table(spark, sf_dir, "events")
     e = ev.select(
         "event_id",
+        "user_id",
         "ts",
         "event_type",
         F.when(F.col("event_type") == "purchase", F.round("value", 2)).alias(
@@ -280,11 +283,13 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = (
-        Window.orderBy("ts", "event_id")
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return e.select(
         "event_id",
+        "user_id",
         "event_type",
         "purchase_value",
         F.last("purchase_value", ignorenulls=True).over(w).alias("last_purchase"),
