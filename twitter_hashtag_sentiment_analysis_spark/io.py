@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .session import tune
 
@@ -33,6 +34,22 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation", "supplier", "part")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since the epoch, for BOTH timestamp flavors.
+
+    The driver-generated parquet stores naive timestamps (Spark reads
+    them as TIMESTAMP_NTZ), which `unix_micros` rejects outright.
+    `to_utc_timestamp(c, 'UTC')` is the type-bridging identity: for NTZ
+    it declares the wall time to BE UTC (exactly DuckDB's `epoch_us` on
+    a naive timestamp), for LTZ under the pinned-UTC session it is a
+    no-op — so one expression is exact on either input, engine-agnostic,
+    and stays JVM-side in whole-stage codegen. Projection-only: never
+    wrap a pushdown filter column with this (compare timestamps
+    directly; literals coerce)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import epoch_us, table
 from ..registry import register
 
 
@@ -328,12 +328,12 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     hour_us = 3600 * 1_000_000
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("p_us")
+        "event_id", "user_id", epoch_us("ts").alias("p_us")
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
-        F.unix_micros("ts").alias("c_us"),
-        (F.unix_micros("ts") / hour_us).cast("long").alias("bin"),
+        epoch_us("ts").alias("c_us"),
+        (epoch_us("ts") / hour_us).cast("long").alias("bin"),
     )
     probe = purchases.withColumn(
         "bin",

@@ -98,12 +98,16 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FMT_CACHE: dict[tuple[str, str], str] = {}
 
-#: events schema for the schema-on-read formats (CSV/JSON must never
-#: infer: inference is an extra full scan AND can mistype at 100 TB).
-_EVENTS_SCHEMA = (
-    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
-    "event_type STRING, value DOUBLE, props STRING"
-)
+#: CSV/JSON timestamp render+parse options, micro-precision so the text
+#: roundtrip is lossless. Spark routes TIMESTAMP columns through
+#: `timestampFormat` but TIMESTAMP_NTZ (what the driver's naive-parquet
+#: fixtures read as) through the SEPARATE `timestampNTZFormat` — its
+#: default is millis-only, which silently truncates micros; both are
+#: pinned here for whichever flavor the fixture carries.
+_TS_OPTS = {
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "timestampNTZFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+}
 
 _EVENTS_ORACLE = """
         SELECT event_id, ts, user_id, event_type, value, props
@@ -120,15 +124,21 @@ def _events_copy(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         w = ev.coalesce(4).write.mode("overwrite")
         if fmt == "csv":
             # shortest-roundtrip doubles + micro timestamps: lossless
-            w.options(
-                header=True, timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS"
-            ).csv(out)
+            w.options(header=True, **_TS_OPTS).csv(out)
         elif fmt == "json":
-            w.options(timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(out)
+            w.options(**_TS_OPTS).json(out)
         else:
             w.format(fmt).save(out)
         _FMT_CACHE[key] = out
     return _FMT_CACHE[key]
+
+
+def _events_schema(spark: SparkSession, sf_dir: str):
+    """Explicit schema for the schema-on-read formats (CSV/JSON must
+    never infer: inference is an extra full scan AND can mistype at
+    100 TB). Taken from the parquet original so the timestamp flavor
+    (TIMESTAMP vs TIMESTAMP_NTZ) always matches the fixture."""
+    return table(spark, sf_dir, "events").schema
 
 
 @register("scan_csv", sql=_EVENTS_ORACLE)
@@ -139,8 +149,8 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value-exact vs the parquet original, including IEEE doubles."""
     path = _events_copy(spark, sf_dir, "csv")
     return (
-        spark.read.schema(_EVENTS_SCHEMA)
-        .options(header=True, timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+        spark.read.schema(_events_schema(spark, sf_dir))
+        .options(header=True, **_TS_OPTS)
         .csv(path)
     )
 
@@ -152,8 +162,8 @@ def scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no inference; splittable by line."""
     path = _events_copy(spark, sf_dir, "json")
     return (
-        spark.read.schema(_EVENTS_SCHEMA)
-        .options(timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        spark.read.schema(_events_schema(spark, sf_dir))
+        .options(**_TS_OPTS)
         .json(path)
     )
 

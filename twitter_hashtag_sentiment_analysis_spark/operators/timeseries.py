@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import epoch_us, table
 from ..registry import register
 
 #: Session gap: a pause longer than this starts a new session (micros).
@@ -63,7 +63,7 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(
             (
-                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
                 > SESSION_GAP_US
             )
             | F.lag("ts").over(w).isNull(),
