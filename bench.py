@@ -1,9 +1,12 @@
 """Headline benchmark — the driver runs this per round.
 
 Runs every registered query at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the full
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} FIRST, then a compact total-only
+line LAST: the driver's artifact keeps just the final ~2000 chars of
+stdout, and 173 per-query timings overflow that window — the last line
+must always carry the headline number on its own.
 
 Each query is timed as plan-build + execution to completion. Results are
 drained with a count-style action (``df.foreach(noop)`` would skip
@@ -48,17 +51,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+    }
+    print(json.dumps({**summary, "queries": timings}))
+    # final compact line: survives any tail-capture window
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -25,8 +25,20 @@ def test_queries_and_oracles_consistent(spark):
 
 
 def test_every_query_runs_at_smallest_sf(spark, sf_dir):
+    from pyspark.sql import types as T
+
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         # schema resolves and the plan executes
         assert df.columns, name
+        # Registered-surface contract: only hashable primitive columns.
+        # The driver's pandas-based value hasher cannot hash list/dict
+        # cells, so any ArrayType/MapType output is recorded as an err
+        # even when values are correct — stringify (array_join/to_json)
+        # before returning instead.
+        for field in df.schema.fields:
+            assert not isinstance(field.dataType, (T.ArrayType, T.MapType)), (
+                f"{name}.{field.name} is {field.dataType.simpleString()}; "
+                "registered queries must emit primitive columns"
+            )
         df.limit(5).collect()

@@ -79,7 +79,9 @@ def test_quantize_roundtrip_preserves_direction(spark, sf_dir):
     }
     for r in rows:
         x = docs[r["vec_id"]]
-        q = r["q8"]
+        # q8 is CSV-rendered on the registered surface (primitive-column
+        # contract); parse it back for the numeric check
+        q = [float(v) for v in r["q8"].split(",")]
         dot = sum(a * b for a, b in zip(q, x))
         nq = math.sqrt(sum(a * a for a in q))
         nx = math.sqrt(sum(a * a for a in x))
@@ -228,7 +230,7 @@ def test_mm_features_match_python_reference(spark, sf_dir):
         n, hist, ent = byte_features(row["text"].encode("utf-8"))
         g = got[row["doc_id"]]
         assert g["n_bytes"] == n
-        assert g["byte_hist"] == hist
+        assert g["byte_hist"] == ",".join(f"{h:.6f}" for h in hist)
         assert math.isclose(g["entropy"], ent, abs_tol=1e-9)
 
 

@@ -230,7 +230,10 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=r"""
         SELECT doc_id,
                regexp_extract(text, '(\w+) (\w+)', 2) AS second_word,
-               regexp_extract_all(text, '\b\w{7,}\b') AS long_words,
+               -- DuckDB array_to_string([]) is NULL, Spark array_join is ''
+               coalesce(array_to_string(
+                   regexp_extract_all(text, '\b\w{7,}\b'), ','), '')
+                   AS long_words,
                CAST(len(regexp_extract_all(text, '\bspark\b')) AS INTEGER)
                    AS n_spark,
                regexp_replace(text, '\b\w{1,3}\b', '_', 'g') AS short_masked,
@@ -250,7 +253,9 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.regexp_extract("text", r"(\w+) (\w+)", 2).alias("second_word"),
-        F.regexp_extract_all("text", F.lit(r"\b\w{7,}\b"), 0).alias("long_words"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit(r"\b\w{7,}\b"), 0), ","
+        ).alias("long_words"),
         F.regexp_count("text", F.lit(r"\bspark\b")).cast("int").alias("n_spark"),
         F.regexp_replace("text", r"\b\w{1,3}\b", "_").alias("short_masked"),
         F.col("text").rlike("^[a-z]").alias("starts_lower"),
@@ -267,7 +272,7 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_id,
                CAST(cardinality(pm) AS INTEGER) AS n_keys,
-               list_sort(map_keys(pm)) AS keys_sorted,
+               array_to_string(list_sort(map_keys(pm)), ',') AS keys_sorted,
                element_at(pm, 'k')[1] AS k_val,
                element_at(pm, 'missing')[1] IS NOT NULL AS has_missing
         FROM m
@@ -287,7 +292,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_id",
         F.size("pm").alias("n_keys"),
-        F.sort_array(F.map_keys("pm")).alias("keys_sorted"),
+        F.array_join(F.sort_array(F.map_keys("pm")), ",").alias("keys_sorted"),
         F.element_at("pm", F.lit("k")).alias("k_val"),
         F.element_at("pm", F.lit("missing")).isNotNull().alias("has_missing"),
     )
@@ -619,7 +624,8 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS n_s_words,
                CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
                    AS total_chars,
-               list_transform(toks[1:2], w -> upper(w)) AS first2_upper
+               array_to_string(list_transform(toks[1:2], w -> upper(w)), ',')
+                   AS first2_upper
         FROM t
     """,
 )
@@ -644,9 +650,9 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         ).alias("total_chars"),
-        F.transform(F.slice(toks, 1, 2), lambda w: F.upper(w)).alias(
-            "first2_upper"
-        ),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 2), lambda w: F.upper(w)), ","
+        ).alias("first2_upper"),
     )
 
 

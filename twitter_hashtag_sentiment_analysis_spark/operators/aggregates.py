@@ -422,7 +422,7 @@ def agg_argmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     sql="""
         SELECT n_regionkey,
-               list_sort(array_agg(n_name)) AS nations,
+               array_to_string(list_sort(array_agg(n_name)), ',') AS nations,
                CAST(count(*) AS BIGINT) AS n
         FROM nation
         GROUP BY n_regionkey
@@ -434,10 +434,12 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     nondeterministic under retries/AQE — so any exactness contract
     requires the explicit sort). Bounded group cardinality only:
     collecting an unbounded group at 100 TB is an OOM by design — for
-    large groups use top-k windows or explode-side processing instead."""
+    large groups use top-k windows or explode-side processing instead.
+    Output is array_join-ed to a scalar string: the registered surface
+    keeps to hashable primitive columns (registry-enforced)."""
     n = table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
         F.count("*").alias("n"),
     )
 
@@ -508,12 +510,18 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     based form would shuffle the full column. Sketch states merge
     associatively (map-side combine); error is bounded by 1/accuracy
     of rank. Tolerance vs the exact quantiles is property-tested in
-    tests/test_aggregates.py."""
+    tests/test_aggregates.py. The percentile vector is rendered as a
+    round-trip-stable CSV string so the rows-only harness can hash it
+    (no array columns on the registered surface)."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000).alias(
-            "price_pcts"
-        ),
+        F.array_join(
+            F.transform(
+                F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000),
+                lambda v: F.round(v, 4).cast("string"),
+            ),
+            ",",
+        ).alias("price_pcts"),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_median"),
     )
 

@@ -30,7 +30,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("byte_hist", T.ArrayType(T.DoubleType())),
+        T.StructField("byte_hist", T.StringType()),
         T.StructField("entropy", T.DoubleType()),
     ]
 )
@@ -105,7 +105,11 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": feats.map(lambda t: t[0]),
-                    "byte_hist": feats.map(lambda t: t[1]),
+                    "byte_hist": feats.map(
+                        # CSV-rendered histogram: the registered surface
+                        # carries only hashable primitive columns
+                        lambda t: ",".join(f"{h:.6f}" for h in t[1])
+                    ),
                     "entropy": feats.map(lambda t: t[2]),
                 }
             )

@@ -409,9 +409,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         )
         SELECT vec_id, l2_norm,
-               list_transform(embedding,
+               array_to_string(list_transform(embedding,
                    x -> CAST(floor(CAST(x AS DOUBLE) / l2_norm * 127 + 0.5)
-                             AS INTEGER)) AS q8
+                             AS INTEGER)), ',') AS q8
         FROM n
     """,
 )
@@ -430,31 +430,38 @@ def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_norm.select(
         "vec_id",
         "l2_norm",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") / F.col("l2_norm") * 127 + 0.5).cast(
-                "int"
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") / F.col("l2_norm") * 127 + 0.5
+                ).cast("string"),
             ),
+            ",",
         ).alias("q8"),
     )
 
 
-# Trained-IVF parameters: codebook fit on a 10% sample (production
-# codebooks are trained offline on samples, never the full corpus),
-# same nprobe as the pinned-centroid variant.
+# Trained-IVF parameters: codebook fit on a FIXED-size sample
+# (production codebooks are trained offline on samples, never the full
+# corpus), same nprobe as the pinned-centroid variant. The sample is an
+# absolute cap — driver memory for training is O(IVF_TRAIN_MAX_SAMPLE)
+# regardless of corpus size (65536 x 64 float64 = 32 MB), unlike a
+# proportional fraction which grows with the data.
 IVF_TRAIN_K = 16
-IVF_TRAIN_SAMPLE_MOD = 10
+IVF_TRAIN_MAX_SAMPLE = 65536
 IVF_TRAIN_MAX_ITER = 3
 
 
 @register("sim_ann_ivf_trained", sql=None)  # approximate (recall < 1) => rows-only
 def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED codebook — the real production split:
-    the codebook is fit OFFLINE on a bounded sample (here: collect a
-    deterministic 10% sample to the driver — codebook training data
-    fits in memory BY DESIGN at any corpus scale, you raise the
-    sample modulus, not the training cluster) with 3 seeded numpy
-    Lloyd iterations; SERVING is pure distributed Catalyst — the K x
+    the codebook is fit OFFLINE on a bounded sample (a deterministic
+    hash-priority top-K — ORDER BY md5(vec_id) LIMIT 65536, the
+    sample_fixed_k machinery — so the driver collect is a FIXED 32 MB
+    at any corpus scale, executed as distributed TakeOrderedAndProject)
+    with 3 seeded numpy Lloyd iterations; SERVING is pure distributed
+    Catalyst — the K x
     64-float codebook broadcasts as a literal dimension table into
     the same JVM assignment/rerank kernels as sim_ann_ivf. (Both
     MLlib KMeans and an all-DataFrame Lloyd were measured here: same
@@ -463,27 +470,22 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     legitimate boundary, like text_tfidf's n_docs scalar.)
     Assignment is squared-L2 (the k-means metric); probes search
     their IVF_NPROBE nearest cells; exact cosine rerank, top-5."""
-    import hashlib
-
     import numpy as np
 
     e = table(spark, sf_dir, "embeddings")
+    # hash-priority fixed-K sample: every executor ships only its local
+    # top-K by md5(vec_id), the driver merges — bounded collect by
+    # construction, deterministic in any engine, no RNG state
     sample_rows = (
-        e.filter(F.col("vec_id") % IVF_TRAIN_SAMPLE_MOD == 0)
-        .select("vec_id", "embedding")
+        e.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(IVF_TRAIN_MAX_SAMPLE)
         .collect()
     )
     X = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
-    # seeded deterministic init: the K sample vectors with smallest
-    # md5(vec_id) — reproducible in any engine, no RNG state
-    order = sorted(
-        range(len(sample_rows)),
-        key=lambda i: (
-            hashlib.md5(str(sample_rows[i]["vec_id"]).encode()).hexdigest(),
-            sample_rows[i]["vec_id"],
-        ),
-    )
-    C = X[order[:IVF_TRAIN_K]].copy()
+    # seeded deterministic init: rows arrive md5-sorted, so the first K
+    # ARE the K smallest-hash vectors (the old explicit re-sort, free)
+    C = X[:IVF_TRAIN_K].copy()
     for _ in range(IVF_TRAIN_MAX_ITER):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         cells = d2.argmin(axis=1)
