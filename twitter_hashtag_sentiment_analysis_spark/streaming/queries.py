@@ -66,10 +66,23 @@ def _run_to_memory(sdf, name_prefix: str, output_mode: str = "append") -> str:
 _stream_dir_cache: dict[tuple[str, str], str] = {}
 
 
+def _watermarkable(df: DataFrame) -> DataFrame:
+    """Convert TIMESTAMP_NTZ columns to TIMESTAMP (LTZ, session pinned
+    UTC so the wall clock is unchanged). Structured Streaming's
+    event-time machinery (withWatermark, stream-stream join bounds)
+    accepts only TIMESTAMP; the driver's regenerated fixtures store
+    naive timestamps, which parquet surfaces as NTZ."""
+    out = df
+    for field, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            out = out.withColumn(field, F.to_utc_timestamp(F.col(field), "UTC"))
+    return out
+
+
 def _stream_copy(spark: SparkSession, sf_dir: str, name: str) -> tuple[str, DataFrame]:
     """Materialize a batch table once as a stream-source directory;
     return (dir, batch_df) — the batch df carries the schema."""
-    df = table(spark, sf_dir, name)
+    df = _watermarkable(table(spark, sf_dir, name))
     key = (sf_dir, name)
     path = _stream_dir_cache.get(key)
     if path is None:
@@ -395,7 +408,7 @@ def _multibatch_stream(spark: SparkSession, sf_dir: str, name: str):
     per trigger — forces a genuinely multi-batch availableNow run so
     incremental semantics (foreachBatch merges, update-mode re-emits)
     are actually exercised, not vacuously true on a single batch."""
-    df = table(spark, sf_dir, name)
+    df = _watermarkable(table(spark, sf_dir, name))
     key = (sf_dir, name)
     path = _multibatch_dir_cache.get(key)
     if path is None:
