@@ -260,8 +260,11 @@ def test_socket_push_source_parses_tweets(spark):
 def test_windowed_stream_over_events(spark, sf_dir, tmp_path):
     """Tumbling window agg as a REAL stream over events matches batch."""
     from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.streaming.queries import (
+        _watermarkable,
+    )
 
-    ev = table(spark, sf_dir, "events")
+    ev = _watermarkable(table(spark, sf_dir, "events"))
     ev.write.mode("overwrite").parquet(str(tmp_path / "ev"))
     stream = spark.readStream.schema(ev.schema).parquet(str(tmp_path / "ev"))
     agg = (
@@ -376,3 +379,22 @@ def test_update_mode_reemits_across_batches(spark, sf_dir):
              sink.groupBy("event_type").agg(F.max("n").alias("n")).collect()}
     expect = {r["event_type"]: r["count"] for r in batch.collect()}
     assert final == expect
+
+
+def test_socket_pipe_query_is_deterministic(spark, sf_dir):
+    """The registered push-source pipeline drains the full deterministic
+    corpus: 27 parsed tweets in a lang/sentiment lattice + 3 planted
+    corrupt lines carried through R9 quarantine semantics."""
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    reg = load_all()
+    rows = {
+        (r["lang"], r["sentiment"]): r["n"]
+        for r in reg["stream_socket_pipe"].fn(spark, sf_dir).collect()
+    }
+    assert rows == {
+        ("_corrupt", "NEUTRAL"): 3,
+        ("de", "NEUTRAL"): 9,
+        ("en", "POSITIVE"): 9,
+        ("es", "NEGATIVE"): 9,
+    }

@@ -273,6 +273,99 @@ def stream_sentiment_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+#: Socket-pipe corpus geometry: deterministic tweets + planted corrupt
+#: lines, small enough that the push drain is wall-clock-bounded.
+SOCKET_TWEETS = 30
+SOCKET_CORRUPT_EVERY = 10
+
+
+@register("stream_socket_pipe", sql=None)  # push source => rows-only by design
+def stream_socket_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 as a true PUSH source, registered end to end: an in-process
+    TCP server emits a deterministic newline-framed tweet corpus (every
+    10th line planted corrupt), `read_tweet_socket` parses it against
+    TWEET_SCHEMA with R9 quarantine semantics (raw line preserved in
+    _corrupt_record), sentiment enrichment (R6) rides the stream, and
+    the drained rows aggregate per (lang, sentiment). The socket source
+    is the closest OSS analog of the reference's long-lived push stream
+    (streamer.py:44-48; no OSS Kinesis connector exists — README).
+    Rows-only: the corpus is generated in-code, but the output is fully
+    deterministic — lang cycle and sentiment words are fixed — so the
+    row set is stable across runs; exactness vs a Python reference is
+    asserted in tests/test_streaming.py. Scale: a push socket is a
+    single-receiver dev source by design; the production push path is
+    the offset-tracked Python streaming data source
+    (stream_python_source), which this query complements for parity."""
+    import json as _json
+    import socket
+    import threading
+    import time as _time
+
+    from ..functions.sentiment import with_sentiment
+    from .pipeline import read_tweet_socket
+
+    langs = ("en", "es", "de")
+    # drawn from the engine lexicon (functions/sentiment.py) so each
+    # lang lands a distinct sentiment label
+    pos_neg = ("fast spark", "slow dup", "table scan filter")
+    lines = []
+    for i in range(SOCKET_TWEETS):
+        if i % SOCKET_CORRUPT_EVERY == SOCKET_CORRUPT_EVERY - 1:
+            lines.append(f"corrupt line {i}")
+            continue
+        lines.append(
+            _json.dumps(
+                {
+                    "id": i,
+                    "text": f"tweet {i} {pos_neg[i % 3]}",
+                    "lang": langs[i % 3],
+                    "created_at": f"2024-01-01T00:{i:02d}:00.000Z",
+                }
+            )
+        )
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve() -> None:
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            done.wait(60)  # keep the connection up while the stream drains
+
+    threading.Thread(target=serve, daemon=True).start()
+    sdf = with_sentiment(read_tweet_socket(spark, "127.0.0.1", port))
+    name = f"socketpipe_{os.getpid()}_{next(_sink_counter)}"
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            if spark.table(name).count() >= len(lines):
+                break
+            _time.sleep(0.2)
+    finally:
+        done.set()
+        q.stop()
+        srv.close()
+    drained = spark.table(name)
+    return (
+        drained.groupBy(
+            F.coalesce("lang", F.lit("_corrupt")).alias("lang"), "sentiment"
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "sentiment")
+    )
+
+
 @register(
     "stream_static_join",
     sql="""
