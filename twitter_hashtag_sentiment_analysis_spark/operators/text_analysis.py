@@ -400,32 +400,42 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     CORPUS ITSELF in one aggregate pass — P(w2|w1) = c(w1,w2)/c(w1) —
     then every bigram occurrence is scored against it and averaged per
     language (avg log2 probability ~ negative cross-entropy; gibberish
-    scores low). Three shuffles total, all on token keys: bigram
-    explode -> two model aggregates -> score join. The model tables
-    are vocabulary-sized (quadratic in vocab, linear in nothing else),
-    so at 100 TB they broadcast or bucket-join while the corpus scan
-    stays one pass. Per-LANG output (5 rows) keeps the float average
-    off rounding boundaries; the MLE model needs no smoothing because
-    every scored bigram was observed by construction."""
+    scores low). ONE corpus-sized pass: the explode collapses straight
+    into (lang, w1, w2) counts, and every later step — the bigram and
+    unigram model tables, the score join, the per-lang weighted
+    average sum(c*lp)/sum(c) — operates on vocabulary-sized inputs
+    (quadratic in vocab, linear in nothing else), so at 100 TB the
+    corpus is scanned and shuffled exactly once while the model math
+    broadcasts or bucket-joins. (The naive form scores each occurrence
+    individually, recomputing the corpus explode for BOTH model
+    aggregates and the score join — three full corpus scans; grouping
+    first is the same arithmetic, occurrence-weighted.) Per-LANG output
+    (5 rows) keeps the float average off rounding boundaries; the MLE
+    model needs no smoothing because every scored bigram was observed
+    by construction."""
     d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
-    toks = d.select("doc_id", "lang", F.split("text", " ").alias("ts"))
+    toks = d.select("lang", F.split("text", " ").alias("ts"))
     bigram_expr = F.expr(
         "IF(size(ts) >= 2, "
         "transform(sequence(1, size(ts) - 1), "
         "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2)), "
         "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>))"
     )
-    bigrams = toks.select(
-        "doc_id", "lang", F.explode(bigram_expr).alias("b")
-    ).select("doc_id", "lang", "b.w1", "b.w2")
-    uni = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
-    bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    blw = (
+        toks.select("lang", F.explode(bigram_expr).alias("b"))
+        .groupBy("lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").alias("c_lw"))
+    )
+    bi = blw.groupBy("w1", "w2").agg(F.sum("c_lw").alias("c2"))
+    uni = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (
-        bigrams.join(bi, ["w1", "w2"])
+        blw.join(bi, ["w1", "w2"])
         .join(uni, "w1")
-        .select("lang", F.log2(F.col("c2") / F.col("c1")).alias("lp"))
+        .select("lang", "c_lw", F.log2(F.col("c2") / F.col("c1")).alias("lp"))
     )
     return scored.groupBy("lang").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.avg("lp"), 4).alias("avg_log2_prob"),
+        F.sum("c_lw").cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("c_lw") * F.col("lp")) / F.sum("c_lw"), 4
+        ).alias("avg_log2_prob"),
     )
