@@ -229,3 +229,17 @@ def test_customer_distribution_keeps_zero_count(spark):
     n_cust = spark.read.parquet(f"{sf01}/customer.parquet").count()
     assert sum(rows.values()) == n_cust  # every customer exactly once
     assert 0 in rows  # zero-order customers survive the left join
+
+
+def test_perplexity_scans_corpus_once(spark, sf_dir):
+    """The bigram LM trains AND scores from ONE corpus explode: the
+    (lang, w1, w2) counts are localCheckpoint-materialized, so the
+    serving plan's three consumers (bigram model, unigram model, score
+    join) all read the bounded checkpointed relation — no explode (and
+    no parquet re-scan) may appear downstream. An explode in this plan
+    = the corpus is being re-scanned per consumer, the 3x-scan
+    regression this query was rewritten to remove."""
+    plan = plan_of(spark, sf_dir, "text_perplexity_proxy")
+    assert "explode" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan

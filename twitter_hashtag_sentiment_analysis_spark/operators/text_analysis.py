@@ -425,6 +425,14 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("lang", F.explode(bigram_expr).alias("b"))
         .groupBy("lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .agg(F.count("*").alias("c_lw"))
+        # materialize ONCE: three consumers (bi, uni, score join) would
+        # otherwise each recompute the corpus explode — Catalyst does
+        # not common-up a shared aggregate subtree across branches.
+        # The checkpointed relation is distinct-bigram-sized (bounded
+        # by vocabulary structure, orders of magnitude below corpus
+        # occurrences) and stays partitioned on executors — the same
+        # bounded-intermediate pattern as pagerank's iteration state.
+        .localCheckpoint(eager=True)
     )
     bi = blw.groupBy("w1", "w2").agg(F.sum("c_lw").alias("c2"))
     uni = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
