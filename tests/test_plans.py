@@ -243,3 +243,12 @@ def test_perplexity_scans_corpus_once(spark, sf_dir):
     assert "explode" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
+    """The benchmark shingle set must broadcast (eval suites are MBs
+    against a 100 TB corpus): a shuffle join here would shuffle the
+    full corpus shingle explode."""
+    plan = plan_of(spark, sf_dir, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -447,3 +447,154 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_lw") * F.col("lp")) / F.sum("c_lw"), 4
         ).alias("avg_log2_prob"),
     )
+
+
+#: Decontamination geometry: 5-token shingles, >= 2 distinct shared
+#: shingles marks a document contaminated. The "benchmark" is a
+#: deterministic ~1% slice of the corpus (doc_id % 97 == 0) standing in
+#: for a held-out eval set.
+DECON_SHINGLE_K = 5
+DECON_OVERLAP_MIN = 2
+DECON_BENCH_MOD = 97
+
+
+@register(
+    "text_decontaminate",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        shingles AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(ts) - {DECON_SHINGLE_K} + 2),
+                       i -> array_to_string(ts[i:i + {DECON_SHINGLE_K} - 1], ' ')
+                   )) AS sh
+            FROM toks
+            WHERE len(ts) >= {DECON_SHINGLE_K}
+        ),
+        bench AS (
+            SELECT DISTINCT sh FROM shingles
+            WHERE doc_id % {DECON_BENCH_MOD} = 0
+        ),
+        hits AS (
+            SELECT s.doc_id, CAST(count(DISTINCT s.sh) AS BIGINT) AS n_shared
+            FROM shingles s JOIN bench b ON s.sh = b.sh
+            WHERE s.doc_id % {DECON_BENCH_MOD} != 0
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+               coalesce(h.n_shared, 0) >= {DECON_OVERLAP_MIN} AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % {DECON_BENCH_MOD} != 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the pre-training hygiene step every
+    LLM pipeline runs before the eval set means anything: flag corpus
+    documents sharing >= 2 distinct 5-token shingles with a benchmark
+    set. The benchmark here is a deterministic ~1% corpus slice; in
+    production it is the eval suite itself. Scale shape is the REAL
+    decontamination design: the benchmark shingle set is tiny relative
+    to the corpus (eval suites are MBs against 100 TB), so it
+    broadcasts and the corpus side is ONE explode -> broadcast-semi
+    match -> per-doc count — no corpus-vs-corpus join, no shuffle of
+    the big side beyond its own per-doc aggregate. A production run
+    swaps the broadcast join for a bloom filter over benchmark
+    shingles; semantics identical, candidate-exact here."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts")).filter(
+        F.size("ts") >= DECON_SHINGLE_K
+    )
+    shingle_expr = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - DECON_SHINGLE_K + 1),
+            lambda i: F.array_join(F.slice("ts", i, DECON_SHINGLE_K), " "),
+        )
+    )
+    shingles = toks.select("doc_id", shingle_expr.alias("sh"))
+    bench = (
+        shingles.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("sh")
+        .distinct()
+    )
+    hits = (
+        shingles.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+    return (
+        d.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= DECON_OVERLAP_MIN).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+#: Repetition-filter geometry (the Gopher/RefinedWeb quality rule):
+#: fraction of duplicate 3-token shingles above this => drop.
+REP_SHINGLE_K = 3
+REP_MAX_DUP_RATIO = 0.2
+
+
+@register(
+    "text_repetition_filter",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, len(ts) - {REP_SHINGLE_K} + 2),
+                       i -> array_to_string(ts[i:i + {REP_SHINGLE_K} - 1], ' ')
+                   ) AS gs
+            FROM toks
+            WHERE len(ts) >= {REP_SHINGLE_K}
+        )
+        SELECT doc_id,
+               CAST(len(gs) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+               round(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 4)
+                   AS dup_ratio,
+               (1.0 - len(list_distinct(gs)) * 1.0 / len(gs))
+                   <= {REP_MAX_DUP_RATIO} AS keep
+        FROM grams
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring — the Gopher-rule quality
+    filter (drop docs whose duplicate 3-gram fraction exceeds 20%:
+    boilerplate, keyword stuffing, degenerate generations). Entirely
+    per-row higher-order expressions (transform -> array_distinct),
+    zero shuffle, embarrassingly parallel at any scale — the cheapest
+    of the quality signals and the first one a 100 TB curation pass
+    should run, ahead of any pairwise dedup."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts")).filter(
+        F.size("ts") >= REP_SHINGLE_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - REP_SHINGLE_K + 1),
+            lambda i: F.array_join(F.slice("ts", i, REP_SHINGLE_K), " "),
+        ).alias("gs"),
+    )
+    n_g = F.size("gs").cast("long")
+    n_d = F.size(F.array_distinct("gs")).cast("long")
+    dup = F.lit(1.0) - n_d.cast("double") / n_g.cast("double")
+    return grams.select(
+        "doc_id",
+        n_g.alias("n_grams"),
+        n_d.alias("n_distinct"),
+        F.round(dup, 4).alias("dup_ratio"),
+        (dup <= F.lit(REP_MAX_DUP_RATIO)).alias("keep"),
+    )
