@@ -340,3 +340,59 @@ def sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SAMPLE_K)
         .drop("_pri")
     )
+
+
+#: Temperature for the data-driven mixture: q_l ∝ p_l^alpha with
+#: alpha = 0.5 — the standard multilingual rebalancing exponent.
+#: Max-utilization acceptance rates reduce to rate_l = sqrt(n_min/n_l)
+#: (rarest language keeps 100%), which is BIT-EXACT across engines:
+#: one integer ratio, one IEEE sqrt — no cross-language float
+#: accumulation whose summation order could flip a boundary document.
+TEMP_HASH_SPACE = 2**32
+
+
+@register(
+    "sample_temperature",
+    sql=f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
+        ),
+        rates AS (
+            SELECT lang, n_l,
+                   sqrt((SELECT min(n_l) FROM counts) * 1.0 / n_l) AS rate
+            FROM counts
+        )
+        SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) * 1.0 / {TEMP_HASH_SPACE} < r.rate
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (q_l ∝ p_l^0.5): the
+    data-DRIVEN rebalancing step of multilingual corpus curation —
+    rates come from the corpus's own language distribution, unlike
+    sample_mixture_weighted's fixed thresholds. Max-utilization
+    acceptance keeps 100% of the rarest language and sqrt(n_min/n_l)
+    of the rest. Two stages at any scale: a language-count aggregate
+    (rows = #languages, broadcast back onto the corpus) and one narrow
+    hash-acceptance map — acceptance is md5-deterministic per doc_id,
+    so retries, re-ingests, and the DuckDB oracle reproduce the exact
+    sample byte for byte."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    rates = counts.join(F.broadcast(n_min)).select(
+        "lang",
+        F.sqrt(F.col("n_min") * F.lit(1.0) / F.col("n_l")).alias("rate"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(TEMP_HASH_SPACE))
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(frac < F.col("rate"))
+        .select("doc_id", "lang", F.round("rate", 6).alias("rate"))
+    )
