@@ -546,3 +546,65 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= 5
     )
+
+
+@register(
+    "embed_centroid_stats",
+    sql=f"""
+        WITH dims AS (
+            SELECT label,
+                   unnest(list_transform(range(1, {DIM + 1}),
+                          i -> struct_pack(dim := i - 1,
+                                           x := CAST(embedding[i] AS DOUBLE))))
+                       AS u
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, u.dim AS dim, avg(u.x) AS c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM dims GROUP BY label, u.dim
+        )
+        SELECT label,
+               max(n) AS n_vecs,
+               array_to_string(
+                   list_transform(list(round(c, 4) ORDER BY dim),
+                                  v -> CAST(CAST(v AS DECIMAL(10, 4))
+                                            AS VARCHAR)), ',') AS centroid,
+               round(sqrt(sum(c * c)), 4) AS centroid_norm
+        FROM cent
+        GROUP BY label
+    """,
+)
+def embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the cluster-quality diagnostic
+    of an embedding pipeline (drifting centroids mean the labeler or
+    the encoder changed). Dimension-wise DISTRIBUTED mean: posexplode
+    to (label, dim, x), one hash aggregate on the composite key — the
+    pattern that scales to billions of vectors because no executor
+    ever holds more than its partition's running sums, and partial
+    aggregation (map-side combine) collapses each partition to
+    #labels x #dims cells before the shuffle. The centroid re-assembles
+    via sort_array on (dim, value) pairs — deterministic order — and
+    ships CSV-rendered (primitive-column surface contract). avg() is
+    used on both engines; values round to 4 dp, far above any
+    partial-sum-order ulp drift."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select("label", "dim", F.col("x").cast("double").alias("x"))
+    cent = dims.groupBy("label", "dim").agg(
+        F.avg("x").alias("c"), F.count("*").alias("n")
+    )
+    return cent.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                # DECIMAL(10,4) string render: fixed scale on both
+                # engines (a raw double cast drifts into 5.0E-4 form)
+                lambda s: F.round(s["c"], 4).cast("decimal(10,4)").cast("string"),
+            ),
+            ",",
+        ).alias("centroid"),
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm"),
+    )
