@@ -22,8 +22,12 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp
-    # type, so read as int64 nanos and convert in io.table().
+    # Fixture-generation compatibility: earlier driver testdata stored
+    # events.ts as TIMESTAMP(NANOS), which Spark's vectorized reader
+    # rejects; with this conf such files arrive as int64 nanos and
+    # io.table() converts. Current testdata stores naive micros
+    # (TIMESTAMP_NTZ) — io.table()'s dtype guard makes this a no-op
+    # there, so both generations read correctly.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
