@@ -52,6 +52,25 @@ def epoch_us(col: Column | str) -> Column:
     return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-heavy map stage can use every core.
+
+    Small parquet files arrive as ONE scan split (a file below the
+    row-group size cannot be byte-range split), which serializes any
+    expensive per-row kernel downstream — brute-force cosine over a
+    single-row-group embeddings file ran 32x under-parallel locally.
+    If (and only if) the scan has fewer partitions than cores, pay one
+    small shuffle to re-split; at real scale the input has thousands
+    of row groups and this is a no-op, so the plan keeps its natural
+    partitioning exactly when repartitioning would be expensive."""
+    from .session import default_parallelism
+
+    target = default_parallelism()
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import spread, table
 from ..registry import register
 
 
@@ -58,6 +58,10 @@ MINHASH_N = 16
 MINHASH_BANDS = 4
 MINHASH_ROWS = 4
 MINHASH_BUCKET_CAP = 64
+
+#: Same cap for the SimHash band self-join: 8-bit band values have only
+#: 256 buckets, so an uncapped degenerate band is quadratic.
+SIMHASH_BUCKET_CAP = 64
 
 
 @register("dedup_minhash", sql=None)  # xxhash64 minhash not replicable in DuckDB
@@ -144,8 +148,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitwise ops, groupBy), zero Python. Candidate generation bands the
     signature into 4 bytes and self-joins on (band_index, band_value):
     hamming-close docs share >=1 band with high probability. Output:
-    candidate pairs with exact hamming distance <= 3."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    candidate pairs with exact hamming distance <= 3. spread() keeps
+    the 32-votes-per-token map stage parallel when the corpus file is
+    a single scan split.
+
+    Band buckets are capped at SIMHASH_BUCKET_CAP like every pairwise
+    family here: an 8-bit band value has only 256 buckets, so without
+    the cap one degenerate band (short docs collapsing to the same
+    signature byte, boilerplate clusters) yields bucket_n^2 candidate
+    pairs — measured quadratic on a 5x replicated stress corpus.
+    Over-full buckets are dropped (their members still pair through
+    their other 3 bands); at true corpus scale the band width must
+    also grow ~log2(n) bits, the same knob sim_cosine_neardup pins."""
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     h = tok.withColumn("th", F.hash("token"))
     votes = h.groupBy("doc_id").agg(
@@ -178,7 +193,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
-    a, b = bands.alias("a"), bands.alias("b")
+    bucket_sizes = bands.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("bucket_n")
+    )
+    eligible = bands.join(
+        bucket_sizes.filter(
+            (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= SIMHASH_BUCKET_CAP)
+        ).select("band_idx", "band_val"),
+        ["band_idx", "band_val"],
+    )
+    a, b = eligible.alias("a"), eligible.alias("b")
     cand = (
         a.join(
             b,

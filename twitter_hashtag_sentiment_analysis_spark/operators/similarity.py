@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import spread, table
 from ..registry import register
 
 DIM = 64  # FIXTURES.md: 64-dimensional embeddings
@@ -94,8 +94,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 20 probe vectors. Probe side is
     broadcast; scoring is a narrow map over candidates (JVM array
     kernels); top-k via WindowGroupLimit. Exact-rank ties broken by
-    vec_id after rounding to 6 dp so both engines rank identically."""
-    e = table(spark, sf_dir, "embeddings")
+    vec_id after rounding to 6 dp so both engines rank identically.
+    The candidate side goes through spread(): a single-row-group
+    embeddings file is one scan split, which would serialize the
+    probes x candidates kernel onto one core (measured 26x at a 5x
+    data step before the fix)."""
+    e = spread(table(spark, sf_dir, "embeddings"))
     probes = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )

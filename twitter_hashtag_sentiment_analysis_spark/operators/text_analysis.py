@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import spread, table
 from ..registry import register
 
 # tiny per-language stopword sets over the fixture vocabulary; the
@@ -170,8 +170,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-content md5 + a winnowing-style
     fingerprint (min md5 over all 8-char rolling windows) — robust to
     content reordering, the building block of shingle-based plagiarism/
-    dup detection. Rolling windows via sequence+transform: JVM-side."""
-    d = table(spark, sf_dir, "documents")
+    dup detection. Rolling windows via sequence+transform: JVM-side.
+    spread() keeps the O(total-chars) hash kernel parallel when the
+    corpus file is a single scan split."""
+    d = spread(table(spark, sf_dir, "documents"))
     rolling = F.expr(
         "array_min(transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8))))"
     )
