@@ -168,6 +168,27 @@ def scan_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("scan_text_lines", sql=_EVENTS_ORACLE)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line source + from_json schema-on-read — the batch twin
+    of the socket push path (streaming/pipeline.read_tweet_socket): the
+    file arrives as opaque lines (spark.read.text, splittable by line,
+    no format assumption) and structure is imposed per record by
+    from_json with an explicit schema. This is the shape for mixed or
+    dirty line-oriented feeds where the JSON reader's file-level
+    contract is too strong; the parse is a narrow JVM map, so at
+    100 TB it distributes exactly like the json reader. Value-exact vs
+    the parquet original (same oracle as the format roundtrips)."""
+    path = _events_copy(spark, sf_dir, "json")
+    schema = _events_schema(spark, sf_dir)
+    lines = spark.read.text(path)
+    return lines.select(
+        F.from_json(
+            "value", schema, {k: v for k, v in _TS_OPTS.items()}
+        ).alias("r")
+    ).select("r.*")
+
+
 @register("scan_orc", sql=_EVENTS_ORACLE)
 def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC columnar source — same pushdown/pruning machinery as parquet
