@@ -42,3 +42,31 @@ def test_every_query_runs_at_smallest_sf(spark, sf_dir):
                 "registered queries must emit primitive columns"
             )
         df.limit(5).collect()
+
+
+def test_fixture_schemas_match_operator_assumptions(spark, sf_dir):
+    """Early drift detector: the driver regenerates testdata between
+    rounds (round 4: date columns became naive TIMESTAMP_NTZ, breaking
+    unix_micros call sites). If a table's columns change, fail HERE
+    with a readable diff instead of deep inside an operator."""
+    from twitter_hashtag_sentiment_analysis_spark.io import TABLES, table
+
+    expected = {
+        "region": {"r_regionkey", "r_name"},
+        "nation": {"n_nationkey", "n_name", "n_regionkey"},
+        "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+        "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+        "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+        "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                   "o_orderdate", "o_orderpriority"},
+        "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                     "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"},
+        "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+        "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+        "embeddings": {"vec_id", "embedding", "label"},
+    }
+    assert set(TABLES) == set(expected)
+    for name, cols in expected.items():
+        got = set(table(spark, sf_dir, name).columns)
+        assert got == cols, f"{name}: fixture columns changed: {got ^ cols}"
