@@ -454,3 +454,76 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in saved.items():
             spark.conf.set(k, v)
     return j
+
+
+#: As-of tolerance: a carried-forward match older than this is dropped
+#: (pandas merge_asof(tolerance=...), kdb wj window parity).
+ASOF_TOLERANCE_S = 3600
+
+
+@register(
+    "join_asof_tolerance",
+    sql=f"""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        carried AS (
+            SELECT *,
+                   last_value(click_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, is_purchase, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS raw_asof
+            FROM tagged
+        )
+        SELECT event_id, user_id, value,
+               CASE WHEN epoch_us(ts) - epoch_us(raw_asof)
+                         <= CAST({ASOF_TOLERANCE_S} AS BIGINT) * 1000000
+                    THEN raw_asof END AS asof_click_ts,
+               raw_asof IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(raw_asof)
+                       > CAST({ASOF_TOLERANCE_S} AS BIGINT) * 1000000 AS stale_dropped
+        FROM carried WHERE is_purchase = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a staleness tolerance — pandas
+    merge_asof(tolerance=...) / kdb wj parity: the latest same-user
+    click at-or-before each purchase counts only if it is at most 1 h
+    old; older carries are nulled (and flagged) rather than silently
+    used, the semantics a feature-store point-in-time join needs so a
+    dormant user doesn't inherit a week-old context row. Identical
+    single-window shape as join_asof (linear per user, no pairwise
+    explosion) — the tolerance is a pure post-window expression, so
+    the 100 TB cost is unchanged."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "raw_asof", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    age_us = epoch_us("ts") - epoch_us("raw_asof")
+    tol_us = ASOF_TOLERANCE_S * 1_000_000
+    return carried.filter(F.col("is_purchase") == 1).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(age_us <= tol_us, F.col("raw_asof")).alias("asof_click_ts"),
+        (F.col("raw_asof").isNotNull() & (age_us > tol_us)).alias("stale_dropped"),
+    )

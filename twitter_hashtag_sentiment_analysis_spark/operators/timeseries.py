@@ -303,3 +303,58 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.col("n_users") / F.col("n_first"), 4).alias("conv_from_first"),
     )
+
+
+@register(
+    "ts_ohlc_resample",
+    sql="""
+        WITH ranked AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY event_type, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT event_type, bucket,
+               round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+               round(max(value), 2) AS high,
+               round(min(value), 2) AS low,
+               round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS volume
+        FROM ranked
+        GROUP BY event_type, bucket
+    """,
+)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle resampling — the canonical time-series-DB downsample
+    (open/high/low/close + count + volume per (series, hour)). ONE hash
+    aggregate: open/close ride min_by/max_by over a (ts, event_id)
+    struct key — no window, no second shuffle, and the struct tie-break
+    makes first/last deterministic under any partitioning (a bare
+    first()/last() would be arrival-order nondeterministic). min_by/
+    max_by partial states merge associatively, so the aggregate is
+    map-side combinable — the property that makes hourly rollups of a
+    100 TB tick store a single linear pass. (The oracle expresses
+    open/close as rank-1 rows under the same composite order — DuckDB's
+    arg_min does not take struct keys — identical semantics.)"""
+    ev = table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+    )
