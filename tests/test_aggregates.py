@@ -40,10 +40,9 @@ def test_approx_quantile_within_sketch_tolerance(spark, sf_dir):
     from pyspark.sql import functions as F
 
     reg = load_all()
-    # price_pcts is CSV-rendered (primitive-column surface contract)
     approx = {
         r["l_returnflag"]: (
-            [float(v) for v in r["price_pcts"].split(",")],
+            [r["price_p25"], r["price_p50"], r["price_p95"]],
             r["qty_median"],
         )
         for r in reg["agg_approx_quantile"].fn(spark, sf_dir).collect()

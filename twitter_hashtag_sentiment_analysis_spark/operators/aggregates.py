@@ -232,11 +232,12 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped quantiles (linear interpolation — Spark's
     `percentile` and DuckDB's `quantile_cont` share the definition).
-    The exact form needs a per-group sort; at 100 TB the scale path is
-    `approx_percentile` (a mergeable KLL-style sketch with partial
-    aggregation), which has no exact oracle — same trade as
-    agg_approx_distinct. Both surfaces matter: exact for correctness
-    gates, sketch for production dashboards."""
+    The exact form buffers each group's values for a per-group sort —
+    fine at fixture scale, wrong at 100 TB, where the production path
+    is the mergeable-sketch twin `agg_approx_quantile` (this module):
+    same grouping, Greenwald-Khanna summary, partial aggregation, and
+    bounded rank error instead of a full buffer. Reach for THIS one in
+    correctness gates, for the sketch twin on big corpora."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         *[
@@ -502,27 +503,54 @@ def agg_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_quantile", sql=None)  # approximate => rows-only check
+#: GK-sketch accuracy for `agg_approx_quantile`.  Chosen so the rank
+#: error bound (1/accuracy) rounds to ZERO ranks at fixture group sizes
+#: (<= ~200 k rows/group at sf0.1): the sketch answer is then the exact
+#: discrete quantile and DuckDB's `quantile_disc` pins it cross-engine —
+#: the same fixture-exactness trick `agg_approx_top_k` uses.  At 100 TB
+#: the identical plan degrades gracefully to bounded-error (1e-6 of
+#: rank); production would dial this down (each group's summary retains
+#: O(accuracy) samples, ~8 MB/group worst case here — still mergeable).
+APPROX_QUANTILE_ACCURACY = 1_000_000
+
+
+@register(
+    "agg_approx_quantile",
+    sql="""
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.25) AS price_p25,
+               quantile_disc(l_extendedprice, 0.50) AS price_p50,
+               quantile_disc(l_extendedprice, 0.95) AS price_p95,
+               quantile_disc(l_quantity, 0.50) AS qty_median
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate grouped percentiles via percentile_approx
-    (Greenwald-Khanna sketch, accuracy 10000): the mergeable-sketch
-    path for quantiles at 100 TB, where agg_quantiles' exact sort-
-    based form would shuffle the full column. Sketch states merge
-    associatively (map-side combine); error is bounded by 1/accuracy
-    of rank. Tolerance vs the exact quantiles is property-tested in
-    tests/test_aggregates.py. The percentile vector is rendered as a
-    round-trip-stable CSV string so the rows-only harness can hash it
-    (no array columns on the registered surface)."""
+    (Greenwald-Khanna sketch): the mergeable-sketch path for quantiles
+    at 100 TB, where the exact twin `agg_quantiles` (aggregates.py,
+    `percentile`) would buffer every group's values. Sketch states
+    merge associatively (map-side combine); error is bounded by
+    1/accuracy of rank. percentile_approx returns an ELEMENT of the
+    column (discrete quantile, no interpolation), and with
+    APPROX_QUANTILE_ACCURACY exceeding fixture group sizes the answer
+    is exactly DuckDB's `quantile_disc` — verified rank convention
+    ceil(p*n) matches on tie-heavy columns too — so this carries a
+    full value-hash oracle instead of the rows-only check it had
+    through round 4. Tolerance vs exact quantiles additionally
+    property-tested in tests/test_aggregates.py."""
     li = table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx(
+        "l_extendedprice", [0.25, 0.5, 0.95], APPROX_QUANTILE_ACCURACY
+    )
     return li.groupBy("l_returnflag").agg(
-        F.array_join(
-            F.transform(
-                F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.95], 10000),
-                lambda v: F.round(v, 4).cast("string"),
-            ),
-            ",",
-        ).alias("price_pcts"),
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_median"),
+        pcts.getItem(0).alias("price_p25"),
+        pcts.getItem(1).alias("price_p50"),
+        pcts.getItem(2).alias("price_p95"),
+        F.percentile_approx("l_quantity", 0.5, APPROX_QUANTILE_ACCURACY).alias(
+            "qty_median"
+        ),
     )
 
 
