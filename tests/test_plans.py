@@ -32,6 +32,27 @@ def test_group_topk_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_cosine_topk_truncates_before_shuffle(spark, sf_dir):
+    """sim_cosine_topk must be two-stage: a PARTIAL WindowGroupLimit
+    below the probe-key Exchange caps shuffled rows at partitions x
+    probes x 5, and the pair kernel must be a single dot product —
+    norms precomputed once per side BELOW the join, never recomputed
+    per (probe, candidate) pair."""
+    from twitter_hashtag_sentiment_analysis_spark.plans import explain_str
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    # simple mode: one tree with expressions inline, so text position
+    # tracks plan position (formatted mode splits tree from details)
+    df = load_all()["sim_cosine_topk"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "row_number(), 5, Partial" in plan, plan
+    assert "row_number(), 5, Final" in plan, plan
+    # exactly one HOF aggregate kernel (the dot) above the join; the
+    # two norm kernels live in projections below it
+    above_join = plan.split("BroadcastNestedLoopJoin")[0]
+    assert above_join.count("aggregate(") == 1, above_join
+
+
 def test_semi_join_stays_semi(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_semi")
     assert "LeftSemi" in plan, plan

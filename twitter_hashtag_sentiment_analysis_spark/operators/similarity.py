@@ -93,22 +93,39 @@ def _sql_cosine(a: str, b: str) -> str:
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 20 probe vectors. Probe side is
     broadcast; scoring is a narrow map over candidates (JVM array
-    kernels); top-k via WindowGroupLimit. Exact-rank ties broken by
-    vec_id after rounding to 6 dp so both engines rank identically.
-    The candidate side goes through spread(): a single-row-group
-    embeddings file is one scan split, which would serialize the
-    probes x candidates kernel onto one core (measured 26x at a 5x
-    data step before the fix)."""
+    kernels); top-k is two-stage: WindowGroupLimit PARTIAL truncates
+    each partition to its local top-5 per probe BEFORE the probe-key
+    shuffle (plan-asserted in tests/test_plans.py), so the Exchange
+    moves at most partitions x probes x 5 rows regardless of corpus
+    size. Norms are precomputed ONCE per side below the join — an
+    alias under a join is materialized, not inlined, so each pair
+    costs one 64-wide dot product instead of the 3x kernel (dot + two
+    norms) the fused form paid; the float sequence per value is
+    unchanged, keeping cosines bit-identical to the DuckDB oracle.
+    Exact-rank ties broken by vec_id after rounding to 6 dp so both
+    engines rank identically. The candidate side goes through
+    spread(): a single-row-group embeddings file is one scan split,
+    which would serialize the probes x candidates kernel onto one
+    core (measured 26x at a 5x data step before the fix)."""
     e = spread(table(spark, sf_dir, "embeddings"))
-    probes = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    cand = e.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("cand_norm")
+    )
+    probes = (
+        e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+        .withColumn("probe_norm", _norm(F.col("pe")))
     )
     scored = (
-        e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        cand.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
-            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("pe"), F.col("embedding"))
+                / (F.col("probe_norm") * F.col("cand_norm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
