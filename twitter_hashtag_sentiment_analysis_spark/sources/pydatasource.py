@@ -132,6 +132,11 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: multi-batch offset progression; each extra batch costs a commit
 #: round, so batch count is wall-clock, not realism).
 PYDS_STREAM_BATCH = 1000
+#: Shard count for the Kinesis-shaped offset model: record i lives on
+#: shard i % PYDS_STREAM_SHARDS at sequence number i // PYDS_STREAM_SHARDS,
+#: mirroring Kinesis's partition-key -> shard hash + per-shard
+#: monotonically increasing sequence numbers.
+PYDS_STREAM_SHARDS = 4
 _stream_registered = False
 
 
@@ -148,11 +153,16 @@ _stream_registered = False
 def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python STREAMING data source (SimpleDataSourceStreamReader)
     — the reference's push producer (streamer.py:44-48) as an
-    engine-native streaming connector: offsets are row indices, each
-    micro-batch pulls the next 1000-row slice, and `readBetweenOffsets`
-    makes batches REPLAYABLE for exactly-once recovery (the part the
-    reference's fire-and-forget put_record cannot do). The capped
-    generator emits the same deterministic corpus as
+    engine-native streaming connector with a KINESIS-SHAPED offset
+    model (reference stream_processor.py:335-345, the
+    KinesisStreamAsSource branch): the offset is a map of shard id ->
+    next sequence number ({"shardId-000000000000": 250, ...}), record
+    i lives on shard i % PYDS_STREAM_SHARDS at per-shard sequence
+    i // PYDS_STREAM_SHARDS, each micro-batch advances every shard
+    iterator by an equal slice, and `readBetweenOffsets` replays any
+    (start, end) shard-sequence window for exactly-once recovery (the
+    part the reference's fire-and-forget put_record cannot do). The
+    capped generator emits the same deterministic corpus as
     `source_python_datasource`; an aggregate over the drained stream is
     therefore exact-hash-verified against the SQL regeneration.
     availableNow drains only the prefetched slice on this API, so the
@@ -167,32 +177,51 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     langs, vocab = PYDS_LANGS, PYDS_VOCAB
-    cap, batch = PYDS_ROWS, PYDS_STREAM_BATCH
+    cap, batch, shards = PYDS_ROWS, PYDS_STREAM_BATCH, PYDS_STREAM_SHARDS
 
     class SyntheticTweetsStreamReader(SimpleDataSourceStreamReader):
-        def initialOffset(self):
-            return {"i": 0}
+        # per-shard sequence-number cap: shard s holds records
+        # s, s+shards, s+2*shards, ... below cap
+        @staticmethod
+        def _shard_end(s: int) -> int:
+            return (cap - s + shards - 1) // shards
 
-        def _rows(self, lo: int, hi: int):
+        @staticmethod
+        def _shard_id(s: int) -> str:
+            return f"shardId-{s:012d}"
+
+        def initialOffset(self):
+            # TRIM_HORIZON: every shard iterator at sequence 0
+            return {self._shard_id(s): 0 for s in range(shards)}
+
+        def _rows(self, start: dict, end: dict):
             # a LIST iterator, not a generator: Spark's prefetch cache
             # copy.copy()s the iterator for replay, and generators
             # aren't copyable (TypeError: cannot pickle 'generator')
             out = []
-            for i in range(lo, hi):
-                n_words = 3 + (i * 7) % 8
-                text = " ".join(
-                    vocab[(i * 31 + j * 17) % 16] for j in range(n_words)
-                )
-                out.append((i, langs[i % 5], n_words, text))
+            for s in range(shards):
+                sid = self._shard_id(s)
+                for seq in range(start[sid], end[sid]):
+                    i = s + seq * shards  # shard-sequence -> record id
+                    n_words = 3 + (i * 7) % 8
+                    text = " ".join(
+                        vocab[(i * 31 + j * 17) % 16] for j in range(n_words)
+                    )
+                    out.append((i, langs[i % 5], n_words, text))
             return iter(out)
 
         def read(self, start):
-            lo = start["i"]
-            hi = min(lo + batch, cap)
-            return (self._rows(lo, hi), {"i": hi})
+            per_shard = batch // shards
+            end = {
+                self._shard_id(s): min(
+                    start[self._shard_id(s)] + per_shard, self._shard_end(s)
+                )
+                for s in range(shards)
+            }
+            return (self._rows(start, end), end)
 
         def readBetweenOffsets(self, start, end):
-            return self._rows(start["i"], end["i"])
+            return self._rows(start, end)
 
     class SyntheticTweetsStreamSource(DataSource):
         @classmethod

@@ -356,6 +356,13 @@ def stream_socket_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         done.set()
         q.stop()
         srv.close()
+    n_drained = spark.table(name).count()
+    if n_drained < len(lines):
+        # a partial drain must surface as a timeout, not be aggregated
+        # into a load-dependent "result" a caller would trust
+        raise TimeoutError(
+            f"socket stream drained {n_drained}/{len(lines)} lines within 60s"
+        )
     drained = spark.table(name)
     return (
         drained.groupBy(
