@@ -85,6 +85,53 @@ def test_pipeline_exactly_once_on_restart(spark, tweet_dir, tmp_path):
     assert sorted(ids) == [1, 2, 5]
 
 
+def test_rate_limited_source_bounds_each_micro_batch(spark, tmp_path):
+    """maxFilesPerTrigger=1 over fixed-size drops is the reference's
+    SIZE-based Firehose flush bound (3 MB or 60 s, stream_processor.py:
+    317-324) in Spark's model: every micro-batch ingests at most one
+    drop's worth of bytes, so N drops drain as N bounded batches, and
+    no record is lost or duplicated across them."""
+    d = tmp_path / "drops"
+    d.mkdir()
+    n_files, rows_per_file = 4, 2
+    for fi in range(n_files):
+        with open(d / f"drop{fi}.json", "w") as f:
+            for ri in range(rows_per_file):
+                i = fi * rows_per_file + ri
+                f.write(
+                    json.dumps(
+                        {
+                            "id": i,
+                            "text": "spark fast",
+                            "lang": "en",
+                            "created_at": f"2024-01-01T00:{i:02d}:00",
+                        }
+                    )
+                    + "\n"
+                )
+    out = str(tmp_path / "out")
+    q = start_pipeline(
+        spark,
+        str(d),
+        out,
+        str(tmp_path / "ck"),
+        lang="en",
+        keyword="spark",
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    # one bounded batch per drop, each capped at a single file's rows
+    assert len(batches) == n_files, [p["numInputRows"] for p in q.recentProgress]
+    assert all(p["numInputRows"] == rows_per_file for p in batches)
+    ids = []
+    for path in glob.glob(os.path.join(out, "ingest_date=*", "*.json")):
+        with open(path) as f:
+            ids += [json.loads(line)["id"] for line in f]
+    assert sorted(ids) == list(range(n_files * rows_per_file))
+
+
 def test_transform_is_batch_stream_equivalent(spark, tweet_dir):
     """The same transform over the same rows, batch vs stream, agrees."""
     batch = spark.read.schema(TWEET_SCHEMA).json(tweet_dir)

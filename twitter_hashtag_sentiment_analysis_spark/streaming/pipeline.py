@@ -56,18 +56,34 @@ DEFAULT_TRIGGER_SECONDS = 60  # Firehose buffer parity (stream_processor.py:295-
 
 
 def read_tweet_stream(
-    spark: SparkSession, input_dir: str, permissive: bool = False
+    spark: SparkSession,
+    input_dir: str,
+    permissive: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """R1+R3: file stream source over NDJSON drops with an explicit
     schema (no inference — the reference's ad-hoc key access made
     typed). With ``permissive=True``, malformed lines survive the read
     carrying their raw text in ``_corrupt_record`` (R9: the reference's
     on_error path, streamer.py:32-33) instead of being silently nulled.
+
+    ``max_files_per_trigger`` caps how much data one micro-batch
+    ingests — Spark's per-source rate limit, and the closest
+    demonstrable analog of the reference's SIZE-based Firehose flush
+    bound (3 MB or 60 s, whichever first — stream_processor.py:317-324):
+    with fixed-size input drops, "at most N files per batch" IS a byte
+    bound on batch size, enforced at the source the way Firehose
+    enforces it at the buffer. Spark's trigger contributes the time
+    bound; the two knobs together reproduce the reference's
+    size-AND-time contract (SURVEY §4).
     """
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if not permissive:
-        return spark.readStream.schema(TWEET_SCHEMA).json(input_dir)
+        return reader.schema(TWEET_SCHEMA).json(input_dir)
     return (
-        spark.readStream.schema(TWEET_SCHEMA_PERMISSIVE)
+        reader.schema(TWEET_SCHEMA_PERMISSIVE)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(input_dir)
@@ -122,6 +138,7 @@ def start_pipeline(
     trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
     available_now: bool = False,
     quarantine_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """R5+R7+R8: micro-batched, newline-delimited JSON, date-partitioned
     append sink with exactly-once checkpointing.
@@ -132,12 +149,24 @@ def start_pipeline(
     instead of the reference's log-and-drop (stream_processor.py:181-186).
     The quarantine query is exposed as ``.quarantine_query`` on the
     returned handle; both drain under availableNow.
+
+    ``max_files_per_trigger`` bounds each micro-batch's input at the
+    source (see read_tweet_stream) — combined with the trigger interval
+    this is the reference's "3 MB or 60 s, whichever first" Firehose
+    buffer contract in Spark's model.
     """
     quarantine_query = None
     if quarantine_dir is None:
-        source = read_tweet_stream(spark, input_dir)
+        source = read_tweet_stream(
+            spark, input_dir, max_files_per_trigger=max_files_per_trigger
+        )
     else:
-        raw = read_tweet_stream(spark, input_dir, permissive=True)
+        raw = read_tweet_stream(
+            spark,
+            input_dir,
+            permissive=True,
+            max_files_per_trigger=max_files_per_trigger,
+        )
         source = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
         # the quarantine record keeps the parsed id alongside the raw
         # line (null on a full parse failure, set on a partial one) —
