@@ -23,16 +23,39 @@ import sys
 
 import duckdb
 
-#: table -> columns to offset per replica (surrogate key space)
+#: key DOMAIN -> (home table, home column). The replica offset for a
+#: domain is derived ONCE from the home table's max key and reused at
+#: EVERY foreign-key site, so replica r's o_custkey points at replica
+#: r's customer rows (and so on for part/supplier/orders). Deriving the
+#: offset per table instead (the pre-round-5 bug) gave customer offset
+#: 1e5 but orders.o_custkey offset 1e6: every replica>0 fact row
+#: referenced a nonexistent dimension key and joins only matched
+#: replica 0, understating measured join scaling.
+DOMAINS = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+#: table -> {column: key domain} (surrogate key space per replica)
 OFFSET_KEYS = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
 }
 
 FIXED_DIMS = ("region", "nation")
@@ -53,11 +76,13 @@ def main() -> None:
             f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
-    for t, keys in OFFSET_KEYS.items():
+    offsets = {}
+    for dom, (home, col) in DOMAINS.items():
         base = con.sql(
-            f"SELECT max(greatest({', '.join(keys)})) FROM read_parquet('{src}/{t}.parquet')"
+            f"SELECT max({col}) FROM read_parquet('{src}/{home}.parquet')"
         ).fetchone()[0]
-        off = ceil_pow10(int(base))
+        offsets[dom] = ceil_pow10(int(base))
+    for t, keys in OFFSET_KEYS.items():
         cols = [
             r[0]
             for r in con.sql(
@@ -65,14 +90,35 @@ def main() -> None:
             ).fetchall()
         ]
         proj = ", ".join(
-            f"({c} + r.k * {off}) AS {c}" if c in keys else c for c in cols
+            f"({c} + r.k * {offsets[keys[c]]}) AS {c}" if c in keys else c
+            for c in cols
         )
         con.execute(
             f"COPY (SELECT {proj} FROM read_parquet('{src}/{t}.parquet'), "
             f"(SELECT unnest(range({copies})) AS k) r) "
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
-        print(f"{t}: x{copies}, key offset {off}")
+        print(
+            f"{t}: x{copies}, offsets "
+            + ", ".join(f"{c}={offsets[d]}" for c, d in keys.items())
+        )
+    # FK self-check: every fact-side key must resolve in its dimension.
+    checks = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    for ft, fk, dt, dk in checks:
+        dangling = con.sql(
+            f"SELECT count(*) FROM read_parquet('{out}/{ft}.parquet') f "
+            f"WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{out}/{dt}.parquet') d "
+            f"WHERE d.{dk} = f.{fk})"
+        ).fetchone()[0]
+        status = "OK" if dangling == 0 else f"DANGLING {dangling}"
+        print(f"fk {ft}.{fk} -> {dt}.{dk}: {status}")
+        if dangling:
+            raise SystemExit(f"FK check failed: {ft}.{fk}")
 
 
 if __name__ == "__main__":
