@@ -277,9 +277,45 @@ def stream_sentiment_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: lines, small enough that the push drain is wall-clock-bounded.
 SOCKET_TWEETS = 30
 SOCKET_CORRUPT_EVERY = 10
+SOCKET_LANGS = ("en", "es", "de")
+#: drawn from the engine lexicon (functions/sentiment.py) so each lang
+#: lands a distinct sentiment label
+SOCKET_PHRASES = ("fast spark", "slow dup", "table scan filter")
 
 
-@register("stream_socket_pipe", sql=None)  # push source => rows-only by design
+def _socket_pipe_oracle_sql() -> str:
+    """DuckDB twin of the socket pipeline: regenerate the SAME corpus
+    from the SAME constants (range + modular indexing — corrupt lines
+    become NULL-text rows, exactly what the stream's from_json parse
+    yields), score it with the shared sentiment CTE, aggregate. Built
+    from the module constants so the two sides cannot drift."""
+    from ..functions.sentiment import sentiment_sql_cte
+
+    langs = ", ".join(f"'{v}'" for v in SOCKET_LANGS)
+    phrases = ", ".join(f"'{p}'" for p in SOCKET_PHRASES)
+    k = len(SOCKET_LANGS)
+    return f"""
+        WITH corpus AS (
+            SELECT i,
+                   CASE WHEN i % {SOCKET_CORRUPT_EVERY} = {SOCKET_CORRUPT_EVERY - 1}
+                        THEN NULL ELSE ([{langs}])[(i % {k}) + 1] END AS lang,
+                   CASE WHEN i % {SOCKET_CORRUPT_EVERY} = {SOCKET_CORRUPT_EVERY - 1}
+                        THEN NULL
+                        ELSE 'tweet ' || i || ' ' || ([{phrases}])[(i % {k}) + 1]
+                   END AS text
+            FROM range(0, {SOCKET_TWEETS}) t(i)
+        ),
+        scored AS ({sentiment_sql_cte("corpus")})
+        SELECT coalesce(lang, '_corrupt') AS lang,
+               sentiment,
+               CAST(count(*) AS BIGINT) AS n
+        FROM scored
+        GROUP BY 1, 2
+        ORDER BY lang, sentiment
+    """
+
+
+@register("stream_socket_pipe", sql=_socket_pipe_oracle_sql())
 def stream_socket_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 as a true PUSH source, registered end to end: an in-process
     TCP server emits a deterministic newline-framed tweet corpus (every
@@ -289,13 +325,15 @@ def stream_socket_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drained rows aggregate per (lang, sentiment). The socket source
     is the closest OSS analog of the reference's long-lived push stream
     (streamer.py:44-48; no OSS Kinesis connector exists — README).
-    Rows-only: the corpus is generated in-code, but the output is fully
-    deterministic — lang cycle and sentiment words are fixed — so the
-    row set is stable across runs; exactness vs a Python reference is
-    asserted in tests/test_streaming.py. Scale: a push socket is a
-    single-receiver dev source by design; the production push path is
-    the offset-tracked Python streaming data source
-    (stream_python_source), which this query complements for parity."""
+    Exact-hash ORACLE since round 5 (was rows-only): the corpus is
+    deterministic integer arithmetic, so the oracle regenerates it in
+    SQL from the same constants and scores it with the shared sentiment
+    CTE — the whole push pipeline (TCP drain included) is value-checked,
+    not just row-counted; the same set is also pinned in
+    tests/test_streaming.py. Scale: a push socket is a single-receiver
+    dev source by design; the production push path is the
+    offset-tracked Python streaming data source (stream_python_source),
+    which this query complements for parity."""
     import json as _json
     import socket
     import threading
@@ -304,10 +342,8 @@ def stream_socket_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.sentiment import with_sentiment
     from .pipeline import read_tweet_socket
 
-    langs = ("en", "es", "de")
-    # drawn from the engine lexicon (functions/sentiment.py) so each
-    # lang lands a distinct sentiment label
-    pos_neg = ("fast spark", "slow dup", "table scan filter")
+    langs = SOCKET_LANGS
+    pos_neg = SOCKET_PHRASES
     lines = []
     for i in range(SOCKET_TWEETS):
         if i % SOCKET_CORRUPT_EVERY == SOCKET_CORRUPT_EVERY - 1:
