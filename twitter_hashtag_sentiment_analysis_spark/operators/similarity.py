@@ -271,7 +271,93 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh", sql=None)  # approximate (recall < 1) => rows-only
+# Random-hyperplane LSH geometry: 16 seeded hyperplanes -> 16-bit sign
+# signature, banded 4 x 4 bits. The planes are fixed at import from a
+# seeded RNG and embedded as LITERALS on both engines (Spark lit arrays,
+# DuckDB list literals via repr round-trip), so the whole approximate
+# index — signatures, banding, bucket join, rerank — is deterministic
+# and exact-hash-verifiable despite being an ANN structure.
+LSH_BITS = 16
+LSH_BANDS = 4
+LSH_BAND_BITS = 4
+
+
+def _lsh_planes():
+    import numpy as np
+
+    return np.random.RandomState(42).randn(LSH_BITS, DIM)
+
+
+_LSH_PLANES = _lsh_planes()
+
+
+def _sql_dot_literal(col: str, plane) -> str:
+    """Dot of an embedding column with a literal plane — same element
+    order and sequential accumulation as `_sql_dot`, so the result is
+    bit-identical to Spark's zip_with/aggregate kernel."""
+    lits = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({col}[i] AS DOUBLE) * ({lits})[i]))"
+    )
+
+
+def _lsh_sig_sql(col: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_sql_dot_literal(col, _LSH_PLANES[i])} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(LSH_BITS)
+    )
+
+
+_LSH_BANDS_SQL = ", ".join(
+    f"struct_pack(band_idx := {i}, "
+    f"band_val := (sig >> {LSH_BAND_BITS * i}) & {(1 << LSH_BAND_BITS) - 1})"
+    for i in range(LSH_BANDS)
+)
+
+
+@register(
+    "sim_ann_lsh",
+    sql=f"""
+        WITH sig AS (
+            SELECT vec_id, embedding, {_lsh_sig_sql('embedding')} AS sig
+            FROM embeddings
+        ),
+        banded AS (
+            SELECT vec_id, embedding, unnest([{_LSH_BANDS_SQL}]) AS band
+            FROM sig
+        ),
+        b AS (
+            SELECT vec_id, embedding,
+                   band.band_idx AS band_idx, band.band_val AS band_val
+            FROM banded
+        ),
+        probes AS (
+            SELECT vec_id AS probe_id, embedding AS pe,
+                   band_idx AS p_band_idx, band_val AS p_band_val
+            FROM b WHERE vec_id < 20
+        ),
+        cand AS (
+            SELECT DISTINCT p.probe_id, p.pe, c.vec_id, c.embedding
+            FROM b c JOIN probes p
+              ON c.band_idx = p.p_band_idx AND c.band_val = p.p_band_val
+             AND c.vec_id != p.probe_id
+        ),
+        scored AS (
+            SELECT probe_id, vec_id,
+                   round({_sql_cosine('pe', 'embedding')}, 6) AS cos_sim
+            FROM cand
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rk
+            FROM scored
+        )
+        SELECT probe_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5
+    """,
+)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: 16 seeded hyperplanes -> 16-bit
     sign signature per vector, banded as 4 bands x 4 bits; candidates
@@ -284,15 +370,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cosine >= 0.9) the same structure gives >0.99 recall — band width
     trades recall for candidate volume.
 
-    The hyperplanes are generated once on the driver from a fixed seed
+    The hyperplanes are generated once at import from a fixed seed
     (deterministic), shipped as literal arrays — no Python at execution
     time; signatures are computed with the same JVM array kernels as
-    the exact path. At 100 TB the bucket join touches only colliding
-    pairs instead of |probes| x |corpus|."""
-    import numpy as np
-
-    rng = np.random.RandomState(42)
-    planes = rng.randn(16, DIM)
+    the exact path. Because the planes are literals on BOTH engines,
+    this ANN op carries a full value-hash oracle since round 5 (was
+    rows-only); the recall-floor property test remains the semantic
+    contract. At 100 TB the bucket join touches only colliding pairs
+    instead of |probes| x |corpus|."""
+    planes = _LSH_PLANES
 
     e = table(spark, sf_dir, "embeddings")
 
@@ -358,14 +444,62 @@ IVF_CENTROID_LO, IVF_CENTROID_HI = 100, 115
 IVF_NPROBE = 4
 
 
-@register("sim_ann_ivf", sql=None)  # approximate (recall < 1) => rows-only
+@register(
+    "sim_ann_ivf",
+    sql=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS ce FROM embeddings
+            WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}
+        ),
+        scored_cells AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   round({_sql_cosine('e.embedding', 'c.ce')}, 6) AS c_cos
+            FROM embeddings e, cents c
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cid AS cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY c_cos DESC, cid DESC) AS rn
+                FROM scored_cells
+            ) WHERE rn = 1
+        ),
+        probe_cells AS (
+            SELECT vec_id AS probe_id, embedding AS pe, cid AS cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS rk
+                FROM scored_cells WHERE vec_id < 20
+            ) WHERE rk <= {IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT DISTINCT p.probe_id, p.pe, a.vec_id, a.embedding
+            FROM assign a JOIN probe_cells p ON a.cell = p.cell
+            WHERE a.vec_id != p.probe_id
+        ),
+        scored AS (
+            SELECT probe_id, vec_id,
+                   round({_sql_cosine('pe', 'embedding')}, 6) AS cos_sim
+            FROM cand
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rk
+            FROM scored
+        )
+        SELECT probe_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5
+    """,
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file) cells — the codebook-partitioned
     alternative to sim_ann_lsh. Every vector is assigned to its
     nearest of 16 centroids (one broadcast join against the codebook +
     a max_by aggregate — no window sort); a probe searches only its
     IVF_NPROBE closest cells, then reranks candidates with the exact
-    cosine kernel, top-5 per probe.
+    cosine kernel, top-5 per probe. The pinned-id codebook makes the
+    whole index deterministic, so like sim_ann_lsh it carries a full
+    value-hash oracle since round 5 (the Spark max-struct assignment
+    breaks cosine ties toward the HIGHER cid; the oracle's window
+    mirrors that with cid DESC).
 
     Scale shape: cell assignment is a narrow broadcast map (codebooks
     are KBs even with 2^20 centroids); the candidate join is
