@@ -24,6 +24,24 @@ def test_queries_and_oracles_consistent(spark):
     assert set(oracles) <= set(qs)
 
 
+def test_driver_sample_window_is_all_oracle_backed(spark):
+    """The external correctness gate hashes only the FIRST 50 keys of
+    queries(); the rotation contract (registry._DRIVER_SAMPLE_PREFIX)
+    guarantees that window is exactly the pinned prefix and that every
+    key in it has an oracle — a rows-only key in the window would burn
+    a sample slot on an `err: no_oracle` row."""
+    from twitter_hashtag_sentiment_analysis_spark.registry import (
+        _DRIVER_SAMPLE_PREFIX,
+    )
+
+    qs = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    assert len(_DRIVER_SAMPLE_PREFIX) == 50
+    assert tuple(qs[:50]) == _DRIVER_SAMPLE_PREFIX
+    missing = [k for k in qs[:50] if k not in oracles]
+    assert not missing, f"rows-only keys inside the driver window: {missing}"
+
+
 def test_every_query_runs_at_smallest_sf(spark, sf_dir):
     from pyspark.sql import types as T
 
