@@ -1000,6 +1000,358 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_min_cost_supplier",
+    sql="""
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY 1, 2
+        ),
+        eligible AS (
+            SELECT s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        ),
+        best AS (
+            SELECT su.l_partkey, min(su.unit_cost) AS best_cost
+            FROM supply su JOIN eligible e ON su.l_suppkey = e.s_suppkey
+            GROUP BY 1
+        )
+        SELECT round(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
+               p.p_partkey, p.p_name, su.unit_cost
+        FROM part p
+        JOIN supply su ON su.l_partkey = p.p_partkey
+        JOIN eligible e ON su.l_suppkey = e.s_suppkey
+        JOIN best b ON b.l_partkey = su.l_partkey
+                   AND su.unit_cost = b.best_cost
+        WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted to the fixture schema (no partsupp table): the
+    supply catalog is DERIVED from lineitem — per (part, supplier) the
+    min observed unit price — and the query finds, for each small part,
+    the cheapest eligible supplier in one region. Spark-side the
+    selective part filter (p_size=15, p_type='SMALL') broadcasts FIRST
+    so the per-pair aggregate only runs over the ~0.25% of lineitem
+    touching those parts (the oracle computes supply over all pairs and
+    filters later — identical result, since best-cost is per-part).
+    The min-cost winner is a window min over the partkey partition the
+    aggregate just produced (no second shuffle). The min/equality AND
+    the emitted unit_cost stay UNROUNDED — IEEE division and min are
+    bit-identical across engines, so both the tie-set and the value
+    hash are exact, whereas round(x, 2) on a quotient landing on a
+    half-cent boundary (e.g. 278.085) diverges between Spark's
+    decimal-string HALF_UP and DuckDB's scaled-multiply rounding —
+    measured on the sf0.1 fixtures. At 100 TB: the
+    region dim tree and the filtered part set stay broadcast; the
+    single fact shuffle is (partkey, suppkey)."""
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    e = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    supply = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(e), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "s_acctbal")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        supply.withColumn("best_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_product_type_profit",
+    sql="""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.4 * p.p_retailprice * l.l_quantity), 2)
+                   AS sum_profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%bolt%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
+    """,
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp => supply cost proxied as 40% of
+    the part's retail price): profit by supplier nation and order year
+    for one product family (name contains 'bolt'). Four dims broadcast
+    (part — pre-filtered by the LIKE, supplier, nation); the only
+    shuffle pair is lineitem<->orders on orderkey, then a partial-agg'd
+    group on (nation, year). The substring filter prunes ~87% of parts
+    BEFORE the fact scan joins anything, and column pruning keeps the
+    scan at 6 of 11 lineitem columns. At 100 TB the (nation, year)
+    grouping is tiny — partial aggregation collapses almost everything
+    map-side."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.4) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "q_important_stock",
+    sql="""
+        WITH val AS (
+            SELECT l.l_partkey, round(sum(l.l_extendedprice), 2) AS value
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_7'
+            GROUP BY 1
+        )
+        SELECT l_partkey AS p_partkey, value
+        FROM val
+        WHERE value > (SELECT round(avg(value) * 2.4, 2) FROM val)
+        ORDER BY value DESC, p_partkey
+    """,
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp => a part's 'stock value' is the
+    extended price it moved through one nation's suppliers): parts
+    whose value exceeds a multiple of the average per-part value (the
+    classic fraction-of-total cut is scale-VARIANT — at 10x the parts
+    each part's share of the total shrinks 10x and the result empties;
+    avg-relative keeps the selectivity stable at every SF). The
+    per-part aggregate is computed ONCE and reused both as the ranking
+    base and inside the scalar-total subquery (Catalyst reuses the
+    exchange); the total is a 1-row broadcast joined back as a filter —
+    the same decorrelation q_top_supplier proves on Q15. Rounding both
+    compare sides pins the cut across engines. At 100 TB the nation
+    filter broadcasts a handful of suppliers, so the only shuffle is
+    the per-part aggregate."""
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    val = (
+        l.join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("value"))
+    )
+    total = val.agg(
+        F.round(F.avg("value") * F.lit(2.4), 2).alias("cut")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("cut"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+@register(
+    "q_late_shipment_priority",
+    sql="""
+        SELECT l.l_returnflag AS ship_class,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND l.l_shipdate <= o.o_orderdate + INTERVAL 365 DAY
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no shipmode/commit/receipt columns —
+    lateness is shipped 90..365 days after the order date, classes are
+    the returnflag): per class, how many late lines belonged to
+    high- vs low-priority orders — the conditional-sum pivot. The
+    lateness predicate spans both join sides so it stays a post-join
+    residual; everything after is a 3-group partial aggregate, so the
+    map side collapses the fact stream to 3 rows per task before the
+    shuffle. At 100 TB this plan moves ~3 rows per partition."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            & (
+                F.col("l_shipdate")
+                <= F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+            )
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q_parts_supplier_relation",
+    sql="""
+        WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(count(DISTINCT su.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM supply su
+        JOIN part p ON p.p_partkey = su.l_partkey
+        WHERE p.p_brand <> 'Brand#13'
+          AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND su.l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_parts_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (supply relation derived from lineitem's
+    observed (part, supplier) pairs; 'complaint' suppliers are those
+    with negative balance): distinct supplier count per (brand, type,
+    size) outside one brand/type. The distinct-pair projection is the
+    one fact shuffle; the excluded-supplier set is a broadcast ANTI
+    join (NOT IN over a guaranteed-non-null key column), and the part
+    attribute filter broadcasts. countDistinct re-shuffles only the
+    already-deduped pair set. At 100 TB the pair set is |part|x|supp|
+    bounded — far smaller than the fact table."""
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    complained = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        l.join(F.broadcast(complained), l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q_potential_promotion",
+    sql="""
+        WITH shipped AS (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+        ),
+        part_total AS (
+            SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY 1
+        ),
+        excess AS (
+            SELECT DISTINCT sh.l_suppkey
+            FROM shipped sh
+            JOIN part_total pt ON pt.l_partkey = sh.l_partkey
+            JOIN part p ON p.p_partkey = sh.l_partkey
+            WHERE p.p_name LIKE 'red%' AND sh.qty > 0.6 * pt.total_qty
+        )
+        SELECT s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN excess e ON e.l_suppkey = s.s_suppkey
+        ORDER BY s.s_name
+    """,
+)
+def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp/availqty — 'excess supply' is a
+    supplier covering >60% of a part's shipped quantity in one year):
+    suppliers dominating supply of 'red' parts. The year-filtered
+    per-(supp, part) aggregate shuffles once on the compound key; the
+    per-part total is a window sum over the partkey partition (reusing
+    the rows already local after the aggregate, no re-scan); the
+    dominance filter then semi-joins the supplier dim. Quantity sums
+    are exact (integral doubles), so the >60% cut is byte-stable
+    across engines. At 100 TB the date + name filters prune before any
+    wide shuffle."""
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        shipped.withColumn("total_qty", F.sum("qty").over(w))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .filter(F.col("qty") > F.lit(0.6) * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 # Named-parameter SQL: the Spark text carries :params (bound via
 # spark.sql(args=...)); the oracle text inlines the same values — the
 # pair must stay in sync with PARAM_ARGS.
