@@ -227,6 +227,40 @@ def test_expanded_composites_broadcast_all_dims(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
 
 
+def test_partsupp_derived_composites_broadcast_all_dims(spark, sf_dir):
+    # Q2/Q9/Q12/Q16/Q20 (supply catalog derived from lineitem): every
+    # dimension side broadcasts; no nested-loop join anywhere (the only
+    # sanctioned BNLJ in the family is Q11's 1-row scalar broadcast,
+    # asserted separately below)
+    for q in ("q_min_cost_supplier", "q_product_type_profit",
+              "q_late_shipment_priority", "q_parts_supplier_relation",
+              "q_potential_promotion"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, (q, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
+
+
+def test_min_cost_supplier_two_shuffles_and_bound_topk(spark, sf_dir):
+    # Q2's plan budget: one (partkey, suppkey) pair aggregate, one
+    # partkey window repartition of the already-aggregated pairs; the
+    # final ranking is TakeOrderedAndProject, never a global sort
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_min_cost_supplier")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_important_stock_scalar_cut_is_one_row_broadcast(spark, sf_dir):
+    # Q11's threshold subquery must be a broadcast of the 1-row global
+    # aggregate (BNLJ against one row = a residual filter), and the
+    # per-part value aggregate must partial-aggregate map-side
+    plan = plan_of(spark, sf_dir, "q_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
 def test_bloom_runtime_filter_reaches_fact_scan(spark, sf_dir):
     # the injected runtime bloom filter must appear as a
     # BloomFilterMightContain predicate on the fact side (pre-shuffle
