@@ -59,36 +59,117 @@ MINHASH_BANDS = 4
 MINHASH_ROWS = 4
 MINHASH_BUCKET_CAP = 64
 
+# Portable token hash: BOTH engines md5 the token and parse two 15-hex-
+# char halves as big-endian int64 (verified bit-identical Spark `conv`
+# vs DuckDB '0x' cast), then derive the 16 minhash functions by
+# Kirsch-Mitzenmacher double hashing h_i = hm + i*hd with both halves
+# reduced mod 2^40 so hm + 15*hd < 2^44 never overflows int64 on either
+# engine. This is what upgraded the operator from rows-only to an exact
+# cross-engine oracle (xxhash64 has no DuckDB twin).
+_MH_MOD = 1 << 40
+
 #: Same cap for the SimHash band self-join: 8-bit band values have only
 #: 256 buckets, so an uncapped degenerate band is quadratic.
 SIMHASH_BUCKET_CAP = 64
 
+_MINHASH_SQL = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+            FROM documents WHERE text <> ''
+        ),
+        th AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % {_MH_MOD} AS hm,
+                   CAST('0x' || substr(md5(token), 16, 15) AS BIGINT) % {_MH_MOD} AS hd
+            FROM tok
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {", ".join(f"min(hm + {i} * hd) AS h{i}" for i in range(MINHASH_N))}
+            FROM th GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(
+                "SELECT doc_id, " + str(b) + " AS band_idx, concat_ws('_', "
+                + ", ".join(f"h{b * MINHASH_ROWS + j}" for j in range(MINHASH_ROWS))
+                + ") AS band_key FROM sig"
+                for b in range(MINHASH_BANDS)
+            )}
+        ),
+        kept AS (
+            SELECT band_idx, band_key FROM bands
+            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {MINHASH_BUCKET_CAP}
+        ),
+        eligible AS (
+            SELECT b.* FROM bands b JOIN kept USING (band_idx, band_key)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM eligible a
+            JOIN eligible b ON a.band_idx = b.band_idx
+                           AND a.band_key = b.band_key
+                           AND a.doc_id < b.doc_id
+        ),
+        nt AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY 1
+        ),
+        common AS (
+            SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+            FROM cand c
+            JOIN tok ta ON ta.doc_id = c.doc_a
+            JOIN tok tb ON tb.doc_id = c.doc_b AND ta.token = tb.token
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(1.0 - c.n_common * 1.0
+                           / (na.n_tok + nb.n_tok - c.n_common), 4)
+                   AS jaccard_dist
+        FROM common c
+        JOIN nt na ON na.doc_id = c.doc_a
+        JOIN nt nb ON nb.doc_id = c.doc_b
+        WHERE c.n_common * 1.0 / (na.n_tok + nb.n_tok - c.n_common) >= 0.7
+"""
 
-@register("dedup_minhash", sql=None)  # xxhash64 minhash not replicable in DuckDB
+
+@register("dedup_minhash", sql=_MINHASH_SQL)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup pairs, explicit banded implementation (replaces
     MLlib approxSimilarityJoin, which was 887 s at sf0.1 — the estimator
     compares every colliding pair with per-row UDF overhead and its
     1-row bands make *everything* collide on a low-diversity corpus).
 
-    Plan shape: explode distinct tokens -> one hash-aggregate computing
-    16 seeded xxhash64 minima per doc (the signature) -> 4 banded band
-    hashes -> self-join on (band_idx, band_hash) restricted to buckets
-    with 2..BUCKET_CAP members -> exact token-set Jaccard verify
-    (array_intersect on collect_set'd tokens) >= 0.7. All JVM
+    Plan shape: explode distinct tokens -> ONE md5 per token row, two
+    int64 halves -> one hash-aggregate computing the 16
+    Kirsch-Mitzenmacher minima per doc (the signature; see _MH_MOD for
+    why the hash is portable — it makes the DuckDB oracle exact) -> 4
+    band keys (the 4 minima concatenated; banding needs grouping, not
+    re-hashing) -> self-join on (band_idx, band_key) restricted to
+    buckets with 2..BUCKET_CAP members -> exact token-set Jaccard
+    verify (array_intersect on collect_set'd tokens) >= 0.7. All JVM
     expressions; candidate pair count is bounded by CAP * n_band_rows,
     so the operator stays linear at 100 TB. Output: (doc_a, doc_b,
     jaccard_dist) with exact distance <= 0.3 — same contract as round 1
-    but exact instead of estimated."""
+    but exact instead of estimated. The md5 costs ~2x wall-clock vs
+    xxhash64 on this operator (measured 1.8 s -> 3.6 s at sf0.1); when
+    cross-engine verification isn't needed, swapping the two conv(md5)
+    halves back to two xxhash64 seeds recovers it with no other plan
+    change — the hash is one narrow projection."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
         F.col("text") != ""
     )
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
-    sig = toks.groupBy("doc_id").agg(
+    md5 = F.md5("token")
+    th = toks.select(
+        "doc_id",
+        "token",
+        (F.conv(F.substring(md5, 1, 15), 16, 10).cast("long") % _MH_MOD).alias("hm"),
+        (F.conv(F.substring(md5, 16, 15), 16, 10).cast("long") % _MH_MOD).alias("hd"),
+    )
+    sig = th.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+            F.min(F.col("hm") + F.lit(i) * F.col("hd")).alias(f"h{i}")
             for i in range(MINHASH_N)
         ]
     )
@@ -99,30 +180,31 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * MINHASH_ROWS + j}") for j in range(MINHASH_ROWS)]
-                        ).alias("band_hash"),
+                        F.concat_ws(
+                            "_",
+                            *[F.col(f"h{b * MINHASH_ROWS + j}") for j in range(MINHASH_ROWS)],
+                        ).alias("band_key"),
                     )
                     for b in range(MINHASH_BANDS)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
-    bucket_sizes = bands.groupBy("band_idx", "band_hash").agg(
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    bucket_sizes = bands.groupBy("band_idx", "band_key").agg(
         F.count("*").alias("bucket_n")
     )
     eligible = bands.join(
         bucket_sizes.filter(
             (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= MINHASH_BUCKET_CAP)
-        ).select("band_idx", "band_hash"),
-        ["band_idx", "band_hash"],
+        ).select("band_idx", "band_key"),
+        ["band_idx", "band_key"],
     )
     a, b = eligible.alias("a"), eligible.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -141,16 +223,73 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", sql=None)  # murmur token hash not replicable in DuckDB
+_SIMHASH_SQL = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS th
+            FROM tok
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {", ".join(
+                       f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+                       for b in range(32)
+                   )}
+            FROM th GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id,
+                   CAST({" + ".join(
+                       f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END"
+                       for b in range(32)
+                   )} AS BIGINT) AS simhash
+            FROM votes
+        ),
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, simhash, {i} AS band_idx, "
+                f"(simhash >> {8 * i}) & 255 AS band_val FROM sig"
+                for i in range(4)
+            )}
+        ),
+        kept AS (
+            SELECT band_idx, band_val FROM bands
+            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {SIMHASH_BUCKET_CAP}
+        ),
+        eligible AS (
+            SELECT b.* FROM bands b JOIN kept USING (band_idx, band_val)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM eligible a
+            JOIN eligible b ON a.band_idx = b.band_idx
+                           AND a.band_val = b.band_val
+                           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@register("dedup_simhash", sql=_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit signature = sign of per-bit vote sums
-    over murmur3 token hashes — entirely built-in expressions (explode,
-    bitwise ops, groupBy), zero Python. Candidate generation bands the
-    signature into 4 bytes and self-joins on (band_index, band_value):
-    hamming-close docs share >=1 band with high probability. Output:
-    candidate pairs with exact hamming distance <= 3. spread() keeps
-    the 32-votes-per-token map stage parallel when the corpus file is
-    a single scan split.
+    over token hashes — entirely built-in expressions (explode, bitwise
+    ops, groupBy), zero Python. The token hash is the first 8 hex chars
+    of md5 parsed as int (bit-identical in DuckDB — the swap from
+    murmur3 that earned this operator an exact cross-engine oracle).
+    Candidate generation bands the signature into 4 bytes and
+    self-joins on (band_index, band_value): hamming-close docs share
+    >=1 band with high probability. Output: candidate pairs with exact
+    hamming distance <= 3. spread() keeps the 32-votes-per-token map
+    stage parallel when the corpus file is a single scan split.
 
     Band buckets are capped at SIMHASH_BUCKET_CAP like every pairwise
     family here: an 8-bit band value has only 256 buckets, so without
@@ -162,7 +301,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     also grow ~log2(n) bits, the same knob sim_cosine_neardup pins."""
     d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    h = tok.withColumn("th", F.hash("token"))
+    h = tok.withColumn(
+        "th", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    )
     votes = h.groupBy("doc_id").agg(
         *[
             F.sum(
