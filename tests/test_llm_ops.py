@@ -331,3 +331,49 @@ def test_ann_ivf_trained_recall_against_exact(spark, sf_dir):
     a = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.2, f"trained-IVF recall collapsed: {recall}"
+
+
+def test_containment_catches_asymmetric_neardup(spark, tmp_path):
+    """A short doc quoted wholesale inside a much longer one must be
+    flagged by containment while staying BELOW the symmetric-Jaccard
+    near-dup cut — the case dedup_ngram_jaccard is blind to."""
+    reg = load_all()
+    short = "alpha beta gamma delta epsilon"           # 3 shingles
+    long_tail = " ".join(f"w{i}" for i in range(40))   # 38+ extra shingles
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, short),
+            (2, short + " " + long_tail),  # contains doc 1 verbatim
+            (3, "totally unrelated words that never repeat anywhere else"),
+        ],
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in reg["dedup_containment"].fn(spark, sf).collect()
+    }
+    assert (1, 2) in pairs and len(pairs) == 1
+    r = pairs[(1, 2)]
+    assert r["c_a_in_b"] == 1.0          # every shingle of 1 inside 2
+    assert r["c_b_in_a"] < 0.2           # 2 is NOT inside 1
+    # and the symmetric operator rightly does not pair them
+    jac_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in reg["dedup_ngram_jaccard"].fn(spark, sf).collect()
+    }
+    assert (1, 2) not in jac_pairs
+
+
+def test_running_distinct_counts_each_user_once(spark, sf_dir):
+    """The cumulative distinct-user series must be non-decreasing and
+    end at the true global distinct count."""
+    reg = load_all()
+    rows = reg["win_running_distinct"].fn(spark, sf_dir).collect()
+    series = [r["running_distinct_users"] for r in rows]
+    assert series == sorted(series)
+    truth = (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert series[-1] == truth
+    assert sum(r["n_new_users"] for r in rows) == truth

@@ -382,10 +382,10 @@ _SHINGLES_SQL = (
     "|| ' ' || string_split(text, ' ')[i+2])"
 )
 
-# Shared CTE chain producing the shingle-Jaccard near-dup pairs —
-# reused verbatim by the dedup_ngram_jaccard oracle and (inside a
-# recursive CTE) by the dedup_connected_components oracle.
-_NGRAM_PAIRS_CTES = f"""
+# Shared CTE chain up to the per-pair common-shingle counts — reused by
+# the dedup_ngram_jaccard oracle, the dedup_containment oracle, and
+# (inside a recursive CTE) the dedup_connected_components oracle.
+_NGRAM_COMMON_CTES = f"""
         shingled_raw AS (
             SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
             FROM documents
@@ -405,7 +405,10 @@ _NGRAM_PAIRS_CTES = f"""
             FROM shingled a JOIN shingled b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        ),
+        )"""
+
+# ... extended with the symmetric-Jaccard pair filter.
+_NGRAM_PAIRS_CTES = f"""{_NGRAM_COMMON_CTES},
         pairs AS (
             SELECT c.doc_a, c.doc_b,
                    round(c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
@@ -416,9 +419,11 @@ _NGRAM_PAIRS_CTES = f"""
         )"""
 
 
-def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-Jaccard near-dup pairs (doc_a, doc_b, jaccard) — the
-    DataFrame twin of _NGRAM_PAIRS_CTES."""
+def _shingle_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair common-shingle counts with both docs' shingle-set sizes
+    — the DataFrame twin of _NGRAM_COMMON_CTES. Columns: (doc_a, doc_b,
+    n_common, n_sh_a, n_sh_b); both symmetric-Jaccard and asymmetric-
+    containment scoring are one projection away."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
@@ -456,11 +461,26 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    jac = F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
     return (
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("sa.n_sh").alias("n_sh_a"),
+            F.col("sb.n_sh").alias("n_sh_b"),
+        )
+    )
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-Jaccard near-dup pairs (doc_a, doc_b, jaccard) — the
+    DataFrame twin of _NGRAM_PAIRS_CTES."""
+    c = _shingle_common(spark, sf_dir)
+    jac = F.col("n_common") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common"))
+    return (
+        c.filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -480,6 +500,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence(1, n) would otherwise count DOWN for n < 1 and crash
     element_at). Fully SQL-expressible => exact oracle."""
     return _ngram_pairs(spark, sf_dir)
+
+
+#: Containment threshold: flag a pair when the smaller side's shingles
+#: are >= 80% inside the other document. Asymmetric by construction —
+#: a quote-and-expand page contains its source near-fully while their
+#: symmetric Jaccard can sit far below any near-dup cut.
+CONTAINMENT_MIN = 0.8
+
+
+@register(
+    "dedup_containment",
+    sql=f"""
+        WITH{_NGRAM_COMMON_CTES}
+        SELECT c.doc_a, c.doc_b,
+               round(c.n_common * 1.0 / sa.n_sh, 4) AS c_a_in_b,
+               round(c.n_common * 1.0 / sb.n_sh, 4) AS c_b_in_a
+        FROM common c
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        WHERE greatest(c.n_common * 1.0 / sa.n_sh,
+                       c.n_common * 1.0 / sb.n_sh) >= {CONTAINMENT_MIN}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup (the web-dedup check
+    symmetric Jaccard is blind to): containment of A in B =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — a short document
+    quoted wholesale inside a much longer one scores ~1.0 here while
+    its Jaccard (union-normalized) can be arbitrarily small. Flags
+    pairs where EITHER direction >= CONTAINMENT_MIN and reports both
+    directional scores, so the consumer can tell container from
+    contained (keep the superset, drop the quoted copy — the
+    dedup decision production corpus pipelines make for
+    quote-expansion and boilerplate-wrapped mirrors).
+
+    Plan: identical shared kernel as dedup_ngram_jaccard
+    (_shingle_common — shingle inverted index under the hot-shingle DF
+    cap, one self-join, per-pair counts); containment is a pure
+    projection over (n_common, n_sh_a, n_sh_b), so the marginal cost
+    over the Jaccard operator is zero extra shuffles. Same linear pair
+    bound at 100 TB (DF cap), same exact cross-engine oracle."""
+    c = _shingle_common(spark, sf_dir)
+    c_ab = F.col("n_common") / F.col("n_sh_a")
+    c_ba = F.col("n_common") / F.col("n_sh_b")
+    return (
+        c.filter(F.greatest(c_ab, c_ba) >= CONTAINMENT_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 4).alias("c_a_in_b"),
+            F.round(c_ba, 4).alias("c_b_in_a"),
+        )
+    )
 
 
 #: Iteration cap for min-label propagation. Convergence needs one round

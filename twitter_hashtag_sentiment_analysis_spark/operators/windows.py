@@ -322,3 +322,61 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, so ts ties cannot diverge)."""
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(TIME_RANGE_SQL)
+
+
+@register(
+    "win_running_distinct",
+    sql="""
+        WITH firsts AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CASE WHEN row_number() OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) = 1
+                        THEN 1 ELSE 0 END AS is_first
+            FROM events
+        ),
+        daily AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(is_first) AS BIGINT) AS n_new_users
+            FROM firsts GROUP BY day
+        )
+        SELECT day, n_events, n_new_users,
+               CAST(sum(n_new_users) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_distinct_users
+        FROM daily
+        ORDER BY day
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT-user count per day — the window no engine's
+    frame syntax can express (COUNT(DISTINCT) OVER a running frame is
+    unsupported in Spark and DuckDB alike, and a naive emulation
+    re-scans every prefix: quadratic). Decomposed into three linear
+    steps: (1) a per-user row_number window marks each user's FIRST
+    event (one shuffle on user_id); (2) a daily aggregate counts
+    events and first-occurrences (tiny); (3) a cumulative sum over the
+    ~365-row daily series turns new-user counts into the running
+    distinct total — correct because every user is counted exactly
+    once, on their first day. At 100 TB step (1) is the only
+    data-sized shuffle and steps (2)-(3) operate on a calendar-bounded
+    relation; the deterministic (ts, event_id) tie-break pins which
+    event is 'first' so both engines agree exactly."""
+    d = table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = d.select(
+        F.to_date("ts").alias("day"),
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    daily = firsts.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.sum("is_first").alias("n_new_users"),
+    )
+    w_cum = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        "n_new_users",
+        F.sum("n_new_users").over(w_cum).alias("running_distinct_users"),
+    ).orderBy("day")
