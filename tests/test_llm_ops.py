@@ -377,3 +377,22 @@ def test_running_distinct_counts_each_user_once(spark, sf_dir):
     )
     assert series[-1] == truth
     assert sum(r["n_new_users"] for r in rows) == truth
+
+
+def test_downweight_dups_soft_accounting(spark, tmp_path):
+    """3 copies of one text + 1 unique doc => 2.0 effective docs, each
+    distinct text's tokens counted once, dup discount 0.5."""
+    reg = load_all()
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "x y z"), (2, "x y z"), (3, "x y z"), (4, "a b")],
+    )
+    rows = reg["sample_downweight_dups"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 4
+    assert r["effective_docs"] == 2.0
+    assert r["raw_tokens"] == 3 * 3 + 2
+    assert r["effective_tokens"] == 3.0 + 2.0
+    assert r["dup_discount"] == 0.5

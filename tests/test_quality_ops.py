@@ -263,3 +263,45 @@ def test_decontaminate_flags_are_consistent(spark, sf_dir):
         assert r["doc_id"] % DECON_BENCH_MOD != 0
         assert r["n_shared"] >= 0
         assert r["contaminated"] == (r["n_shared"] >= DECON_OVERLAP_MIN)
+
+
+def test_outlier_iqr_flags_planted_extreme(spark, tmp_path):
+    """n_chars 1..9 plus a planted 1000: Tukey fences from the exact
+    quartiles keep 1..9 and flag only the extreme."""
+    reg = load_all()
+    rows = [(i, "t", "en", "s", float(i)) for i in range(1, 10)]
+    rows.append((10, "t", "en", "s", 1000.0))
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        [(a, b, c, d, int(e)) for a, b, c, d, e in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = reg["quality_outlier_iqr"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 10
+    assert r["n_outliers"] == 1
+    # sorted values [1..9, 1000]: q1 at idx 2.25 -> 3.25, q3 at 6.75 -> 7.75
+    assert r["q1"] == 3.25 and r["q3"] == 7.75
+    assert r["hi_fence"] == 7.75 + 1.5 * 4.5
+
+
+def test_interpolate_linear_draws_the_line(spark, tmp_path):
+    """Hours 0 and 3 observed (1.0, 4.0), hours 1-2 silent: the fill is
+    2.0 / 3.0 with filled=True; observed hours pass through unfilled."""
+    reg = load_all()
+    rows = [
+        _ev(1, 0, 1, "a", 1.0),
+        _ev(2, 3 * 60, 1, "a", 4.0),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = reg["ts_interpolate_linear"].fn(spark, str(tmp_path)).collect()
+    by_bucket = {r["bucket"].hour: (r["value_interp"], r["filled"]) for r in out}
+    assert by_bucket == {
+        12: (1.0, False),
+        13: (2.0, True),
+        14: (3.0, True),
+        15: (4.0, False),
+    }

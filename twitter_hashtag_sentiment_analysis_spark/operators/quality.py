@@ -97,3 +97,90 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return report.withColumn("ok", F.col("n_violations") == 0)
+
+
+@register(
+    "quality_outlier_iqr",
+    sql="""
+        WITH fences AS (
+            SELECT lang,
+                   quantile_cont(n_chars, 0.25) AS q1,
+                   quantile_cont(n_chars, 0.75) AS q3
+            FROM documents
+            GROUP BY lang
+        ),
+        f AS (
+            SELECT lang, q1, q3,
+                   q1 - 1.5 * (q3 - q1) AS lo,
+                   q3 + 1.5 * (q3 - q1) AS hi
+            FROM fences
+        )
+        SELECT d.lang,
+               round(f.q1, 4) AS q1,
+               round(f.q3, 4) AS q3,
+               round(f.lo, 4) AS lo_fence,
+               round(f.hi, 4) AS hi_fence,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN d.n_chars < f.lo OR d.n_chars > f.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM documents d
+        JOIN f ON d.lang = f.lang
+        GROUP BY d.lang, f.q1, f.q3, f.lo, f.hi
+    """,
+)
+def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit on document length, per language:
+    Q1/Q3 of n_chars, fences at 1.5*IQR, and the count of documents
+    outside them — the standard length-outlier gate a curation
+    pipeline runs before training (truncated snippets below, scraped
+    boilerplate blobs above). Cross-engine exactness is deliberate:
+    quartile fractions on integer inputs land on dyadic rationals
+    (frac in {0, .25, .5, .75}), so Spark's `percentile` and DuckDB's
+    `quantile_cont` interpolate to bit-identical doubles and the
+    UNROUNDED fence comparison cannot flip between engines (boundary
+    values count as inliers on both: strict < / >).
+
+    Scale shape: pass 1 computes per-lang quartiles (exact percentile
+    buffers per-group values — swap in the mergeable-sketch twin
+    `agg_approx_quantile` at 100 TB, same fences within rank error);
+    pass 2 re-scans with the per-lang fences BROADCAST, so the count
+    is a narrow map + one partial-aggregated groupBy. No data-sized
+    join, no second shuffle of the corpus."""
+    d = table(spark, sf_dir, "documents")
+    fences = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    f = fences.select(
+        "lang",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * iqr).alias("lo"),
+        (F.col("q3") + 1.5 * iqr).alias("hi"),
+    )
+    joined = d.join(F.broadcast(f), "lang")
+    return (
+        joined.groupBy("lang", "q1", "q3", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_chars") < F.col("lo"))
+                    | (F.col("n_chars") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "lang",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+            F.round("lo", 4).alias("lo_fence"),
+            F.round("hi", 4).alias("hi_fence"),
+            "n_docs",
+            "n_outliers",
+        )
+    )

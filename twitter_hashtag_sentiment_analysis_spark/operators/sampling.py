@@ -396,3 +396,58 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(frac < F.col("rate"))
         .select("doc_id", "lang", F.round("rate", 6).alias("rate"))
     )
+
+
+@register(
+    "sample_downweight_dups",
+    sql="""
+        WITH sized AS (
+            SELECT source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   count(*) OVER (PARTITION BY sha256(text)) AS csize
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(1.0 / csize), 4) AS effective_docs,
+               sum(n_tokens) AS raw_tokens,
+               round(sum(n_tokens * 1.0 / csize), 4) AS effective_tokens,
+               round(1.0 - sum(1.0 / csize) / count(*), 4) AS dup_discount
+        FROM sized
+        GROUP BY source
+    """,
+)
+def sample_downweight_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: token accounting that down-weights duplicates
+    instead of dropping them. Every document in an exact-duplicate
+    cluster of size c carries weight 1/c, so each distinct text
+    contributes exactly one document-equivalent (and its tokens once)
+    no matter how many copies exist — the corpus-mixture bookkeeping a
+    trainer needs when upstream sources overlap but hard deletion is
+    too blunt (repeated high-quality text keeps its one vote; spam
+    reposted 10,000x collapses to weight 1). Output per source: raw vs
+    effective doc/token counts and the dup discount rate.
+
+    Scale shape: cluster size is a COUNT() window over the content
+    hash — one shuffle on sha2(text), no join-back — then one hash
+    aggregate on source; partial aggregation applies map-side. Both
+    shuffles are key-balanced (content hashes are uniform), so the
+    plan survives 1000 executors unchanged."""
+    d = table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.sha2("text", 256).alias("h"),
+    )
+    csize = F.count("*").over(Window.partitionBy("h"))
+    sized = d.withColumn("csize", csize).drop("h")
+    return sized.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum(F.lit(1.0) / F.col("csize")), 4).alias("effective_docs"),
+        F.sum("n_tokens").alias("raw_tokens"),
+        F.round(F.sum(F.col("n_tokens") / F.col("csize")), 4).alias(
+            "effective_tokens"
+        ),
+        F.round(
+            F.lit(1.0) - F.sum(F.lit(1.0) / F.col("csize")) / F.count("*"), 4
+        ).alias("dup_discount"),
+    )

@@ -358,3 +358,144 @@ def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("volume"),
         )
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    sql="""
+        WITH bounds AS (
+            SELECT event_type,
+                   date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events GROUP BY event_type
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds
+        ),
+        hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   round(avg(value), 6) AS obs
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT s.event_type, s.bucket, h.obs,
+                   row_number() OVER (PARTITION BY s.event_type
+                                      ORDER BY s.bucket) AS idx
+            FROM spine s LEFT JOIN hourly h
+              ON s.event_type = h.event_type AND s.bucket = h.bucket
+        ),
+        anchored AS (
+            SELECT event_type, bucket, obs, idx,
+                   last_value(obs IGNORE NULLS) OVER w_prev AS prev_obs,
+                   last_value(CASE WHEN obs IS NOT NULL THEN idx END
+                              IGNORE NULLS) OVER w_prev AS prev_idx,
+                   first_value(obs IGNORE NULLS) OVER w_next AS next_obs,
+                   first_value(CASE WHEN obs IS NOT NULL THEN idx END
+                               IGNORE NULLS) OVER w_next AS next_idx
+            FROM grid
+            WINDOW
+                w_prev AS (PARTITION BY event_type ORDER BY idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                w_next AS (PARTITION BY event_type ORDER BY idx
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, bucket,
+               obs IS NULL AS filled,
+               floor(CASE
+                   WHEN obs IS NOT NULL THEN obs
+                   WHEN prev_obs IS NULL THEN next_obs
+                   WHEN next_obs IS NULL THEN prev_obs
+                   ELSE prev_obs + (next_obs - prev_obs) * (idx - prev_idx)
+                        / (next_idx - prev_idx)
+               END * 10000 + 0.5) / 10000 AS value_interp
+        FROM anchored
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling by LINEAR INTERPOLATION on the hourly grid: where
+    `ts_resample_gapfill` writes explicit zeros, this draws the line
+    between the nearest observed hours — the fill a metric that *levels*
+    (sensor reading, price, mean event value) needs, where zero-fill
+    would fabricate collapses. Silent hours get
+    prev + (next-prev) * gap_fraction; leading/trailing gaps clamp to
+    the nearest observation. Interpolation runs on slot INDEX, not raw
+    epoch arithmetic — the spine is dense so index distance == hour
+    distance, and integer index math sidesteps cross-engine timestamp
+    subtleties; the hourly mean is rounded to 6 decimals FIRST (the two
+    engines sum in different orders — an ulp of drift under a rounding
+    boundary flips the last digit, observed at sf0.001), so the
+    interpolation arithmetic — written identically in both engines, so
+    IEEE evaluation order matches — runs on bit-identical anchors. The
+    final rounding is an explicit floor(x*1e4 + 0.5)/1e4 in BOTH
+    engines: interpolating 6-decimal anchors at gap fraction 1/2 lands
+    on decimal half-boundaries routinely, where Spark's round()
+    (HALF_UP on the double's shortest decimal form) and DuckDB's
+    (floor-form on the binary value) genuinely disagree — observed as a
+    last-digit flip at sf0.01. Spelling the floor form out makes the
+    rounding itself identical double arithmetic.
+
+    Scale shape: the hourly pre-aggregate is the only data-sized
+    shuffle (partial-aggregated map-side). Everything after runs on the
+    dense grid — ~24*days rows per type — so the four anchor windows
+    cost grid-sized sorts, not data-sized ones. At 100 TB of events the
+    grid is still only thousands of rows per (type, year)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.avg("value"), 6).alias("obs"))
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "bucket"
+        ),
+    )
+    grid = spine.join(hourly, ["event_type", "bucket"], "left").withColumn(
+        "idx",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("bucket")
+        ),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("obs").isNotNull(), F.col("idx"))
+    anchored = grid.select(
+        "event_type",
+        "bucket",
+        "obs",
+        "idx",
+        F.last("obs", ignorenulls=True).over(w_prev).alias("prev_obs"),
+        F.last(obs_idx, ignorenulls=True).over(w_prev).alias("prev_idx"),
+        F.first("obs", ignorenulls=True).over(w_next).alias("next_obs"),
+        F.first(obs_idx, ignorenulls=True).over(w_next).alias("next_idx"),
+    )
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(F.col("prev_obs").isNull(), F.col("next_obs"))
+        .when(F.col("next_obs").isNull(), F.col("prev_obs"))
+        .otherwise(
+            F.col("prev_obs")
+            + (F.col("next_obs") - F.col("prev_obs"))
+            * (F.col("idx") - F.col("prev_idx"))
+            / (F.col("next_idx") - F.col("prev_idx"))
+        )
+    )
+    return anchored.select(
+        "event_type",
+        "bucket",
+        F.col("obs").isNull().alias("filled"),
+        (F.floor(interp * 10000 + 0.5) / 10000).alias("value_interp"),
+    )
