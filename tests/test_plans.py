@@ -307,3 +307,25 @@ def test_decontaminate_broadcasts_benchmark_shingles(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_decontaminate")
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_outlier_iqr_broadcasts_fences(spark, sf_dir):
+    """The per-lang fence table (a handful of rows) must broadcast into
+    the counting pass — a shuffle join here would re-shuffle the whole
+    corpus to join against 5 rows."""
+    plan = plan_of(spark, sf_dir, "quality_outlier_iqr")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_downweight_dups_has_no_join_back(spark, sf_dir):
+    """Cluster size is a COUNT window over the content hash, NOT a
+    groupBy + join-back: the plan must carry exactly one Window and
+    zero joins (two exchanges total: hash window + source aggregate)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "sample_downweight_dups")
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+    # formatted plans list each operator once as "(n) Exchange"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
