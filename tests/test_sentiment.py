@@ -52,3 +52,21 @@ def test_sentiment_kept_in_row(spark, sf_dir):
         "score_mixed",
     } == set(out.columns)
     assert out.filter(F.col("sentiment").isNull()).count() == 0
+
+
+def test_mllib_classifier_learns_the_lexicon(spark, sf_dir):
+    """The MLlib distant-supervision pipeline must reproduce its
+    lexicon teacher almost perfectly on the train distribution (the
+    label is a thresholded linear function of token counts, which
+    logistic regression on token features can represent) — and must be
+    deterministic: two fits from the same bounded sample give the same
+    report."""
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    reg = load_all()
+    a = reg["ml_sentiment_mllib"].fn(spark, sf_dir).collect()
+    n_docs = sum(r["n_docs"] for r in a)
+    n_agree = sum(r["n_agree"] for r in a)
+    assert n_agree / n_docs >= 0.95, (n_agree, n_docs)
+    b = reg["ml_sentiment_mllib"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

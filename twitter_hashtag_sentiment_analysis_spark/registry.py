@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "twitter_hashtag_sentiment_analysis_spark.operators.quality",
     "twitter_hashtag_sentiment_analysis_spark.functions.families",
     "twitter_hashtag_sentiment_analysis_spark.functions.sentiment",
+    "twitter_hashtag_sentiment_analysis_spark.ml",
     "twitter_hashtag_sentiment_analysis_spark.functions.udfs",
     "twitter_hashtag_sentiment_analysis_spark.operators.dedup",
     "twitter_hashtag_sentiment_analysis_spark.operators.sampling",
