@@ -1,0 +1,63 @@
+"""Append a continuation section to SCALING_STRESS_r05.json.
+
+Usage:
+    python tools/merge_stress_continuation.py <bench_sf01.json> \
+        <bench_x5.json> <keys...>
+
+Reads the two bench.py outputs (full-line JSON with a per-query map),
+extracts the named keys, and writes a `continuation_new_keys` block
+with sf0.1 / 5x timings and ratios. Used for operators added after the
+main stress sweep ran, so the artifact stays complete without
+re-measuring 163 unchanged queries.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            if "queries" in d:
+                return d
+    raise SystemExit(f"no full bench line in {path}")
+
+
+def main() -> None:
+    base, x5, keys = sys.argv[1], sys.argv[2], sys.argv[3:]
+    a, b = load(base), load(x5)
+    rows = {}
+    for k in keys:
+        lo, hi = a["queries"].get(k), b["queries"].get(k)
+        if lo is None or hi is None:
+            raise SystemExit(f"{k} missing from a bench output")
+        rows[k] = {
+            "sf01_sec": lo,
+            "x5_sec": hi,
+            "ratio": round(hi / lo, 3) if lo > 0 else None,
+        }
+    doc = json.load(open("SCALING_STRESS_r05.json"))
+    doc["continuation_new_keys"] = {
+        "note": (
+            "operators added after the main sweep (same procedure: "
+            "SPARK_GRAFT_ISOLATE=1, same 5x replica dir rebuilt with "
+            "the per-key-domain offsets); sample_downweight_dups is "
+            "dup-SENSITIVE by construction (5-way exact duplication "
+            "grows every cluster 5x, which is the workload it exists "
+            "to measure); ml_sentiment_mllib's fit cost is a bounded "
+            "constant (4096-row sample), only scoring scales"
+        ),
+        "queries": rows,
+    }
+    json.dump(doc, open("SCALING_STRESS_r05.json", "w"), indent=1)
+    print(json.dumps(rows, indent=1))
+
+
+if __name__ == "__main__":
+    main()
