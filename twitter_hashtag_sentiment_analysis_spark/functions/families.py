@@ -738,3 +738,55 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_bal",
         )
     )
+
+
+@register(
+    "fn_xml",
+    sql="""
+        SELECT o_orderkey,
+               o_orderstatus AS status_rt,
+               o_totalprice AS total_rt,
+               o_orderpriority AS xp_priority
+        FROM orders
+        WHERE o_orderkey % 20 = 0
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML family: serialize each order to an XML fragment with
+    to_xml(struct(...)), parse it back with from_xml's schema-on-read,
+    and extract a field with an XPath accessor — the R7 re-encode
+    discipline (fn_binary_base64) applied to the XML wire format. The
+    oracle is the ROUNDTRIP LAW: parse(serialize(row)) == row, so the
+    DuckDB side simply selects the original columns (no XML engine
+    needed — if Spark's roundtrip is lossless the hashes match).
+    Doubles survive because to_xml prints Java's shortest-decimal form,
+    which parses back to the identical binary double. All per-row
+    narrow maps: zero shuffles at any scale — but XML parsing is a
+    per-row StAX parser (~100 us/row, two orders of magnitude over a
+    codegen expression), so the registered query demonstrates the
+    family on a deterministic 1-in-20 key slice rather than paying
+    parser cost on every order; on a real corpus you'd reach for
+    from_json/VARIANT first and keep from_xml for actual XML wire
+    data."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    xml = F.to_xml(
+        F.struct(
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_totalprice").alias("tp"),
+        )
+    )
+    parsed = o.withColumn(
+        "p", F.from_xml(xml, "st string, tp double")
+    ).withColumn(
+        "xp",
+        F.expr(
+            "xpath_string(concat('<o><pri>', o_orderpriority, '</pri></o>'),"
+            " '/o/pri')"
+        ),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("p.st").alias("status_rt"),
+        F.col("p.tp").alias("total_rt"),
+        F.col("xp").alias("xp_priority"),
+    )

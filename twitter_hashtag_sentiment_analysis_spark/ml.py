@@ -6,9 +6,9 @@ per record (reference ``ProcessStreamData.py:16-21``); the UDF and
 expression scorers (functions/sentiment.py) replace that call. This
 module adds the LEARNED path: distant supervision, the standard way a
 pipeline bootstraps a classifier without human labels — the
-deterministic lexicon scorer labels the corpus, and an MLlib pipeline
-(RegexTokenizer → HashingTF → LogisticRegression) learns those labels
-back from raw token counts. The returned report is the per-source
+deterministic lexicon scorer labels the corpus, and MLlib logistic
+regression over hashed token-count features learns those labels back
+from raw token counts. The returned report is the per-source
 train-set agreement between the learned model and its teacher, i.e.
 the sanity check a real pipeline runs before trusting the model on
 unlabeled data.
@@ -17,11 +17,16 @@ Scale design (100 TB): training follows the `sim_ann_ivf_trained`
 pattern — the fit() set is a BOUNDED hash-priority sample
 (TakeOrderedAndProject on md5(doc_id), ML_TRAIN_CAP rows, coalesced to
 one partition so LBFGS's treeAggregate sums gradients in a fixed order
-= deterministic coefficients), while SCORING is model.transform, a
-narrow per-row map that distributes over any corpus size. Features are
-HashingTF over ML_NUM_FEATURES buckets — the fixture vocabulary is ~40
-words, so 256 buckets are collision-free in practice and keep the
-coefficient vector broadcast-sized.
+= deterministic coefficients), while SCORING is pure column
+expressions: the learned coefficients are inlined as a literal array
+and the margin is a higher-order-function fold inside whole-stage
+codegen — MLlib appears only at fit time, and the serve path is the
+same JVM-expression discipline as the lexicon scorer. Features are
+hashed token counts over ML_NUM_FEATURES buckets (pmod(hash(token),
+N), the SAME expression at train and serve — see the featurizer
+comment for why ml.HashingTF could not be reused) — the fixture
+vocabulary is ~40 words, so 256 buckets are collision-free in
+practice and keep the coefficient vector literal-sized.
 
 Rows-only by design: LBFGS is an iterative float fixpoint DuckDB cannot
 replay (same class as `graph_pagerank`); the semantic contract is the
@@ -30,6 +35,8 @@ agreement-floor property test (tests/test_sentiment.py) instead.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,21 +46,20 @@ from .registry import register
 
 #: Bounded training-set size (hash-priority sample, like IVF training).
 ML_TRAIN_CAP = 4096
-#: HashingTF bucket count — generous for the ~40-word fixture vocab.
+#: Hashed-feature bucket count — generous for the ~40-word fixture vocab.
 ML_NUM_FEATURES = 256
 
 
 @register("ml_sentiment_mllib", sql=None)
 def ml_sentiment_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distant-supervision sentiment: lexicon-label the corpus, fit
-    RegexTokenizer → HashingTF → LogisticRegression on a bounded
+    logistic regression on hashed token counts from a bounded
     deterministic sample, score every document distributed, and report
     per-source agreement with the teacher. POSITIVE-vs-rest binary
     target (the lexicon label is a thresholded linear function of token
     counts, so the linear model can represent it exactly)."""
-    from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import HashingTF, RegexTokenizer
+    from pyspark.ml.functions import array_to_vector
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     labeled = docs.withColumn(
@@ -63,38 +69,74 @@ def ml_sentiment_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    # Bucket with the SQL hash EXPRESSION, not ml.HashingTF: the train
+    # and serve paths must bucket identically, and ml.HashingTF's
+    # murmur3 (hashUnsafeBytes2) disagrees with SQL hash()
+    # (hashUnsafeBytes) for terms whose UTF-8 length is not a multiple
+    # of 4 — measured: only 2 of 6 bucket indices coincided. Using
+    # pmod(hash(token), N) on BOTH sides makes the bucket function one
+    # definition in one place. Densifying bucket lists into count
+    # vectors happens in a VECTORIZED pandas UDF (np.bincount) — pure
+    # integer binning, no hashing in Python, train-time only: the
+    # expression form (a filter-count per bucket, O(N_buckets *
+    # tokens) of interpreted nested HOFs per row) measured 51 s for
+    # the 4,096-row fit; bincount is milliseconds.
+    bucket = lambda t: F.pmod(F.hash(t), F.lit(ML_NUM_FEATURES))  # noqa: E731
+    buckets = F.transform(F.split("text", " "), bucket)
+
+    @F.pandas_udf("array<double>")
+    def to_counts(bs: pd.Series) -> pd.Series:
+        return bs.apply(
+            lambda b: np.bincount(b, minlength=ML_NUM_FEATURES).astype(
+                "float64"
+            )
+        )
+
     # Bounded, deterministic, class-blind training sample: top
     # ML_TRAIN_CAP docs by md5(doc_id) — a TakeOrderedAndProject at any
     # corpus size — on ONE partition so gradient aggregation order (and
-    # therefore every coefficient) is run-to-run identical.
+    # therefore every coefficient) is run-to-run identical. Sample
+    # FIRST, featurize AFTER the limit, so the count vectors (and the
+    # Arrow batch hop) exist only for ML_TRAIN_CAP rows, never the
+    # corpus — Catalyst does not push a projection below a sort.
     train = (
         labeled.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(ML_TRAIN_CAP)
         .coalesce(1)
+        .withColumn("features", array_to_vector(to_counts(buckets)))
     )
 
-    pipeline = Pipeline(
-        stages=[
-            RegexTokenizer(
-                inputCol="text", outputCol="tokens", pattern=" ", gaps=True
-            ),
-            HashingTF(
-                inputCol="tokens",
-                outputCol="features",
-                numFeatures=ML_NUM_FEATURES,
-            ),
-            # each LBFGS iteration is a scheduled Spark job; the
-            # separable lexicon target converges in single digits, so
-            # cap iterations rather than paying scheduler overhead for
-            # refinement the 4-decimal report can't see
-            LogisticRegression(
-                maxIter=10, regParam=1e-4, standardization=False
-            ),
-        ]
-    )
-    model = pipeline.fit(train)
+    # each LBFGS iteration is a scheduled Spark job; the separable
+    # lexicon target converges in single digits, so cap iterations
+    # rather than paying scheduler overhead for refinement the
+    # 4-decimal report can't see
+    model = LogisticRegression(
+        maxIter=10, regParam=1e-4, standardization=False
+    ).fit(train)
 
-    scored = model.transform(labeled)
+    # Serve with PURE column expressions, not model.transform: the
+    # coefficient vector is tiny (ML_NUM_FEATURES doubles), so it ships
+    # as a literal array and scoring stays inside whole-stage codegen —
+    # no Python boundary, no MLlib closure at serve time. (The closure
+    # route also breaks outright after any df.observe() in the session:
+    # LogisticRegressionModel.trainingSummary pins the SparkSession,
+    # whose ObservationManager is not serializable — observed, and
+    # sidestepped entirely by expression serving.) margin = intercept +
+    # sum over token occurrences of coef[bucket(token)] reproduces
+    # w.x + b exactly — same bucket function as training by
+    # construction; prediction flips at margin > 0 (LR's 0.5
+    # probability threshold).
+    coef_lit = F.array(
+        *[F.lit(float(c)) for c in model.coefficients.toArray()]
+    )
+    margin = F.aggregate(
+        F.transform(F.split("text", " "), lambda t: F.element_at(coef_lit, bucket(t) + 1)),
+        F.lit(float(model.intercept)),
+        lambda acc, x: acc + x,
+    )
+    scored = labeled.withColumn(
+        "prediction", (margin > 0).cast("double")
+    )
     agree = (F.col("prediction") == F.col("label")).cast("long")
     return (
         scored.groupBy("source")

@@ -631,3 +631,43 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("long").alias("cnt"),
         )
     )
+
+
+@register(
+    "agg_entropy",
+    sql="""
+        WITH counts AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+                   sum(count(*)) OVER (PARTITION BY source) AS total
+            FROM documents
+            GROUP BY source, lang
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_langs,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               round(-sum((n * 1.0 / total) * ln(n * 1.0 / total)), 4)
+                   AS lang_entropy
+        FROM counts
+        GROUP BY source
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language distribution per source — the
+    mixture-diversity score a corpus report leads with (a source whose
+    docs are 99% one language scores near 0; a uniform five-language
+    source scores ln 5). Two-level shape: a (source, lang) pre-agg
+    (the only data-sized shuffle, partial-aggregated map-side), then a
+    window total + entropy sum over the tiny counts relation. The
+    p*ln(p) terms divide identical integers in both engines and round
+    once after the sum, so the cross-engine hash is stable."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    counts = counts.withColumn(
+        "total", F.sum("n").over(Window.partitionBy("source"))
+    )
+    p = F.col("n") * 1.0 / F.col("total")
+    return counts.groupBy("source").agg(
+        F.count("*").alias("n_langs"),
+        F.sum("n").alias("n_docs"),
+        F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy"),
+    )

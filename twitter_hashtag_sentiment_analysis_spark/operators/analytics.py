@@ -1455,3 +1455,39 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2: partial-agg'd hash aggregate, no extra shuffle."""
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(GROUP_BY_ALL_SQL)
+
+
+# SQL pipe syntax (Spark 4): the same logical query as the classic
+# GROUP BY form, written as a left-to-right transformation chain. The
+# oracle runs the classic ANSI form — pipe syntax is pure sugar over
+# the identical logical plan, so the results must hash-match.
+PIPE_SQL = """
+    FROM lineitem
+    |> WHERE l_quantity < 25
+    |> AGGREGATE CAST(count(*) AS BIGINT) AS n_lines,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       GROUP BY l_returnflag, l_linestatus
+    |> SELECT l_returnflag, l_linestatus, n_lines, revenue
+"""
+
+PIPE_ORACLE_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pipe_syntax", sql=PIPE_ORACLE_SQL)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (`|>`) as a registered surface:
+    filter -> aggregate -> project written as a left-to-right chain.
+    Catalyst lowers each pipe stage onto the SAME logical plan the
+    classic GROUP BY text produces (partial agg below the exchange,
+    filter pushed into the scan), which is exactly what the oracle
+    asserts by running the classic form. Included because a SQL-first
+    user of the engine gets the modern dialect, not just ANSI."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(PIPE_SQL)
