@@ -51,7 +51,9 @@ def main() -> None:
             "dup-SENSITIVE by construction (5-way exact duplication "
             "grows every cluster 5x, which is the workload it exists "
             "to measure); ml_sentiment_mllib's fit cost is a bounded "
-            "constant (4096-row sample), only scoring scales"
+            "constant (4096-row sample), only scoring scales; fn_xml "
+            "runs on a 1-in-20 key slice by design (per-row StAX "
+            "parser), so its x5 number measures 5x the sliced rows"
         ),
         "queries": rows,
     }
