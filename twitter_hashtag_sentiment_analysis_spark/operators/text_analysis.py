@@ -600,3 +600,87 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup, 4).alias("dup_ratio"),
         (dup <= F.lit(REP_MAX_DUP_RATIO)).alias("keep"),
     )
+
+
+@register(
+    "text_source_terms",
+    sql="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        src AS (
+            SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY source, token
+        ),
+        stot AS (
+            SELECT source, CAST(sum(tf) AS BIGINT) AS s_total
+            FROM src GROUP BY source
+        ),
+        corpus AS (
+            SELECT token, CAST(sum(tf) AS BIGINT) AS ctf
+            FROM src GROUP BY token
+        ),
+        ctot AS (SELECT CAST(sum(tf) AS BIGINT) AS c_total FROM src),
+        scored AS (
+            SELECT s.source, s.token, s.tf,
+                   round((s.tf * 1.0 / t.s_total)
+                         / (c.ctf * 1.0 / n.c_total), 6) AS lift
+            FROM src s
+            JOIN stot t USING (source)
+            JOIN corpus c USING (token)
+            CROSS JOIN ctot n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY lift DESC, token) AS rk
+            FROM scored
+        )
+        SELECT source, token, tf, lift, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5
+    """,
+)
+def text_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per SOURCE by lift — the corpus-audit twin of
+    per-document TF-IDF (`text_tfidf`): lift(source, term) =
+    rate-in-source / rate-in-corpus, top 5 per source with a token
+    tie-break. This is the 'what characterizes this domain' report a
+    mixture audit prints next to `agg_entropy`'s diversity score.
+    Cross-engine exactness: every rate is a ratio of exact integer
+    sums, and the lift divides the two identically-associated doubles
+    in both engines before one round(6).
+
+    Scale shape: ONE data-sized shuffle (the explode -> (source, token)
+    pre-aggregate, map-side combined). Everything downstream is
+    vocabulary-sized: per-source totals and corpus term counts
+    broadcast back onto the counts relation, and the top-5 window runs
+    WindowGroupLimit over vocab-sized groups. At 100 TB the corpus
+    pass dominates; the report stage is constant."""
+    d = table(spark, sf_dir, "documents")
+    src = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    stot = src.groupBy("source").agg(F.sum("tf").alias("s_total"))
+    corpus = src.groupBy("token").agg(F.sum("tf").alias("ctf"))
+    ctot = src.agg(F.sum("tf").alias("c_total"))
+    scored = (
+        src.join(F.broadcast(stot), "source")
+        .join(F.broadcast(corpus), "token")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "token",
+            "tf",
+            F.round(
+                (F.col("tf") * 1.0 / F.col("s_total"))
+                / (F.col("ctf") * 1.0 / F.col("c_total")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("lift"), F.asc("token"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= 5
+    )
