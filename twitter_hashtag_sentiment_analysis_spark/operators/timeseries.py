@@ -499,3 +499,244 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obs").isNull().alias("filled"),
         (F.floor(interp * 10000 + 0.5) / 10000).alias("value_interp"),
     )
+
+
+@register(
+    "event_retention_cohort",
+    sql="""
+        WITH firsts AS (
+            -- DuckDB's week-trunc yields DATE; cast back so the column
+            -- type matches Spark's TIMESTAMP date_trunc
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                       AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+            FROM events
+        ),
+        offsets AS (
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, a.activity_week) / 7
+                        AS INTEGER) AS week_offset,
+                   a.user_id
+            FROM activity a JOIN firsts f ON a.user_id = f.user_id
+        ),
+        sizes AS (
+            SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+            FROM firsts GROUP BY cohort_week
+        )
+        SELECT o.cohort_week, o.week_offset, s.n_cohort,
+               CAST(count(DISTINCT o.user_id) AS BIGINT) AS n_active,
+               round(100.0 * count(DISTINCT o.user_id) / s.n_cohort, 2)
+                   AS retention_pct
+        FROM offsets o JOIN sizes s ON o.cohort_week = s.cohort_week
+        GROUP BY o.cohort_week, o.week_offset, s.n_cohort
+    """,
+)
+def event_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics query
+    (reference scope: per-user event streams, stream_processor.py's
+    user_id field): users are cohorted by the week of their FIRST
+    event, and each (cohort_week, week_offset) cell counts how many of
+    them were active that many weeks later, as an absolute count and a
+    percentage of the cohort.
+
+    Scale shape: two user-keyed aggregations (first-event, distinct
+    activity weeks) ride the SAME shuffle key, so on a user-bucketed
+    event store both are shuffle-free; the cohort-cell aggregate then
+    runs on |users x weeks| rows, orders of magnitude smaller than the
+    event log. The cohort-size side is week-cardinality tiny and
+    broadcast. week_offset is integer day-arithmetic on week-truncated
+    timestamps (always a multiple of 7), so the division is exact in
+    both engines."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    ).distinct()
+    offsets = activity.join(firsts, "user_id").select(
+        "cohort_week",
+        (F.datediff("activity_week", "cohort_week") / 7)
+        .cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("n_cohort")
+    )
+    return (
+        offsets.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "n_cohort")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_cohort",
+            "n_active",
+            F.round(100.0 * F.col("n_active") / F.col("n_cohort"), 2).alias(
+                "retention_pct"
+            ),
+        )
+    )
+
+
+@register(
+    "event_attribution",
+    sql="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_type END IGNORE NULLS)
+                       OVER w AS last_touch_type,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN ts END IGNORE NULLS)
+                       OVER w AS last_touch_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT CASE WHEN last_touch_ts IS NOT NULL
+                         AND last_touch_ts >= ts - INTERVAL 24 HOUR
+                    THEN last_touch_type ELSE 'organic' END AS channel,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               round(sum(value), 2) AS attributed_value
+        FROM marked
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+)
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click/view within a 24-hour lookback, else 'organic'.
+    Expressed as a running `last(..., ignorenulls)` window rather than
+    an as-of self-join — ONE user-keyed sort instead of a join of two
+    event-sized sides (the join form shuffles the log twice; this
+    shape shuffles it once and is shuffle-free on a user-bucketed
+    store). Ties at identical timestamps break on event_id in both
+    engines. The 24 h eligibility test happens AFTER the carry-forward,
+    so an expired touch falls back to 'organic' rather than sliding to
+    an older one — the standard last-touch-window semantics."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    marked = ev.select(
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("last_touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_touch_ts"),
+    )
+    eligible = F.col("last_touch_ts").isNotNull() & (
+        F.col("last_touch_ts")
+        >= F.col("ts") - F.expr("INTERVAL 24 HOURS")
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(eligible, F.col("last_touch_type"))
+            .otherwise(F.lit("organic"))
+            .alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )
+
+
+#: EWMA lookback depth (rows) and decay. Alpha 0.5 => weights are exact
+#: binary powers, so the weighted sum is bit-identical across engines.
+EWMA_DEPTH = 8
+
+
+@register(
+    "ts_ewma",
+    sql="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   round(avg(value), 6) AS obs
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, bucket, obs,
+                   lag(obs, 1) OVER w AS x1, lag(obs, 2) OVER w AS x2,
+                   lag(obs, 3) OVER w AS x3, lag(obs, 4) OVER w AS x4,
+                   lag(obs, 5) OVER w AS x5, lag(obs, 6) OVER w AS x6,
+                   lag(obs, 7) OVER w AS x7
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+        )
+        SELECT event_type, bucket, obs,
+               floor((obs * 1.0
+                      + coalesce(x1, 0) * 0.5
+                      + coalesce(x2, 0) * 0.25
+                      + coalesce(x3, 0) * 0.125
+                      + coalesce(x4, 0) * 0.0625
+                      + coalesce(x5, 0) * 0.03125
+                      + coalesce(x6, 0) * 0.015625
+                      + coalesce(x7, 0) * 0.0078125)
+                     / (1.0
+                        + CASE WHEN x1 IS NULL THEN 0 ELSE 0.5 END
+                        + CASE WHEN x2 IS NULL THEN 0 ELSE 0.25 END
+                        + CASE WHEN x3 IS NULL THEN 0 ELSE 0.125 END
+                        + CASE WHEN x4 IS NULL THEN 0 ELSE 0.0625 END
+                        + CASE WHEN x5 IS NULL THEN 0 ELSE 0.03125 END
+                        + CASE WHEN x6 IS NULL THEN 0 ELSE 0.015625 END
+                        + CASE WHEN x7 IS NULL THEN 0 ELSE 0.0078125 END)
+                     * 1000000 + 0.5) / 1000000 AS ewma
+        FROM lagged
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over the hourly mean
+    series, depth-bounded to EWMA_DEPTH rows (alpha = 0.5, so the
+    truncated tail carries < 0.8% of the mass). The bounded form is
+    deliberate: true EWMA is a sequential recurrence y_t = a*x_t +
+    (1-a)*y_{t-1} that no parallel engine evaluates without a serial
+    scan per key; the depth-K expansion turns it into K window lags —
+    a SINGLE per-key sort, embarrassingly parallel across keys, and
+    exactly what a 1000-executor cluster can run on a bucketed store
+    with no shuffle at all. Cross-engine determinism by construction:
+    anchors are pre-rounded hourly means, weights are exact binary
+    powers, and the weighted sum is written as the same left-associated
+    chain in both engines, so every intermediate double is
+    bit-identical; the final rounding is the floor(x*1e6+0.5) form
+    (see ts_interpolate_linear for why round() differs between
+    engines)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.avg("value"), 6).alias("obs"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    lags = [F.col("obs")] + [
+        F.lag("obs", i).over(w) for i in range(1, EWMA_DEPTH)
+    ]
+    num = lags[0] * F.lit(1.0)
+    den = F.lit(1.0)
+    for i in range(1, EWMA_DEPTH):
+        wt = 0.5**i
+        num = num + F.coalesce(lags[i], F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(lags[i].isNull(), F.lit(0.0)).otherwise(
+            F.lit(wt)
+        )
+    return hourly.select(
+        "event_type",
+        "bucket",
+        "obs",
+        (F.floor(num / den * 1_000_000 + 0.5) / 1_000_000).alias("ewma"),
+    )
