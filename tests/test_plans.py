@@ -6,6 +6,8 @@ returns correct rows at sf0.01 but would fall over at 100 TB.
 
 from __future__ import annotations
 
+import re
+
 from twitter_hashtag_sentiment_analysis_spark.plans import plan_of
 
 
@@ -329,3 +331,47 @@ def test_downweight_dups_has_no_join_back(spark, sf_dir):
     assert "Join" not in plan, plan
     # formatted plans list each operator once as "(n) Exchange"
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_rfm_scoring_is_broadcast_not_global_sort(spark, sf_dir):
+    """customer_rfm must score via broadcast quartile boundaries — a
+    global NTILE would funnel every customer through one partition."""
+    plan = plan_of(spark, sf_dir, "customer_rfm")
+    assert "percentile_disc" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan  # ref date + bounds
+    assert "Window" not in plan, plan  # no rank-based scoring anywhere
+
+
+def test_streaks_top1_is_window_group_limit(spark, sf_dir):
+    """event_streaks' per-user longest pick must be WindowGroupLimit,
+    and the whole query must reuse ONE user-keyed exchange."""
+    plan = plan_of(spark, sf_dir, "event_streaks")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_attribution_is_one_window_not_self_join(spark, sf_dir):
+    """event_attribution must be the single-sort carry-forward form —
+    an as-of self-join would shuffle the event log twice."""
+    plan = plan_of(spark, sf_dir, "event_attribution")
+    assert "Join" not in plan, plan
+    # exactly one Window node (tree line "+- Window (n)" / root "* Window")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_retention_cohort_broadcasts_sizes(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "event_retention_cohort")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ewma_is_single_sort_per_key(spark, sf_dir):
+    """All EWMA_DEPTH lags must ride one Window over one sort."""
+    plan = plan_of(spark, sf_dir, "ts_ewma")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_readability_is_pure_projection(spark, sf_dir):
+    """text_readability is per-row regex counting: no shuffle at all."""
+    plan = plan_of(spark, sf_dir, "text_readability")
+    assert "Exchange" not in plan, plan

@@ -1491,3 +1491,124 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     user of the engine gets the modern dialect, not just ANSI."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(PIPE_SQL)
+
+
+@register(
+    "customer_rfm",
+    sql="""
+        WITH ref AS (
+            SELECT max(o_orderdate) AS ref_date FROM orders
+        ),
+        per_cust AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', max(o_orderdate),
+                                  (SELECT ref_date FROM ref))
+                        AS BIGINT) AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                       AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        bounds AS (
+            SELECT
+                CAST(quantile_disc(recency_days, 0.25) AS DOUBLE) AS r25,
+                CAST(quantile_disc(recency_days, 0.50) AS DOUBLE) AS r50,
+                CAST(quantile_disc(recency_days, 0.75) AS DOUBLE) AS r75,
+                CAST(quantile_disc(frequency, 0.25) AS DOUBLE) AS f25,
+                CAST(quantile_disc(frequency, 0.50) AS DOUBLE) AS f50,
+                CAST(quantile_disc(frequency, 0.75) AS DOUBLE) AS f75,
+                CAST(quantile_disc(monetary_cents, 0.25) AS DOUBLE) AS m25,
+                CAST(quantile_disc(monetary_cents, 0.50) AS DOUBLE) AS m50,
+                CAST(quantile_disc(monetary_cents, 0.75) AS DOUBLE) AS m75
+            FROM per_cust
+        ),
+        scored AS (
+            SELECT
+                CASE WHEN recency_days <= b.r25 THEN 4
+                     WHEN recency_days <= b.r50 THEN 3
+                     WHEN recency_days <= b.r75 THEN 2 ELSE 1 END AS r_score,
+                CASE WHEN frequency <= b.f25 THEN 1
+                     WHEN frequency <= b.f50 THEN 2
+                     WHEN frequency <= b.f75 THEN 3 ELSE 4 END AS f_score,
+                CASE WHEN monetary_cents <= b.m25 THEN 1
+                     WHEN monetary_cents <= b.m50 THEN 2
+                     WHEN monetary_cents <= b.m75 THEN 3 ELSE 4 END AS m_score,
+                monetary_cents
+            FROM per_cust, bounds b
+        )
+        SELECT CAST(r_score AS INTEGER) AS r_score,
+               CAST(f_score AS INTEGER) AS f_score,
+               CAST(m_score AS INTEGER) AS m_score,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(monetary_cents) / 100.0, 2) AS segment_value
+        FROM scored
+        GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) —
+    the classic CRM rollup, built the scale-correct way: per-customer
+    metrics are ONE shuffle on o_custkey; the nine quartile boundaries
+    are a single scalar aggregate BROADCAST back (crossJoin with a
+    1-row frame), and scoring is a map-side CASE — there is NO global
+    NTILE sort, which would funnel every customer through one
+    partition at 100 TB. Determinism by construction: all three
+    metrics are integers (days, counts, cents via the explicit
+    floor(x*100+0.5) half-up form), and DISCRETE percentiles of
+    integers are data values — bit-identical across engines, so the
+    boundary comparisons can never flip on a float ulp. Spark's
+    `percentile_disc WITHIN GROUP` and DuckDB's `quantile_disc` share
+    the smallest-value-with-cume_dist>=q definition (probed). Low
+    recency scores HIGH (recent = good), frequency/monetary score high
+    when large."""
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("long").alias("frequency"),
+            F.floor(F.sum("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.datediff("ref_date", "last_order")
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    bounds = per_cust.agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY {c}) AS DOUBLE)"
+            ).alias(f"{c[0]}{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary_cents")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+    scored = per_cust.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("recency_days") <= F.col("r25"), 4)
+        .when(F.col("recency_days") <= F.col("r50"), 3)
+        .when(F.col("recency_days") <= F.col("r75"), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(F.col("frequency") <= F.col("f25"), 1)
+        .when(F.col("frequency") <= F.col("f50"), 2)
+        .when(F.col("frequency") <= F.col("f75"), 3)
+        .otherwise(4)
+        .alias("f_score"),
+        F.when(F.col("monetary_cents") <= F.col("m25"), 1)
+        .when(F.col("monetary_cents") <= F.col("m50"), 2)
+        .when(F.col("monetary_cents") <= F.col("m75"), 3)
+        .otherwise(4)
+        .alias("m_score"),
+        "monetary_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum("monetary_cents") / 100.0, 2).alias("segment_value"),
+    )

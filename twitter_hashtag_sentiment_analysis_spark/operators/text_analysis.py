@@ -684,3 +684,51 @@ def text_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= 5
     )
+
+
+@register(
+    "text_readability",
+    sql="""
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+                   AS n_syllables,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS n_sentences,
+               206.835
+                   - 1.015 * (len(string_split(text, ' '))
+                              / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+                   - 84.6 * (len(regexp_extract_all(text, '[aeiouy]+'))
+                             / len(string_split(text, ' '))) AS flesch
+        FROM documents
+        WHERE len(string_split(text, ' ')) > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-group syllable
+    heuristic (a syllable ~= one maximal [aeiouy]+ run — the standard
+    dictionary-free approximation) and [.!?]+ runs as sentence breaks
+    (clamped to >= 1 so period-free corpora stay defined). The score is
+    the classic 206.835 - 1.015*(words/sentences) - 84.6*(syll/word).
+    Everything is counting regexes over one row — pure JVM expressions,
+    zero shuffle, trivially parallel at 100 TB. Counts are integers, so
+    the score is a per-row deterministic double emitted UNROUNDED
+    (identical IEEE arithmetic in both engines — the repo's per-row
+    float discipline)."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_syll = F.expr("regexp_count(text, '[aeiouy]+')")
+    n_sent = F.greatest(F.expr("regexp_count(text, '[.!?]+')"), F.lit(1))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    return d.filter(n_words > 0).select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syllables"),
+        n_sent.cast("long").alias("n_sentences"),
+        flesch.alias("flesch"),
+    )

@@ -740,3 +740,80 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obs",
         (F.floor(num / den * 1_000_000 + 0.5) / 1_000_000).alias("ewma"),
     )
+
+
+@register(
+    "event_streaks",
+    sql="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        islands AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INTEGER)
+                       AS anchor
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, anchor,
+                   CAST(count(*) AS BIGINT) AS streak_len,
+                   min(day) AS streak_start
+            FROM islands GROUP BY user_id, anchor
+        ),
+        ranked AS (
+            SELECT user_id, streak_len, streak_start,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY streak_len DESC, streak_start) AS rk
+            FROM streaks
+        )
+        SELECT user_id, streak_len AS longest_streak, streak_start
+        FROM ranked WHERE rk = 1
+    """,
+)
+def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern in its date form: distinct activity days,
+    then `day - row_number()` collapses each run of consecutive days to
+    a constant anchor, one aggregate per (user, anchor) island, and a
+    per-user top-1 on (length DESC, start ASC). Distinct from
+    `ts_sessionize`, which islands on intra-day time gaps; this is the
+    retention-facing calendar streak. All three steps key on user_id —
+    ONE shuffle serves the distinct, both windows, and the island
+    aggregate (Spark reuses the hash partitioning), and the per-user
+    top-1 is a WindowGroupLimit, not a global sort. Day arithmetic is
+    pure integer date math — no float anywhere."""
+    ev = table(spark, sf_dir, "events")
+    # One explicit user_id shuffle up front: HashPartitioning(user_id)
+    # satisfies the distinct's (user_id, day) clustering AND both
+    # windows AND the island aggregate, so the whole query runs on a
+    # single exchange (plan-asserted).
+    days = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .repartition("user_id")
+        .distinct()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("day")
+    )
+    islands = days.select(
+        "user_id", "day", F.date_sub("day", rn).alias("anchor")
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").cast("long").alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("streak_len").desc(), F.col("streak_start")
+        )
+    )
+    return (
+        streaks.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").alias("longest_streak"),
+            "streak_start",
+        )
+    )
