@@ -375,3 +375,25 @@ def test_readability_is_pure_projection(spark, sf_dir):
     """text_readability is per-row regex counting: no shuffle at all."""
     plan = plan_of(spark, sf_dir, "text_readability")
     assert "Exchange" not in plan, plan
+
+
+def test_basket_pairs_expand_without_self_join(spark, sf_dir):
+    """agg_basket_lift must build pairs from per-order collected
+    baskets (HOF expansion) — the fact table is shuffled ONCE; the
+    support joins are broadcast; the report is TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "agg_basket_lift")
+    assert "SortMergeJoin" not in plan, plan
+    assert "collect_set" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_markov_normalizer_runs_on_counts_relation(spark, sf_dir):
+    """event_markov: one data-sized window (lead), one aggregate; the
+    probability normalizer windows the tiny counts relation."""
+    plan = plan_of(spark, sf_dir, "event_markov")
+    assert "Join" not in plan, plan
+
+
+def test_zipf_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_zipf")
+    assert "TakeOrderedAndProject" in plan, plan

@@ -1612,3 +1612,110 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_customers"),
         F.round(F.sum("monetary_cents") / 100.0, 2).alias("segment_value"),
     )
+
+
+#: Basket analysis: minimum co-occurrence count and report size.
+BASKET_MIN_SUPPORT = 3
+BASKET_TOP_K = 100
+
+
+@register(
+    "agg_basket_lift",
+    sql=f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+              FROM baskets),
+        item_sup AS (
+            SELECT l_partkey, CAST(count(*) AS BIGINT) AS sup
+            FROM baskets GROUP BY l_partkey
+        ),
+        pair_sup AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS pair_sup
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {BASKET_MIN_SUPPORT}
+        )
+        SELECT part_a, part_b, p.pair_sup,
+               sa.sup AS sup_a, sb.sup AS sup_b,
+               round(1.0 * p.pair_sup * n.n_orders / (sa.sup * sb.sup), 6)
+                   AS lift
+        FROM pair_sup p
+        JOIN item_sup sa ON p.part_a = sa.l_partkey
+        JOIN item_sup sb ON p.part_b = sb.l_partkey
+        CROSS JOIN n
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT {BASKET_TOP_K}
+    """,
+)
+def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift scoring — the association-
+    rules primitive (support / lift over item pairs within an order).
+    Spark-first shape: pairs are NOT a self-join — the basket is
+    collect_set-ed per order (ONE shuffle on l_orderkey) and pairs
+    expand per-row with a nested array transform over the SORTED item
+    list, so fan-out is bounded by basket size squared (orders cap at
+    tens of items; a self-join would shuffle the fact table twice and
+    meet skew on hot orders). Item supports ride a second small
+    aggregate; the final report is TakeOrderedAndProject over rounded
+    lift with a full (part_a, part_b) tie-break. The oracle spells the
+    classic relational self-join form — same semantics, and DuckDB
+    picks its own plan. All counts are integers; lift is one rounded
+    division."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+    )
+    per_order = baskets.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs_expr = F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), "
+        "y -> struct(x AS part_a, y AS part_b))))"
+    )
+    pair_sup = (
+        per_order.select(F.explode(pairs_expr).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("pair_sup"))
+        .filter(F.col("pair_sup") >= BASKET_MIN_SUPPORT)
+    )
+    item_sup = baskets.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("sup")
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    sup_a = item_sup.select(
+        F.col("l_partkey").alias("part_a"), F.col("sup").alias("sup_a")
+    )
+    sup_b = item_sup.select(
+        F.col("l_partkey").alias("part_b"), F.col("sup").alias("sup_b")
+    )
+    return (
+        pair_sup.join(F.broadcast(sup_a), "part_a")
+        .join(F.broadcast(sup_b), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_sup",
+            "sup_a",
+            "sup_b",
+            F.round(
+                F.lit(1.0)
+                * F.col("pair_sup")
+                * F.col("n_orders")
+                / (F.col("sup_a") * F.col("sup_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )

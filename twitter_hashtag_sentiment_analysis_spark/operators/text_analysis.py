@@ -732,3 +732,80 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sent.cast("long").alias("n_sentences"),
         flesch.alias("flesch"),
     )
+
+
+#: Zipf audit depth: ranks reported.
+ZIPF_TOP_K = 50
+
+
+@register(
+    "text_zipf",
+    sql=f"""
+        WITH tokens AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        freqs AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS freq
+            FROM tokens WHERE token <> '' GROUP BY token
+        ),
+        ranked AS (
+            SELECT token, freq,
+                   CAST(row_number() OVER (ORDER BY freq DESC, token)
+                        AS BIGINT) AS rank
+            FROM freqs
+        ),
+        top AS (SELECT * FROM ranked WHERE rank <= {ZIPF_TOP_K}),
+        top1 AS (SELECT freq AS f1 FROM top WHERE rank = 1)
+        SELECT rank, token, freq,
+               1.0 * freq * rank / t1.f1 AS zipf_dev
+        FROM top, top1 t1
+        ORDER BY rank
+    """,
+)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit of the corpus vocabulary: the top-K tokens by
+    frequency with their rank and the deviation ratio freq*rank/freq_1
+    (exactly 1.0 for an ideal Zipf corpus at every rank — systematic
+    drift above/below flags templated or truncated text, the corpus-
+    health check a pretraining pipeline runs next to the perplexity
+    proxy). The vocabulary count is the only data-sized shuffle; the
+    global top-K is TakeOrderedAndProject on (freq DESC, token) — no
+    full vocabulary sort — and the rank-1 frequency is a one-row
+    broadcast. The rank window is unpartitioned BY DESIGN: it runs on
+    the K-row result of the top-K, a constant-size relation at any
+    corpus scale (the single-partition warning it logs is about this
+    50-row frame, not the data). Frequencies and ranks are integers; the deviation is a
+    per-row division emitted UNROUNDED (identical IEEE both sides)."""
+    d = table(spark, sf_dir, "documents")
+    freqs = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    top = (
+        freqs.orderBy(F.col("freq").desc(), "token")
+        .limit(ZIPF_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "token"))
+            .cast("long"),
+        )
+    )
+    f1 = top.filter(F.col("rank") == 1).select(
+        F.col("freq").alias("f1")
+    )
+    return (
+        top.crossJoin(F.broadcast(f1))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            (F.lit(1.0) * F.col("freq") * F.col("rank") / F.col("f1")).alias(
+                "zipf_dev"
+            ),
+        )
+        .orderBy("rank")
+    )

@@ -817,3 +817,52 @@ def event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_start",
         )
     )
+
+
+@register(
+    "event_markov",
+    sql="""
+        WITH seq AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        counts AS (
+            SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+        )
+        SELECT cur, nxt, n,
+               round(1.0 * n / sum(n) OVER (PARTITION BY cur), 6) AS p
+        FROM counts
+    """,
+)
+def event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral model a
+    recommendation/churn pipeline derives from the clickstream. One
+    user-keyed window (lead) feeds one transition-count aggregate; the
+    row-normalizing window then runs on the |types|^2-sized counts
+    relation, which is trivially small at any corpus scale. Counts are
+    integers, each probability is one rounded division of them —
+    nothing order-dependent anywhere."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    counts = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w_cur = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.lit(1.0) * F.col("n") / F.sum("n").over(w_cur), 6).alias(
+            "p"
+        ),
+    )
