@@ -397,3 +397,11 @@ def test_markov_normalizer_runs_on_counts_relation(spark, sf_dir):
 def test_zipf_topk_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_zipf")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pareto_share_broadcasts_dims(spark, sf_dir):
+    """win_pareto_share: customer + nation sides must broadcast; the
+    per-nation window is partitioned (never a global sort)."""
+    plan = plan_of(spark, sf_dir, "win_pareto_share")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -123,3 +123,84 @@ def test_text_normalize_is_idempotent(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    """Each current-state row of the transition matrix sums to ~1."""
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["event_markov"].fn(spark, sf_dir).collect()
+    by_cur: dict[str, float] = {}
+    for r in rows:
+        by_cur[r.cur] = by_cur.get(r.cur, 0.0) + r.p
+    assert by_cur, "empty transition matrix"
+    for cur, total in by_cur.items():
+        # each p is rounded to 6 dp; |types| rounding errors max
+        assert abs(total - 1.0) < 1e-4, (cur, total)
+
+
+def test_retention_cohort_invariants(spark, sf_dir):
+    """Week 0 retains the full cohort; no cell exceeds the cohort."""
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["event_retention_cohort"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_active <= r.n_cohort, r
+        assert 0.0 < r.retention_pct <= 100.0, r
+        if r.week_offset == 0:
+            # every cohort member is by definition active in week 0
+            assert r.n_active == r.n_cohort, r
+
+
+def test_ewma_bounded_by_window_extremes(spark, sf_dir):
+    """A convex combination of the last K observations can never leave
+    their [min, max] envelope."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.timeseries import (
+        EWMA_DEPTH,
+    )
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["ts_ewma"].fn(spark, sf_dir).collect()
+    assert rows
+    series: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.bucket)):
+        series.setdefault(r.event_type, []).append(r)
+    for evs in series.values():
+        for i, r in enumerate(evs):
+            window = [e.obs for e in evs[max(0, i - EWMA_DEPTH + 1) : i + 1]]
+            assert min(window) - 1e-6 <= r.ewma <= max(window) + 1e-6, r
+
+
+def test_basket_lift_counts_consistent(spark, sf_dir):
+    """Pair support can't exceed either item support, and lift must be
+    positive and consistent with its definition."""
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["agg_basket_lift"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b, r
+        assert 0 < r.pair_sup <= min(r.sup_a, r.sup_b), r
+        assert r.lift > 0, r
+
+
+def test_streaks_within_observed_range(spark, sf_dir):
+    """A streak can't be longer than the number of distinct days in
+    the whole fixture window."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table as load
+
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    import pyspark.sql.functions as F
+
+    n_days = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    rows = load_all()["event_streaks"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.longest_streak <= n_days, r

@@ -380,3 +380,94 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_users",
         F.sum("n_new_users").over(w_cum).alias("running_distinct_users"),
     ).orderBy("day")
+
+
+@register(
+    "win_pareto_share",
+    sql="""
+        WITH cust_rev AS (
+            SELECT o_custkey,
+                   CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                       AS rev_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        located AS (
+            SELECT n.n_name AS nation, r.o_custkey, r.rev_cents
+            FROM cust_rev r
+            JOIN customer c ON r.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        ranked AS (
+            SELECT nation, o_custkey, rev_cents,
+                   CAST(row_number() OVER w AS BIGINT) AS rk,
+                   sum(rev_cents) OVER (PARTITION BY nation
+                       ORDER BY rev_cents DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cents,
+                   sum(rev_cents) OVER (PARTITION BY nation) AS tot_cents
+            FROM located
+            WINDOW w AS (PARTITION BY nation
+                         ORDER BY rev_cents DESC, o_custkey)
+        )
+        SELECT nation, rk, o_custkey,
+               round(rev_cents / 100.0, 2) AS revenue,
+               round(1.0 * cum_cents / tot_cents, 6) AS cum_share
+        FROM ranked WHERE rk <= 5
+    """,
+)
+def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) per nation: customers ranked by
+    revenue inside their nation with the running share of national
+    revenue — 'how top-heavy is each market'. The window is PARTITIONED
+    by nation, never global (a whole-corpus Pareto would order every
+    customer through one partition; per-group concentration is the
+    scale-safe form, and the cross-market comparison happens across the
+    group rows). Revenue is summed in integer CENTS (explicit half-up
+    floor form), so the running sum is exact integer arithmetic — the
+    cumulative total cannot drift by summation order — and shares are
+    one rounded division per row. The rk <= 5 cut prunes OUTPUT rows
+    only — the running share needs the complete frame, so the
+    per-nation sort is full by design (contrast win_topk_group, where
+    no running aggregate exists and WindowGroupLimit truncates early);
+    both dimension joins broadcast (plan-asserted)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    cust_rev = o.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    located = (
+        cust_rev.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            cust_rev.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), "o_custkey", "rev_cents")
+    )
+    w_ord = Window.partitionBy("nation").orderBy(
+        F.col("rev_cents").desc(), "o_custkey"
+    )
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("nation")
+    ranked = located.select(
+        "nation",
+        "o_custkey",
+        "rev_cents",
+        F.row_number().over(w_ord).cast("long").alias("rk"),
+        F.sum("rev_cents").over(w_run).alias("cum_cents"),
+        F.sum("rev_cents").over(w_all).alias("tot_cents"),
+    )
+    return ranked.filter(F.col("rk") <= 5).select(
+        "nation",
+        "rk",
+        "o_custkey",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(F.lit(1.0) * F.col("cum_cents") / F.col("tot_cents"), 6).alias(
+            "cum_share"
+        ),
+    )
