@@ -627,3 +627,69 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
     name = _run_to_memory(counts, "upd", output_mode="update")
     return spark.table(name).groupBy("event_type").agg(F.max("n").alias("n"))
+
+
+@register(
+    "stream_trending_terms",
+    sql="""
+        WITH counts AS (
+            SELECT source, token, CAST(count(*) AS BIGINT) AS n
+            FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY source, token
+        ),
+        ranked AS (
+            SELECT source, token, n,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY n DESC, token) AS rk
+            FROM counts
+        )
+        SELECT source, token, n, CAST(rk AS INTEGER) AS rk
+        FROM ranked WHERE rk <= 3
+    """,
+)
+def stream_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms per source — the engine's 'trending hashtags'
+    query (the headline aggregation of a tweet-analytics pipeline,
+    reference scope R6/R8) run as a REAL streaming job: document
+    stream -> token explode -> per-(source, token) streaming count in
+    UPDATE mode, drained availableNow into a memory sink; the final
+    top-3-per-source rank runs batch-side on the drained counts (rank
+    is not a streaming-expressible op — the split is the documented
+    production shape: streaming maintains the counts, the serving
+    layer ranks). The oracle is the same query in plain SQL — the
+    batch-equivalence discipline every streaming op here follows. At
+    scale the streaming agg holds |sources x vocab| state rows — a
+    vocabulary-sized state store, shuffled once on the group key."""
+    path, docs = _stream_copy(spark, sf_dir, "documents")
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    counts = (
+        stream.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    name = _run_to_memory(counts, "trend", output_mode="update")
+    from pyspark.sql import Window
+
+    # update mode re-emits a key's row per batch it changes; counts are
+    # monotone, so max(n) recovers the final state under any batch split
+    # (same convergence contract as stream_update_mode)
+    drained = (
+        spark.table(name)
+        .groupBy("source", "token")
+        .agg(F.max("n").alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("n").desc(), "token")
+    )
+    return (
+        drained.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("source", "token", "n", "rk")
+    )
