@@ -43,6 +43,9 @@ def main() -> None:
             "ratio": round(hi / lo, 3) if lo > 0 else None,
         }
     doc = json.load(open("SCALING_STRESS_r05.json"))
+    # merge: keep rows from earlier continuation batches
+    prior = doc.get("continuation_new_keys", {}).get("queries", {})
+    rows = {**prior, **rows}
     doc["continuation_new_keys"] = {
         "note": (
             "operators added after the main sweep (same procedure: "
