@@ -445,3 +445,36 @@ def test_socket_pipe_query_is_deterministic(spark, sf_dir):
         ("en", "POSITIVE"): 9,
         ("es", "NEGATIVE"): 9,
     }
+
+
+def test_trending_terms_multibatch_converges_to_batch_counts(spark, sf_dir):
+    """The update-mode drain re-emits keys across the 4 micro-batches;
+    max-compaction must recover exactly the batch top-3 per source."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    got = {
+        (r.source, r.token): (r.n, r.rk)
+        for r in load_all()["stream_trending_terms"].fn(spark, sf_dir).collect()
+    }
+    batch = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .count()
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("count").desc(), "token"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    want = {(r.source, r.token): (r["count"], r.rk) for r in batch.collect()}
+    assert got == want

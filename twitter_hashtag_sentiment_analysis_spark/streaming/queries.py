@@ -656,7 +656,9 @@ def stream_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (the headline aggregation of a tweet-analytics pipeline,
     reference scope R6/R8) run as a REAL streaming job: document
     stream -> token explode -> per-(source, token) streaming count in
-    UPDATE mode, drained availableNow into a memory sink; the final
+    UPDATE mode over a REAL 4-batch drain (one file per trigger, so
+    re-emission and the max-convergence compaction are exercised, not
+    vacuous on a single batch); the final
     top-3-per-source rank runs batch-side on the drained counts (rank
     is not a streaming-expressible op — the split is the documented
     production shape: streaming maintains the counts, the serving
@@ -664,8 +666,7 @@ def stream_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-equivalence discipline every streaming op here follows. At
     scale the streaming agg holds |sources x vocab| state rows — a
     vocabulary-sized state store, shuffled once on the group key."""
-    path, docs = _stream_copy(spark, sf_dir, "documents")
-    stream = spark.readStream.schema(docs.schema).parquet(path)
+    stream = _multibatch_stream(spark, sf_dir, "documents")
     counts = (
         stream.select(
             "source", F.explode(F.split("text", " ")).alias("token")
