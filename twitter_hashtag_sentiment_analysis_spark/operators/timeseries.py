@@ -866,3 +866,67 @@ def event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+#: Lead-lag cross-correlation scan depth (hours).
+XCORR_MAX_LAG = 6
+
+
+@register(
+    "ts_lag_correlation",
+    sql=f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   round(avg(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        clicks AS (SELECT bucket, v FROM hourly WHERE event_type = 'click'),
+        buys AS (SELECT bucket, v FROM hourly WHERE event_type = 'purchase'),
+        lags AS (SELECT unnest(range(0, {XCORR_MAX_LAG + 1})) AS lag_h)
+        SELECT l.lag_h,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(corr(c.v, b.v), 4) AS xcorr
+        FROM lags l
+        JOIN clicks c ON TRUE
+        JOIN buys b ON b.bucket = c.bucket + to_hours(l.lag_h)
+        GROUP BY l.lag_h
+    """,
+)
+def ts_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the hourly click and purchase
+    series: corr(click_t, purchase_(t+k)) for k = 0..XCORR_MAX_LAG —
+    'do clicks lead purchases, and by how many hours?', the
+    attribution-window calibration a funnel analyst runs before picking
+    the 24 h lookback. Built on the ALIGNED dense join of two
+    grid-sized series (the hourly pre-aggregate is the only data-sized
+    shuffle; everything after is |hours| x |lags| rows). Anchors are
+    pre-rounded hourly means (the repo's cross-engine discipline) and
+    corr is the same mergeable moment sketch both engines define
+    identically (see agg_stats) rounded to 4."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "event_type",
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    clicks = hourly.filter(F.col("event_type") == "click").select(
+        "bucket", F.col("v").alias("cv")
+    )
+    buys = hourly.filter(F.col("event_type") == "purchase").select(
+        F.col("bucket").alias("b_bucket"), F.col("v").alias("bv")
+    )
+    lags = spark.range(0, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag_h")
+    )
+    joined = (
+        clicks.crossJoin(F.broadcast(lags))
+        .withColumn(
+            "target_bucket",
+            F.col("bucket")
+            + F.col("lag_h") * F.expr("INTERVAL 1 HOUR"),
+        )
+        .join(buys, F.col("target_bucket") == F.col("b_bucket"))
+    )
+    return joined.groupBy("lag_h").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.corr("cv", "bv"), 4).alias("xcorr"),
+    )

@@ -471,3 +471,44 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+#: Rolling-median frame width (rows, trailing inclusive).
+ROLLMED_K = 15
+
+
+@register(
+    "win_rolling_median",
+    sql=f"""
+        SELECT event_id, user_id, ts, value,
+               quantile_cont(value, 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ROLLMED_K - 1} PRECEDING AND CURRENT ROW)
+                   AS rolling_median
+        FROM events
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of the trailing ROLLMED_K events per user — the
+    robust smoother a metrics pipeline uses where the rolling MEAN
+    (ts_anomaly_zscore's mu) is outlier-sensitive. An order-statistic
+    over a rows-bounded frame: state per key is O(K) regardless of
+    history, one user-keyed sort serves the whole query (shuffle-free
+    on a user-bucketed store). Spark's `percentile` and DuckDB's
+    `quantile_cont` share the interpolated definition, and an order
+    statistic needs no rounding: the frame CONTENTS are identical row
+    sets, the median is picked/interpolated from the same two doubles
+    — bit-identical without any float-sum ordering concern."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLMED_K - 1), Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("percentile(value, 0.5)").over(w).alias("rolling_median"),
+    )
