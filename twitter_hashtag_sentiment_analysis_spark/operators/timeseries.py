@@ -930,3 +930,75 @@ def ts_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         F.round(F.corr("cv", "bv"), 4).alias("xcorr"),
     )
+
+
+#: CUSUM alarm threshold, in (sample) standard deviations.
+CUSUM_H = 3.0
+
+
+@register(
+    "ts_cusum_changepoint",
+    sql=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   round(avg(value), 6) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   round(avg(v), 6) AS mu,
+                   round(stddev_samp(v), 6) AS sigma
+            FROM hourly GROUP BY event_type
+        ),
+        walked AS (
+            SELECT h.event_type, h.bucket, h.v, s.mu, s.sigma,
+                   sum(h.v - s.mu) OVER (
+                       PARTITION BY h.event_type ORDER BY h.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cusum
+            FROM hourly h JOIN stats s ON h.event_type = s.event_type
+        )
+        SELECT event_type, bucket, v,
+               floor(cusum * 1000000 + 0.5) / 1000000 AS cusum,
+               abs(cusum) > {CUSUM_H} * sigma AS alarm
+        FROM walked
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the hourly mean series: the
+    running sum of deviations from the series mean, alarmed when it
+    drifts past CUSUM_H sample deviations — the classic drift detector
+    (Page's CUSUM, two-sided) that catches slow level shifts a
+    threshold-per-point z-score (ts_anomaly_zscore) misses. The hourly
+    pre-aggregate is the only data-sized shuffle; stats are a per-type
+    aggregate broadcast back, and the walk is one per-type ordered
+    running sum — O(1) state per key, shuffle-free on a type-bucketed
+    store. Determinism: anchors and stats are pre-rounded, the running
+    sum accumulates the SAME doubles in the SAME frame order in both
+    engines, and the output rounding is the engine-identical
+    floor(x*1e6+0.5) form."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    stats = hourly.groupBy("event_type").agg(
+        F.round(F.avg("v"), 6).alias("mu"),
+        F.round(F.stddev_samp("v"), 6).alias("sigma"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = hourly.join(F.broadcast(stats), "event_type").withColumn(
+        "cusum", F.sum(F.col("v") - F.col("mu")).over(w)
+    )
+    return walked.select(
+        "event_type",
+        "bucket",
+        "v",
+        (F.floor(F.col("cusum") * 1_000_000 + 0.5) / 1_000_000).alias(
+            "cusum"
+        ),
+        (F.abs("cusum") > CUSUM_H * F.col("sigma")).alias("alarm"),
+    )
