@@ -405,3 +405,33 @@ def test_pareto_share_broadcasts_dims(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "win_pareto_share")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_lag_correlation_broadcasts_lag_spine(spark, sf_dir):
+    """ts_lag_correlation: the lag spine and series join stay broadcast
+    — no sort-merge join of grid-sized relations."""
+    plan = plan_of(spark, sf_dir, "ts_lag_correlation")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rolling_median_single_window_no_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "win_rolling_median")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_cusum_broadcasts_stats(spark, sf_dir):
+    """ts_cusum_changepoint: per-type stats come back as a broadcast,
+    and the walk is one window."""
+    plan = plan_of(spark, sf_dir, "ts_cusum_changepoint")
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_gini_is_partitioned_integer_rank_form(spark, sf_dir):
+    """agg_gini_nation: dims broadcast; the rank window is partitioned
+    by nation (no global sort)."""
+    plan = plan_of(spark, sf_dir, "agg_gini_nation")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

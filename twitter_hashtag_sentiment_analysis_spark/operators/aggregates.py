@@ -671,3 +671,83 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_docs"),
         F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy"),
     )
+
+
+@register(
+    "agg_gini_nation",
+    sql="""
+        WITH cust_rev AS (
+            SELECT o_custkey,
+                   CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        located AS (
+            SELECT n.n_name AS nation, r.o_custkey, r.cents
+            FROM cust_rev r
+            JOIN customer c ON r.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        ranked AS (
+            SELECT nation, cents,
+                   CAST(row_number() OVER (PARTITION BY nation
+                       ORDER BY cents, o_custkey) AS BIGINT) AS rk
+            FROM located
+        )
+        SELECT nation,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round((2.0 * sum(rk * cents) - (count(*) + 1) * sum(cents))
+                     / (count(*) * sum(cents)), 6) AS gini
+        FROM ranked
+        GROUP BY nation
+    """,
+)
+def agg_gini_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the inequality
+    summary behind win_pareto_share's rank table (one number per market
+    instead of a top-5 list). Uses the rank form
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over revenues
+    sorted ascending with a custkey tie-break, so the whole statistic
+    is INTEGER arithmetic (cents, ranks) until the final division —
+    bit-identical cross-engine by construction. The window is
+    partitioned by nation (the same no-global-sort rule as
+    win_pareto_share); at int64 limits the rank-weighted sum caps at
+    ~1e15 cents per nation before overflow — at true 100 TB revenue
+    scales, promote the two sums to DECIMAL(38,0), a one-line cast."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    cust_rev = o.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    located = (
+        cust_rev.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            cust_rev.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), "o_custkey", "cents")
+    )
+    rk = (
+        F.row_number()
+        .over(Window.partitionBy("nation").orderBy("cents", "o_custkey"))
+        .cast("long")
+    )
+    ranked = located.select("nation", "cents", rk.alias("rk"))
+    cnt = F.count("*")
+    return ranked.groupBy("nation").agg(
+        cnt.cast("long").alias("n_customers"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("rk") * F.col("cents"))
+                - (cnt + 1) * F.sum("cents")
+            )
+            / (cnt * F.sum("cents")),
+            6,
+        ).alias("gini"),
+    )

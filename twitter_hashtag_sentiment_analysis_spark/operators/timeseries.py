@@ -1002,3 +1002,74 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.abs("cusum") > CUSUM_H * F.col("sigma")).alias("alarm"),
     )
+
+
+@register(
+    "event_funnel_latency",
+    sql="""
+        WITH signups AS (
+            SELECT user_id, min(ts) AS s_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        conv AS (
+            SELECT s.user_id,
+                   CAST(floor(epoch_us(min(e.ts)) / 60000000.0
+                              - epoch_us(s.s_ts) / 60000000.0)
+                        AS BIGINT) AS latency_min
+            FROM signups s
+            JOIN events e
+              ON e.user_id = s.user_id
+             AND e.event_type = 'purchase'
+             AND e.ts >= s.s_ts
+            GROUP BY s.user_id, s.s_ts
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+               round(quantile_cont(latency_min, 0.50), 4) AS p50_min,
+               round(quantile_cont(latency_min, 0.90), 4) AS p90_min,
+               round(avg(latency_min), 4) AS mean_min
+        FROM conv
+    """,
+)
+def event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: minutes from a user's FIRST signup
+    to their first subsequent purchase, summarized as median / p90 /
+    mean — the companion to `event_funnel` (which counts who converts;
+    this measures how fast). Latency is INTEGER minutes via epoch
+    microsecond arithmetic (no float time math), the quantiles are the
+    shared interpolated definition (see agg_quantiles), and the mean is
+    an exact integer sum over a count. Shape: both sides key on
+    user_id — one shuffle serves the signup aggregate, the conversion
+    join, and the per-user first-purchase aggregate; the final summary
+    is a scalar aggregate of a user-sized relation. Note the exact
+    per-group quantile buffers converted users only (users, not
+    events); at 100 TB the sketch twin agg_approx_quantile is the
+    production path (same note as agg_quantiles)."""
+    ev = table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signups.join(purchases, "user_id")
+        .filter(F.col("p_ts") >= F.col("s_ts"))
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("p_ts").alias("first_p"))
+        .select(
+            F.floor(
+                epoch_us("first_p") / 60_000_000.0
+                - epoch_us("s_ts") / 60_000_000.0
+            )
+            .cast("long")
+            .alias("latency_min")
+        )
+    )
+    return conv.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(latency_min, 0.50)"), 4).alias("p50_min"),
+        F.round(F.expr("percentile(latency_min, 0.90)"), 4).alias("p90_min"),
+        F.round(F.avg("latency_min"), 4).alias("mean_min"),
+    )
