@@ -396,3 +396,22 @@ def test_downweight_dups_soft_accounting(spark, tmp_path):
     assert r["raw_tokens"] == 3 * 3 + 2
     assert r["effective_tokens"] == 3.0 + 2.0
     assert r["dup_discount"] == 0.5
+
+
+def test_kmeans_embeddings_deterministic_partition(spark, sf_dir):
+    """ml_kmeans_embeddings: run-to-run identical (bounded one-partition
+    fit + fixed seed), K clusters at most, and the membership counts
+    partition the embeddings table exactly."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.ml import KM_K
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    fn = load_all()["ml_kmeans_embeddings"].fn
+    r1 = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert r1 == r2
+    assert 0 < len(r1) <= KM_K
+    assert all(0 <= row[0] < KM_K for row in r1)
+    total = table(spark, sf_dir, "embeddings").count()
+    assert sum(row[1] for row in r1) == total
+    assert all(row[2] >= 0.0 for row in r1)

@@ -147,3 +147,68 @@ def ml_sentiment_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: KMeans surface: bounded fit sample and cluster count.
+KM_TRAIN_CAP = 2048
+KM_K = 8
+
+
+@register("ml_kmeans_embeddings", sql=None)
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib KMeans over the embeddings table, the learned counterpart
+    of `sim_ann_ivf_trained`'s hand-rolled codebook: fit on a BOUNDED
+    deterministic hash-priority sample (same TakeOrderedAndProject +
+    one-partition discipline as ml_sentiment_mllib, fixed seed, so
+    Lloyd's init and every update sum in a fixed order = run-to-run
+    identical centers), then serve assignment as PURE column
+    expressions — the K centers inline as literal nested arrays and
+    the argmin over K squared distances is a zip_with/aggregate fold
+    inside codegen. MLlib exists only at fit time; the corpus-sized
+    assignment pass has no Python boundary and no MLlib closure.
+    Report: per-cluster membership count and mean distance-to-center
+    (the inertia decomposition a clustering health check reads).
+    Rows-only by design: Lloyd's is an iterative float fixpoint (same
+    class as graph_pagerank); determinism + assignment-optimality are
+    property-tested instead (tests/test_llm_ops.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    train = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(KM_TRAIN_CAP)
+        .coalesce(1)
+        .withColumn("features", array_to_vector("v"))
+    )
+    model = KMeans(k=KM_K, seed=42, maxIter=10).fit(train)
+
+    centers = [
+        F.array(*[F.lit(float(x)) for x in c])
+        for c in (c.tolist() for c in model.clusterCenters())
+    ]
+    def d2(center):
+        return F.aggregate(
+            F.zip_with("v", center, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    dists = F.array(*[d2(c) for c in centers])
+    assigned = emb.select(
+        "vec_id",
+        "v",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.sqrt(F.array_min(dists)).alias("dist"),
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("dist"), 4).alias("mean_dist"),
+        )
+        .orderBy("cluster")
+    )

@@ -751,3 +751,67 @@ def agg_gini_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "stat_crosstab_chi2",
+    sql="""
+        WITH obs AS (
+            SELECT o_orderpriority AS pri, o_orderstatus AS status,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT pri, status, n,
+                   sum(n) OVER (PARTITION BY pri) AS row_tot,
+                   sum(n) OVER (PARTITION BY status) AS col_tot,
+                   sum(n) OVER () AS grand_tot
+            FROM obs
+        )
+        SELECT pri, status, n,
+               round(1.0 * row_tot * col_tot / grand_tot, 6) AS expected,
+               round((n - 1.0 * row_tot * col_tot / grand_tot)
+                     / sqrt(1.0 * row_tot * col_tot / grand_tot), 4)
+                   AS std_residual
+        FROM margins
+    """,
+)
+def stat_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table audit (df.stat.crosstab generalized): observed
+    counts for priority x status with the chi-square EXPECTED count and
+    standardized residual per cell — the independence check an analyst
+    runs before trusting a segmentation (|residual| > 2 flags cells
+    driving dependence; the chi2 statistic is the residuals' square
+    sum, recoverable from these rows). One data-sized aggregate; all
+    three margin windows run over the |priorities x statuses| counts
+    relation — constant-sized at any corpus scale. Counts and margins
+    are integers; expected/residual are per-row arithmetic on them,
+    written identically in both engines and rounded."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    w_row = Window.partitionBy("pri")
+    w_col = Window.partitionBy("status")
+    w_all = Window.partitionBy()
+    margins = obs.select(
+        "pri",
+        "status",
+        "n",
+        F.sum("n").over(w_row).alias("row_tot"),
+        F.sum("n").over(w_col).alias("col_tot"),
+        F.sum("n").over(w_all).alias("grand_tot"),
+    )
+    expected_raw = (
+        F.lit(1.0) * F.col("row_tot") * F.col("col_tot") / F.col("grand_tot")
+    )
+    return margins.select(
+        "pri",
+        "status",
+        "n",
+        F.round(expected_raw, 6).alias("expected"),
+        F.round(
+            (F.col("n") - expected_raw) / F.sqrt(expected_raw), 4
+        ).alias("std_residual"),
+    )

@@ -291,3 +291,54 @@ def scan_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
     )
     return parsed.groupBy("lang").agg(F.count("*").alias("n_lines"))
+
+
+@register(
+    "scan_schema_evolution",
+    sql="""
+        WITH v1 AS (
+            SELECT doc_id, text, NULL AS lang
+            FROM documents WHERE doc_id % 2 = 0
+        ),
+        v2 AS (
+            SELECT doc_id, text, lang
+            FROM documents WHERE doc_id % 2 = 1
+        ),
+        merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        SELECT coalesce(lang, '<pre-schema>') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars
+        FROM merged
+        GROUP BY 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (`mergeSchema`): two parquet batches
+    written with DIFFERENT schemas — v1 before the `lang` column
+    existed, v2 after — land in one dataset directory; the merged scan
+    unions the schemas and fills the missing column with NULL, exactly
+    the add-a-column lifecycle a long-lived ingest sink goes through
+    (reference R8's append sink accreting fields over time). The
+    aggregate proves every v1 row surfaces with NULL lang and every v2
+    row keeps its value. Batches split by doc_id parity —
+    deterministic. At scale mergeSchema's footer-union runs on file
+    METADATA (respect spark.sql.parquet.mergeSchema's cost by keeping
+    schema count low, not file count); the data scan itself is
+    unchanged columnar pruning."""
+    d = table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="thsa_evo_"), "docs_evolving"
+    )
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(out)
+    d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang"
+    ).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy(
+        F.coalesce("lang", F.lit("<pre-schema>")).alias("lang")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
