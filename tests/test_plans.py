@@ -435,3 +435,11 @@ def test_gini_is_partitioned_integer_rank_form(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_gini_nation")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_join_hint_flips_strategy_to_shuffled_hash(spark, sf_dir):
+    """sql_join_hints: the SHUFFLE_HASH hint must override the
+    broadcast choice AQE would make at fixture scale."""
+    plan = plan_of(spark, sf_dir, "sql_join_hints")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan

@@ -191,3 +191,96 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id < 1000
         """
     )
+
+
+@register(
+    "udtf_polymorphic_csv",
+    sql="""
+        SELECT event_id, event_type,
+               floor(value * 100 + 0.5) / 100 AS value2
+        FROM events
+        WHERE event_id % 7 = 0
+    """,
+)
+def udtf_polymorphic_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema is not declared statically — it is computed at plan time
+    from the DDL string passed as the first argument, the
+    schema-on-read pattern (a CSV/log parser whose caller names the
+    columns) that static UDTFs cannot express. ``analyze`` receives
+    the constant argument and returns AnalyzeResult(DDL schema), so
+    Catalyst plans column pruning/downstream ops against the dynamic
+    shape like any other relation. The eval path parses each line to
+    the declared types (int/string/double here). Lines are built
+    deterministically from the events table and values pre-rounded
+    with the engine-identical floor form so the float survives the
+    string roundtrip exactly; the oracle recomputes the same
+    projection relationally. Arrow-batched; the lateral expansion is
+    partition-local (no shuffle)."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    # analyze() runs in a session-less Python process, so the DDL is
+    # assembled textually ("name type, ..."), not via StructType.fromDDL
+    _TYPES = {
+        "bigint": LongType(),
+        "int": IntegerType(),
+        "string": StringType(),
+        "double": DoubleType(),
+    }
+
+    @udtf(useArrow=True)
+    class ParseCsv:
+        @staticmethod
+        def analyze(
+            schema: AnalyzeArgument, line: AnalyzeArgument
+        ) -> AnalyzeResult:
+            fields = []
+            for part in schema.value.split(","):
+                name, typ = part.strip().rsplit(" ", 1)
+                fields.append(StructField(name, _TYPES[typ]))
+            return AnalyzeResult(StructType(fields))
+
+        def __init__(self):
+            self._fields = None
+
+        def eval(self, schema: str, line: str):
+            if self._fields is None:
+                # no SparkSession exists on the worker, so the DDL is
+                # split textually ("name type, ..."), not via fromDDL
+                self._fields = [
+                    part.strip().rsplit(" ", 1)[1]
+                    for part in schema.split(",")
+                ]
+            parts = line.split(",")
+            row = []
+            for typ, raw in zip(self._fields, parts):
+                if typ in ("bigint", "int"):
+                    row.append(int(raw))
+                elif typ == "double":
+                    row.append(float(raw))
+                else:
+                    row.append(raw)
+            yield tuple(row)
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id"),
+            F.col("event_type"),
+            (F.floor(F.col("value") * 100 + 0.5) / 100).cast("string"),
+        ).alias("line")
+    )
+    ddl = "event_id bigint, event_type string, value2 double"
+    return lines.lateralJoin(
+        ParseCsv(lit(ddl), F.col("line").outer())
+    ).drop("line")

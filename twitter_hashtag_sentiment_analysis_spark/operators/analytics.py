@@ -1736,3 +1736,36 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(BASKET_TOP_K)
     )
+
+
+@register(
+    "sql_join_hints",
+    sql="""
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+)
+def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hints as a first-class surface: the query joins
+    orders to customer under an explicit SHUFFLE_HASH hint — overriding
+    the broadcast strategy AQE would pick at fixture scale — because at
+    100 TB the customer dim may exceed broadcast budget and a shuffled
+    hash join (no sort on either side) is the right call for a
+    many-to-one equi join onto a build side that fits per-partition.
+    The hint is advisory INPUT to Catalyst, not a bypass: the result is
+    hint-independent (the oracle runs the plain join), while
+    tests/test_plans.py asserts the physical strategy actually flipped
+    to ShuffledHashJoin — proving the engine exposes the control, the
+    optimizer honors it, and semantics stay fixed."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    joined = o.join(
+        c.hint("shuffle_hash"), o.o_custkey == c.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
