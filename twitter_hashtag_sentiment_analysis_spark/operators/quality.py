@@ -184,3 +184,78 @@ def quality_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "stat_column_profile",
+    sql="""
+        WITH s AS (
+            SELECT
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS status_nulls,
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+                    AS status_distinct,
+                CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS pri_nulls,
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                    AS pri_distinct,
+                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS price_nulls,
+                CAST(count(DISTINCT o_totalprice) AS BIGINT)
+                    AS price_distinct,
+                round(min(o_totalprice), 2) AS price_min,
+                round(max(o_totalprice), 2) AS price_max
+            FROM orders
+        )
+        SELECT r.col_name, s.n_rows, r.n_nulls, r.n_distinct,
+               r.min_val, r.max_val
+        FROM s, LATERAL (VALUES
+            ('o_orderstatus', s.status_nulls, s.status_distinct,
+             NULL, NULL),
+            ('o_orderpriority', s.pri_nulls, s.pri_distinct, NULL, NULL),
+            ('o_totalprice', s.price_nulls, s.price_distinct,
+             s.price_min, s.price_max)
+        ) AS r(col_name, n_nulls, n_distinct, min_val, max_val)
+    """,
+)
+def stat_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (the df.summary()/data-catalog shape): per-column
+    null count, EXACT distinct count, and numeric min/max, emitted as
+    one row per column. Same one-scan rule as dq_checks: every metric
+    is an aggregate expression in a SINGLE global aggregate (the
+    multi-count-distinct plan is Spark's expand-based single pass) and
+    the per-column rows are stack-unpivoted from that one result row —
+    profiling N columns costs one read at any corpus size. For
+    truly-wide high-cardinality profiling at 100 TB, swap the exact
+    distincts for approx_count_distinct (the HLL sketch twin,
+    agg_approx_distinct) — same plan shape, mergeable state."""
+    o = table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long"))
+        .cast("long")
+        .alias("status_nulls"),
+        F.countDistinct("o_orderstatus").cast("long").alias("status_distinct"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long"))
+        .cast("long")
+        .alias("pri_nulls"),
+        F.countDistinct("o_orderpriority").cast("long").alias("pri_distinct"),
+        F.sum(F.col("o_totalprice").isNull().cast("long"))
+        .cast("long")
+        .alias("price_nulls"),
+        F.countDistinct("o_totalprice").cast("long").alias("price_distinct"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+    )
+    return s.selectExpr(
+        "n_rows",
+        """stack(3,
+            'o_orderstatus', status_nulls, status_distinct,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            'o_orderpriority', pri_nulls, pri_distinct,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+            'o_totalprice', price_nulls, price_distinct,
+                price_min, price_max
+        ) AS (col_name, n_nulls, n_distinct, min_val, max_val)""",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")

@@ -763,3 +763,77 @@ def embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias("centroid_norm"),
     )
+
+
+@register(
+    "sim_hard_negatives",
+    sql=f"""
+        WITH probes AS (
+            SELECT vec_id AS probe_id, embedding AS pe, label AS p_label
+            FROM embeddings WHERE vec_id < 30
+        ),
+        scored AS (
+            SELECT p.probe_id, p.p_label, e.vec_id, e.label AS n_label,
+                   round({_sql_cosine('p.pe', 'e.embedding')}, 6) AS cos_sim
+            FROM probes p JOIN embeddings e
+              ON e.label != p.p_label
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rk
+            FROM scored
+        )
+        SELECT probe_id, p_label, vec_id, n_label, cos_sim
+        FROM ranked WHERE rk = 1
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe,
+    the single most-similar vector with a DIFFERENT label — the
+    near-miss that teaches an embedding model its decision boundary
+    (random negatives are trivially separable; the hard ones carry the
+    gradient). Same two-stage kernel discipline as sim_cosine_topk:
+    probes broadcast with precomputed norms, the label-inequality
+    predicate prunes same-class candidates BEFORE scoring, and the
+    per-probe top-1 truncates partition-locally (WindowGroupLimit
+    partial) before the probe-key shuffle. Exact by the shared
+    left-to-right float kernel + post-round vec_id tie-break. At scale
+    this is the exact-mining baseline; the production path mines
+    within ANN candidates (sim_ann_*) the same way."""
+    e = spread(table(spark, sf_dir, "embeddings"))
+    cand = e.select(
+        "vec_id",
+        "embedding",
+        F.col("label").alias("n_label"),
+        _norm(F.col("embedding")).alias("cand_norm"),
+    )
+    probes = (
+        e.filter(F.col("vec_id") < 30)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            F.col("label").alias("p_label"),
+        )
+        .withColumn("probe_norm", _norm(F.col("pe")))
+    )
+    scored = cand.join(
+        F.broadcast(probes), F.col("n_label") != F.col("p_label")
+    ).select(
+        "probe_id",
+        "p_label",
+        "vec_id",
+        "n_label",
+        F.round(
+            _dot(F.col("pe"), F.col("embedding"))
+            / (F.col("probe_norm") * F.col("cand_norm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
