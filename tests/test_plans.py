@@ -443,3 +443,27 @@ def test_join_hint_flips_strategy_to_shuffled_hash(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sql_join_hints")
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_hard_negatives_two_stage_topk(spark, sf_dir):
+    """sim_hard_negatives: per-probe top-1 must truncate partial below
+    the shuffle, same contract as sim_cosine_topk."""
+    from twitter_hashtag_sentiment_analysis_spark.plans import explain_str
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    df = load_all()["sim_hard_negatives"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "row_number(), 1, Partial" in plan, plan
+    assert "row_number(), 1, Final" in plan, plan
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    """stat_column_profile: one parquet scan feeds every metric."""
+    plan = plan_of(spark, sf_dir, "stat_column_profile")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_paths_topk_is_take_ordered_single_data_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "event_paths_top")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan

@@ -1073,3 +1073,57 @@ def event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(latency_min, 0.90)"), 4).alias("p90_min"),
         F.round(F.avg("latency_min"), 4).alias("mean_min"),
     )
+
+
+#: Path-mining report size.
+PATHS_TOP_K = 10
+
+
+@register(
+    "event_paths_top",
+    sql=f"""
+        WITH seq AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        paths AS (
+            SELECT e1 || '>' || e2 || '>' || e3 AS path,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM seq WHERE e3 IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT path, n
+        FROM paths
+        ORDER BY n DESC, path
+        LIMIT {PATHS_TOP_K}
+    """,
+)
+def event_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the most common 3-step event sequences across all
+    users (the 'what do users actually do' flow report behind funnel
+    design — event_funnel checks one hypothesized path; this SURFACES
+    the paths worth hypothesizing). Two leads over ONE user-keyed
+    window sort emit each user's trigrams in place — no self-joins, no
+    explode of collected arrays — then a path-count aggregate and a
+    TakeOrderedAndProject top-K with full tie-break. Path space is
+    |types|^3, so the count relation is constant-sized at any corpus
+    scale; counts are integers, nothing to round."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return paths.orderBy(F.col("n").desc(), "path").limit(PATHS_TOP_K)
