@@ -1769,3 +1769,39 @@ def sql_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "sql_variables",
+    sql="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_totalprice > 250000.0
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables (DECLARE / SET VARIABLE): the
+    threshold lives in a typed session variable referenced by the
+    query text — how a SQL-first user parameterizes dashboards without
+    string interpolation (injection-safe, typed, session-scoped; the
+    DECLARE surface complements `sql_parameterized`'s bind-parameter
+    form). Catalyst constant-folds the variable reference at plan
+    time, so the physical plan is identical to the literal form the
+    oracle runs — including pushing the folded predicate into the
+    parquet scan."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE rev_floor DOUBLE")
+    spark.sql("SET VARIABLE rev_floor = 250000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders_v
+        WHERE o_totalprice > rev_floor
+        GROUP BY o_orderpriority
+        """
+    )

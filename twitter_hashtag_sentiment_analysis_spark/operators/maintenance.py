@@ -185,3 +185,79 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "n_orders",
     )
+
+
+@register(
+    "snapshot_diff",
+    sql="""
+        WITH v1 AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 11 != 0
+        ),
+        v2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % 13 != 0
+        ),
+        classified AS (
+            SELECT
+                CASE
+                    WHEN v1.o_orderkey IS NULL THEN 'added'
+                    WHEN v2.o_orderkey IS NULL THEN 'removed'
+                    WHEN v1.o_orderstatus != v2.o_orderstatus
+                         OR v1.o_totalprice != v2.o_totalprice
+                        THEN 'changed'
+                    ELSE 'unchanged'
+                END AS change
+            FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        )
+        SELECT change, CAST(count(*) AS BIGINT) AS n
+        FROM classified GROUP BY change
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the data-diff audit between two versions of a
+    keyed table (the check a pipeline runs after a backfill or before
+    promoting a rewrite: how many rows appeared, vanished, changed?).
+    Two deterministic versions are derived from orders (v2 drops the
+    %13 keys, mutates the %7 statuses; v1 drops the %11 keys), then a
+    single FULL OUTER join on the key classifies every row into
+    added / removed / changed / unchanged and aggregates the census.
+    One co-partitioned shuffle on the key serves join AND census; on
+    bucketed snapshot storage it is shuffle-free, and at 100 TB the
+    value-compare side can swap the column list for a precomputed row
+    hash (same plan, narrower shuffle). NULL-safe by construction:
+    classification branches on key presence before any value
+    compare."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 11 != 0)
+    v2 = o.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"),
+        F.col("a.o_orderkey") == F.col("b.o_orderkey"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
