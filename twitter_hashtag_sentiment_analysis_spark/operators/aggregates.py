@@ -784,7 +784,10 @@ def stat_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     driving dependence; the chi2 statistic is the residuals' square
     sum, recoverable from these rows). One data-sized aggregate; all
     three margin windows run over the |priorities x statuses| counts
-    relation — constant-sized at any corpus scale. Counts and margins
+    relation — constant-sized at any corpus scale (the grand-total
+    window is unpartitioned BY DESIGN over those ~15 rows; the
+    single-partition warning it logs is about that constant frame,
+    not the data). Counts and margins
     are integers; expected/residual are per-row arithmetic on them,
     written identically in both engines and rounded."""
     o = table(spark, sf_dir, "orders")
