@@ -694,3 +694,153 @@ def stream_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("source", "token", "n", "rk")
     )
+
+
+@register(
+    "stream_two_level_window",
+    sql="""
+        WITH hourly AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_active_hours,
+               CAST(max(n) AS BIGINT) AS peak_hourly
+        FROM hourly GROUP BY 1, 2
+    """,
+)
+def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 4
+    multiple-stateful-operator support): an hourly windowed count feeds
+    a SECOND, daily windowed aggregate downstream — the rollup cascade
+    (minute->hour->day) real metric pipelines run as one job instead
+    of two jobs with an intermediate topic. Both stateful stages share
+    the event-time watermark; the second window keys on
+    window_time() of the first (end - 1us, the API that PROPAGATES the
+    event-time watermark through the chain — grouping on the raw
+    w.end column drops it and Spark rejects the plan, observed), which
+    is what makes the chain late-data-correct.
+
+    The replay discipline is the real lesson here (all three failure
+    modes observed while building this): a chained stateful plan
+    accepts stage-1 emissions at stage 2 only while they are not late
+    against the watermark, and stage 1 only emits a window one batch
+    AFTER the watermark passes it — so a single-batch replay (or one
+    big watermark jump from a far-future sentinel) silently drops
+    everything at stage 2. A bounded replay must advance the watermark
+    GRADUALLY, the way a live stream does: the source here replays
+    5-day chunks in time order (one file per trigger) — any BOUNDED
+    chunk works, because chunk K's emissions surface in batch K+1,
+    whose one-batch-lagged late threshold is chunk K-1's end, strictly
+    before chunk K's event times — plus trailing flush sentinels
+    (+2 h to close the final day's hours, then +26 h/+50 h so the day
+    itself passes the lagged eviction; filtered back out after the
+    drain). Drained availableNow; the oracle is the batch two-level
+    rollup."""
+    _, ev = _stream_copy(spark, sf_dir, "events")
+    key = (sf_dir, "events_daily_flush")
+    fpath = _stream_dir_cache.get(key)
+    cols = ("event_id", "ts", "user_id", "event_type", "value", "props")
+    if fpath is None:
+        fpath = os.path.join(
+            tempfile.mkdtemp(prefix="thsa_evdaily_"), "events"
+        )
+        days = [
+            r.d
+            for r in ev.select(F.to_date("ts").alias("d"))
+            .distinct()
+            .orderBy("d")
+            .collect()
+        ]
+        for i in range(0, len(days), 5):
+            chunk = [str(d) for d in days[i : i + 5]]
+            ev.filter(
+                F.to_date("ts").cast("string").isin(chunk)
+            ).select(*cols).coalesce(1).write.mode("append").parquet(fpath)
+        for hours in (2, 26, 50):
+            flush = ev.agg(F.max("ts").alias("m")).select(
+                F.lit(-hours).cast("long").alias("event_id"),
+                (F.col("m") + F.expr(f"INTERVAL {hours} HOURS")).alias(
+                    "ts"
+                ),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("flush").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            flush.coalesce(1).write.mode("append").parquet(fpath)
+        _stream_dir_cache[key] = fpath
+    stream = (
+        spark.readStream.schema(spark.read.parquet(fpath).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(fpath)
+    )
+    hourly = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_active_hours"),
+            F.max("n").cast("long").alias("peak_hourly"),
+        )
+        .select(
+            F.col("d.start").alias("day"),
+            "event_type",
+            "n_active_hours",
+            "peak_hourly",
+        )
+    )
+    # the flush filter must run AFTER the drain: event_type is a
+    # grouping key of both aggregates, so a filter inside the streaming
+    # plan pushes down to the SOURCE — silently removing the sentinel
+    # events and with them the watermark advance (observed: the final
+    # day vanished again with the filter inlined)
+    name = _run_to_memory(daily, "twolvl")
+    return spark.table(name).filter(F.col("event_type") != "flush")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    sql="SELECT event_id, event_type FROM events",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark (Spark 3.5+): duplicate suppression
+    whose state EXPIRES with the watermark — the practical form of
+    streaming dedup for at-least-once sources, where duplicates arrive
+    close together (a redelivery) and unbounded keep-forever state
+    (stream_dedup_state's dropDuplicates) would grow with the key
+    space. The source replays the events table TWICE as two files, one
+    per trigger: every record is a genuine cross-batch duplicate
+    arriving within the 1 h delay, so exactly one copy survives — the
+    oracle is the plain projection. At 100 TB the state store holds
+    only the keys seen within the watermark horizon, not the corpus."""
+    _, ev = _stream_copy(spark, sf_dir, "events")
+    key = (sf_dir, "events_twice")
+    fpath = _stream_dir_cache.get(key)
+    cols = ("event_id", "ts", "user_id", "event_type", "value", "props")
+    if fpath is None:
+        fpath = os.path.join(
+            tempfile.mkdtemp(prefix="thsa_evtwice_"), "events"
+        )
+        for _ in range(2):
+            ev.select(*cols).coalesce(1).write.mode("append").parquet(fpath)
+        _stream_dir_cache[key] = fpath
+    stream = (
+        spark.readStream.schema(spark.read.parquet(fpath).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(fpath)
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    name = _run_to_memory(deduped, "dedupwm")
+    return spark.table(name)
