@@ -844,3 +844,60 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     name = _run_to_memory(deduped, "dedupwm")
     return spark.table(name)
+
+
+@register(
+    "stream_rocksdb_state",
+    sql="""
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming aggregate under the ROCKSDB state store
+    provider — the production configuration for state that exceeds
+    executor heap (the JVM default keeps every key's state in memory;
+    RocksDB spills to local SSD with changelog checkpointing, which is
+    what makes 100 TB-scale keyed state feasible at all). The query is
+    a per-(user, event_type) running aggregate over a 4-batch replay —
+    wide key space by design, the shape that breaks heap-bound state
+    first. Run twice identically it proves the provider swap is purely
+    physical: the oracle pins the result to the batch aggregate,
+    bit-identical to what the default provider produces. The provider
+    conf is set only for the drain and restored after (it is pinned
+    per-query at first checkpoint, so coexisting queries keep their
+    own providers)."""
+    sdf = _multibatch_stream(spark, sf_dir, "events")
+    counts = sdf.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        name = _run_to_memory(counts, "rocks", output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    # update-mode re-emission compaction, same contract as
+    # stream_update_mode: counts are monotone, the final state is the
+    # row with the max n per key
+    from pyspark.sql import Window
+
+    drained = spark.table(name)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("n").desc()
+    )
+    return (
+        drained.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_type", "n", "total_value")
+    )
