@@ -1127,3 +1127,38 @@ def event_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
     )
     return paths.orderBy(F.col("n").desc(), "path").limit(PATHS_TOP_K)
+
+
+@register(
+    "ts_seasonal_baseline",
+    sql="""
+        SELECT event_type,
+               CAST(isodow(ts) AS INTEGER) AS dow,
+               CAST(hour(ts) AS INTEGER) AS hod,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value), 6) AS seasonal_mean
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: mean value per (type, day-of-week,
+    hour-of-day) cell — the seasonal baseline an anomaly detector
+    subtracts before thresholding (ts_anomaly_zscore and
+    ts_cusum_changepoint judge against rolling/global means; real
+    traffic needs the Monday-9am-vs-Sunday-3am correction first). One
+    map-side-combinable aggregate over a constant |types|*7*24 cell
+    space — the textbook partial-agg shuffle shape at any corpus
+    size. Day-of-week is ISO (Mon=1): Spark's weekday()+1 == DuckDB's
+    isodow — the one cross-engine calendar function pair that agrees
+    on both the week start and the index base (dayofweek() does
+    neither)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("value"), 6).alias("seasonal_mean"),
+    )

@@ -901,3 +901,67 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "event_type", "n", "total_value")
     )
+
+
+@register(
+    "stream_observe_metrics",
+    sql="""
+        SELECT CAST(count(*) AS BIGINT) AS rows_seen,
+               round(sum(value), 2) AS value_seen,
+               CAST(4 AS INTEGER) AS n_batches
+    FROM events
+    """,
+)
+def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed metrics on a STREAMING query (df.observe + the
+    QueryProgress listener path — the streaming twin of the batch
+    `obs_metrics` operator, and the R9 per-record logging made
+    zero-cost): count/sum accumulators ride each micro-batch of a
+    4-batch replay and surface in `progress.observedMetrics`, the
+    monitoring channel a production pipeline exports to its metrics
+    system. Per-batch partials are summed driver-side in batch-id
+    order (deterministic replay => deterministic order => the float
+    sum is reproducible) and pinned by the oracle to the batch
+    aggregate — proving the observation sees every row exactly once
+    across batches, with no second job."""
+    import math
+
+    sdf = _multibatch_stream(spark, sf_dir, "events")
+    observed = sdf.observe(
+        "batch_metrics",
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum("value").alias("value_seen"),
+    )
+    # noop sink with a kept handle: the data plane is irrelevant here,
+    # the metrics channel is the API under test
+    ck = tempfile.mkdtemp(prefix="thsa_ck_obsm_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        handle = (
+            observed.groupBy("event_type")
+            .count()
+            .writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = 0
+    val = 0.0
+    n_batches = 0
+    for p in sorted(handle.recentProgress, key=lambda p: p["batchId"]):
+        m = p.get("observedMetrics", {}).get("batch_metrics")
+        if m is None or p["numInputRows"] == 0:
+            continue
+        n_batches += 1
+        rows += m["rows_seen"]
+        val += m["value_seen"]
+    return spark.createDataFrame(
+        # engine-identical half-up form, not Python's banker round
+        [(rows, math.floor(val * 100 + 0.5) / 100, n_batches)],
+        "rows_seen bigint, value_seen double, n_batches int",
+    )
