@@ -467,3 +467,11 @@ def test_paths_topk_is_take_ordered_single_data_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "event_paths_top")
     assert "TakeOrderedAndProject" in plan, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_python_source_pushdown_reaches_reader(spark, sf_dir):
+    """source_python_pushdown: the EqualTo filter must appear as a
+    PushedFilter on the Python scan — the reader generates only the
+    matching congruence class, it does not post-filter the world."""
+    plan = plan_of(spark, sf_dir, "source_python_pushdown")
+    assert "PushedFilters: [EqualTo(lang,en)]" in plan, plan

@@ -277,3 +277,108 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("long").alias("total_words"),
         )
     )
+
+
+_pushdown_registered = False
+
+
+@register(
+    "source_python_pushdown",
+    sql=f"""
+        SELECT i AS id,
+               (['en', 'es', 'de', 'fr', 'zh'])[(i % 5) + 1] AS lang,
+               CAST(3 + (i * 7) % 8 AS INT) AS n_words
+        FROM range(0, {PYDS_ROWS}) t(i)
+        WHERE (i % 5) + 1 = 1
+    """,
+)
+def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source FILTER PUSHDOWN (Spark 4.1
+    DataSourceReader.pushFilters): the reader accepts `EqualTo("lang",
+    ...)`, maps it back to the generator's congruence class (lang ==
+    langs[i % 5], so lang = 'en' means i ≡ 0 mod 5), and generates
+    ONLY matching rows executor-side — the connector-level predicate
+    pushdown a Kafka/warehouse connector does with server-side
+    filters, here proven end-to-end: unsupported filters are returned
+    to Spark (which re-applies them), supported ones shrink what is
+    ever materialized. At a 100 TB source this is the difference
+    between reading a language partition and reading the world. The
+    pushdown path is unit-tested directly (reader-level contract) in
+    tests/test_quality_ops.py."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        InputPartition,
+    )
+
+    langs = PYDS_LANGS
+
+    class _Part(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
+
+    class PushdownReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_rows = int(options.get("numrows", 2000))
+            self.n_parts = int(options.get("numpartitions", 4))
+            self.lang_residue = None  # i % 5 class implied by the filter
+
+        def pushFilters(self, filters):
+            kept = []
+            for f in filters:
+                if (
+                    isinstance(f, EqualTo)
+                    and f.attribute == ("lang",)
+                    and f.value in langs
+                ):
+                    self.lang_residue = langs.index(f.value)
+                else:
+                    kept.append(f)  # not ours — Spark re-applies it
+            return kept
+
+        def partitions(self):
+            step = (self.n_rows + self.n_parts - 1) // self.n_parts
+            return [
+                _Part(lo, min(lo + step, self.n_rows))
+                for lo in range(0, self.n_rows, step)
+            ]
+
+        def read(self, partition):
+            start = partition.start
+            if self.lang_residue is not None:
+                # jump to the first i >= start with i % 5 == residue,
+                # then stride by 5: only matching rows exist at all
+                r = self.lang_residue
+                start = start + (r - start) % 5
+                rng = range(start, partition.end, 5)
+            else:
+                rng = range(start, partition.end)
+            for i in rng:
+                yield (i, langs[i % 5], 3 + (i * 7) % 8)
+
+    class PushdownTweetsDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_tweets_pushdown"
+
+        def schema(self) -> str:
+            return "id BIGINT, lang STRING, n_words INT"
+
+        def reader(self, schema) -> PushdownReader:
+            return PushdownReader(self.options)
+
+    global _pushdown_registered
+    if not _pushdown_registered:
+        spark.dataSource.register(PushdownTweetsDataSource)
+        _pushdown_registered = True
+    # pushdown for Python sources is opt-in (off by default in 4.1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (
+        spark.read.format("synthetic_tweets_pushdown")
+        .option("numRows", PYDS_ROWS)
+        .option("numPartitions", PYDS_PARTITIONS)
+        .load()
+        .filter(F.col("lang") == "en")
+    )

@@ -965,3 +965,47 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(rows, math.floor(val * 100 + 0.5) / 100, n_batches)],
         "rows_seen bigint, value_seen double, n_batches int",
     )
+
+
+@register(
+    "stream_state_reader",
+    sql="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The State Data Source (Spark 4 `statestore` format): after a
+    stateful streaming drain, the checkpoint's state store is opened
+    as a BATCH DataFrame — the operational superpower behind state
+    inspection, debugging a miscounting aggregate, and offline state
+    migration (before this API, checkpoint state was a black box).
+    The query drains a per-type running count, then reads the final
+    counts back OUT OF THE CHECKPOINT itself; the oracle pins what
+    the state holds to the batch aggregate — proving the persisted
+    state, not the sink, carries exactly the right totals."""
+    sdf = _multibatch_stream(spark, sf_dir, "events")
+    counts = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
+    ck = tempfile.mkdtemp(prefix="thsa_ck_staterd_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = (
+        spark.read.format("statestore").load(ck)
+    )
+    # the state schema stores the aggregate under its expression name
+    # ("count") regardless of the DataFrame alias
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n"),
+    )
