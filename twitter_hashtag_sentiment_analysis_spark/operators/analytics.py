@@ -1805,3 +1805,34 @@ def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "sql_identifier_clause",
+    sql="""
+        SELECT o_orderstatus AS dim_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause (Spark 3.5+): table and COLUMN names
+    parameterized as constants without string-splicing SQL — the
+    injection-safe templating that makes a 'group by any dimension'
+    dashboard endpoint possible (the name arrives as a BIND PARAMETER
+    and the parser resolves it as an identifier, so `o_orderstatus;
+    DROP TABLE` is a resolution error, not a statement). Same family
+    as sql_parameterized (value parameters) and sql_variables (typed
+    session state); this one parameterizes the SCHEMA reference
+    itself. Constant-folded at parse time — the physical plan is
+    byte-identical to the hand-written query, as the oracle proves."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_idq")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:col) AS dim_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:col)
+        """,
+        args={"col": "o_orderstatus", "tbl": "orders_idq"},
+    )

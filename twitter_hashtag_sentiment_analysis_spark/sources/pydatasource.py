@@ -303,8 +303,9 @@ def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     to Spark (which re-applies them), supported ones shrink what is
     ever materialized. At a 100 TB source this is the difference
     between reading a language partition and reading the world. The
-    pushdown path is unit-tested directly (reader-level contract) in
-    tests/test_quality_ops.py."""
+    pushdown is plan-asserted (PushedFilters on the Python scan,
+    tests/test_plans.py) — proof the filter reached the reader rather
+    than running as a post-scan Filter alone."""
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
