@@ -342,3 +342,40 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "scan_glob_filtered",
+    sql="""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'N')
+        GROUP BY l_returnflag
+    """,
+)
+def scan_glob_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-layout-aware reading: a Hive-partitioned dataset
+    (dir per l_returnflag, as sink_partitioned writes) read back with
+    `recursiveFileLookup` OFF and a partition-dir GLOB — selecting the
+    A and N partitions BY PATH, so the R partition's files are never
+    listed, let alone read (the coarse-grained cousin of partition
+    pruning: pruning trusts the catalog, the glob trusts the layout —
+    what an ad-hoc reader over a foreign S3 layout actually does).
+    basePath keeps the partition column recoverable from the path.
+    The oracle filters relationally; matching proves glob selection ==
+    predicate selection on a partition column."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey"
+    )
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="thsa_glob_"), "lineitem_by_flag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.option("basePath", out).parquet(
+        os.path.join(out, "l_returnflag={A,N}")
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
