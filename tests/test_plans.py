@@ -475,3 +475,36 @@ def test_python_source_pushdown_reaches_reader(spark, sf_dir):
     matching congruence class, it does not post-filter the world."""
     plan = plan_of(spark, sf_dir, "source_python_pushdown")
     assert "PushedFilters: [EqualTo(lang,en)]" in plan, plan
+
+
+def test_gopher_rules_plan_is_narrow(spark, sf_dir):
+    """The quality gate is per-row HOF expressions only: no Exchange,
+    no Python — at 100 TB it must stay a map over the scan."""
+    plan = plan_of(spark, sf_dir, "quality_gopher_rules")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_substring_corpus_join_is_equi_and_aggs_are_partial(spark, sf_dir):
+    """The gram-df join-back must be an equi join (1:1 per position),
+    never a nested-loop pair blowup, and the gram-df aggregate must
+    have a map-side partial phase."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_corpus")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x2 aggs
+
+
+def test_weighted_quantile_preaggregates_before_sort(spark, sf_dir):
+    """agg_weighted_quantile must collapse to the distinct-value
+    relation (partial+final hash agg) BEFORE the per-group window
+    sort — the property that keeps the sort bounded at 100 TB."""
+    from twitter_hashtag_sentiment_analysis_spark.plans import explain_str
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    df = load_all()["agg_weighted_quantile"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # the window must sit ABOVE the value-collapsing aggregate
+    win_pos = plan.index("Window")
+    agg_pos = plan.rindex("HashAggregate")
+    assert agg_pos > win_pos, plan

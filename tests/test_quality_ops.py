@@ -305,3 +305,95 @@ def test_interpolate_linear_draws_the_line(spark, tmp_path):
         14: (3.0, True),
         15: (4.0, False),
     }
+
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_gopher_rules_gate_matches_row_signals(spark, sf_dir):
+    """keep must equal the conjunction recomputed from the row's own
+    reported signals, and both classes must be populated on the
+    fixture corpus (the gate discriminates, not rubber-stamps)."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.text_analysis import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_RATIO,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+    )
+
+    rows = load_all()["quality_gopher_rules"].fn(spark, sf_dir).collect()
+    assert rows, "empty output"
+    for r in rows:
+        # fixture ratios have granularity >= 1/99, far from the 4dp
+        # rounding, so recomputing from reported columns is exact
+        expect = (
+            GOPHER_MIN_WORDS <= r["n_words"] <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MEAN_WORD_LEN
+            <= r["mean_word_len"]
+            <= GOPHER_MAX_MEAN_WORD_LEN
+            and r["alpha_ratio"] >= GOPHER_MIN_ALPHA_RATIO
+            and r["n_stop_hits"] >= GOPHER_MIN_STOP_HITS
+        )
+        assert r["keep"] == expect, r
+    kept = {r["keep"] for r in rows}
+    assert kept == {True, False}, kept
+
+
+def test_substring_corpus_flags_planted_mirror_docs(spark, tmp_path):
+    """Two identical 12-token docs: every 5-gram position of each is
+    duplicated => dup_frac 1.0, flagged.  A disjoint-vocabulary doc
+    shares no gram => dup_frac 0.0, kept.  n_grams = tokens - 4."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.dedup import (
+        DUP_GRAM_N,
+    )
+
+    mirror = " ".join(f"w{i % 7}x{i}" for i in range(12))
+    unique = " ".join(f"zq{i}" for i in range(12))
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        [
+            (1, mirror, "en", "srcA", len(mirror)),
+            (2, mirror, "en", "srcB", len(mirror)),
+            (3, unique, "en", "srcC", len(unique)),
+        ],
+        DOC_SCHEMA,
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in load_all()["dedup_substring_corpus"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    for d in (1, 2):
+        assert rows[d]["n_grams"] == 12 - DUP_GRAM_N + 1
+        assert rows[d]["dup_frac"] == 1.0 and rows[d]["is_dup"]
+    assert rows[3]["dup_frac"] == 0.0 and not rows[3]["is_dup"]
+
+
+def test_weighted_quantile_exact_on_planted_weights(spark, tmp_path):
+    """Prices 1,2,3 with integer weights 5,4,3 (total 12): cumulative
+    weights 5,9,12 => p25 = 1.0 (cw 5 >= 3), p50 = 2.0 (cw 9 >= 6),
+    p75 = 2.0 (cw 9 >= 9).  Exercises the exact boundary case cw == q*tot
+    that the integer arithmetic exists for."""
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp"
+    )
+    rows = [
+        (i, 1, 1, 1, float(q), float(p), 0.0, 0.0, "A", "O", TS0)
+        for i, (p, q) in enumerate([(1, 5), (2, 4), (3, 3)])
+    ]
+    _write(spark, tmp_path, "lineitem", rows, li_schema)
+    got = (
+        load_all()["agg_weighted_quantile"].fn(spark, str(tmp_path)).collect()
+    )
+    assert len(got) == 1
+    r = got[0]
+    assert (r["p25_w"], r["p50_w"], r["p75_w"]) == (1.0, 2.0, 2.0), r

@@ -818,3 +818,75 @@ def stat_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - expected_raw) / F.sqrt(expected_raw), 4
         ).alias("std_residual"),
     )
+
+
+@register(
+    "agg_weighted_quantile",
+    sql="""
+        WITH byval AS (
+            SELECT l_returnflag,
+                   l_extendedprice AS v,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT l_returnflag, v,
+                   sum(w) OVER (
+                       PARTITION BY l_returnflag ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tot
+            FROM byval
+        )
+        SELECT l_returnflag,
+               round(min(CASE WHEN cw * 4 >= tot THEN v END), 2) AS p25_w,
+               round(min(CASE WHEN cw * 2 >= tot THEN v END), 2) AS p50_w,
+               round(min(CASE WHEN cw * 4 >= tot * 3 THEN v END), 2) AS p75_w
+        FROM cum
+        GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted quantiles (price percentiles weighted by shipped
+    quantity, per return flag) — the token-weighted statistic a corpus
+    report needs (e.g. "median doc length weighted by token count"),
+    which neither `percentile` (unweighted) nor the sketch family
+    supports exactly.
+
+    Distributed form: (1) hash-aggregate to one row per (group, value)
+    with summed integer weights — map-side partial combine collapses
+    100 TB to its distinct-value relation; (2) one per-group sort for
+    the running weight sum; (3) pick min(value) at each cumulative
+    threshold.  The quantile condition is kept in INTEGER arithmetic
+    (cw*4 >= tot, never 0.25*tot in floating point) so the boundary
+    row is engine-exact.  Per-group sort cost is bounded by distinct
+    values per group, not rows — for unbounded-cardinality measures
+    reach for the mergeable sketch twin `agg_approx_quantile`."""
+    li = table(spark, sf_dir, "lineitem")
+    byval = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = byval.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tot"),
+    )
+    pick = lambda num, den: F.round(  # noqa: E731
+        F.min(
+            F.when(F.col("cw") * num >= F.col("tot") * den, F.col("v"))
+        ),
+        2,
+    )
+    return cum.groupBy("l_returnflag").agg(
+        pick(4, 1).alias("p25_w"),
+        pick(2, 1).alias("p50_w"),
+        pick(4, 3).alias("p75_w"),
+    )

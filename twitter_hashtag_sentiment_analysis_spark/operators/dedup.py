@@ -718,3 +718,104 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= LEV_MAX))
     )
+
+
+#: Corpus-level duplicate-substring geometry (Lee et al. 2022,
+#: "Deduplicating Training Data Makes Language Models Better" — public
+#: paper).  The paper removes exact substrings >= 50 tokens via a
+#: suffix array; the distributable relational approximation below
+#: scores each document by the fraction of its 5-token-gram POSITIONS
+#: whose gram also occurs in at least DUP_GRAM_MIN_DOCS distinct
+#: documents, and flags docs above DUP_DOC_FRAC as corpus-level dups.
+DUP_GRAM_N = 5
+DUP_GRAM_MIN_DOCS = 2
+DUP_DOC_FRAC = 0.5
+
+
+@register(
+    "dedup_substring_corpus",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(ts) - {DUP_GRAM_N} + 2),
+                       i -> array_to_string(ts[i:i + {DUP_GRAM_N} - 1], ' ')
+                   )) AS gram
+            FROM toks
+            WHERE len(ts) >= {DUP_GRAM_N}
+        ),
+        gdf AS (
+            SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM grams GROUP BY gram
+        ),
+        per_doc AS (
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (
+                       WHERE d.n_docs >= {DUP_GRAM_MIN_DOCS}
+                   ) AS BIGINT) AS dup_grams
+            FROM grams g JOIN gdf d USING (gram)
+            GROUP BY g.doc_id
+        )
+        SELECT doc_id, n_grams, dup_grams,
+               round(dup_grams * 1.0 / n_grams, 4) AS dup_frac,
+               dup_grams * 1.0 / n_grams >= {DUP_DOC_FRAC} AS is_dup
+        FROM per_doc
+    """,
+)
+def dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-substring coverage — the distributed
+    n-gram form of suffix-array substring dedup (Lee et al. 2022): a
+    doc whose 5-gram positions mostly reappear in other documents is
+    boilerplate/mirror content even when no single pair passes a
+    whole-document Jaccard cut, which is exactly the dup class
+    pairwise MinHash misses.
+
+    Plan (all equi-key, all linear): (1) narrow explode of 5-gram
+    positions, (2) gram -> distinct-doc-frequency hash aggregate
+    (partial map-side combine; the 100 TB corpus collapses to its
+    distinct-gram relation), (3) join the per-position grams back on
+    the gram key — exactly 1:1 per position, no pair fanout anywhere —
+    then (4) re-aggregate per doc.  A boilerplate mega-gram skews the
+    join-back key; AQE skew-join splits it (session.tune), and unlike
+    the pairwise family no cap is needed because the fanout is bounded
+    by position count by construction.  Fully SQL-expressible =>
+    exact oracle.  Pairwise twin: `dedup_ngram_jaccard`; whole-doc
+    twin: `dedup_exact`."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts")).filter(
+        F.size("ts") >= DUP_GRAM_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - DUP_GRAM_N + 1),
+                lambda i: F.array_join(F.slice("ts", i, DUP_GRAM_N), " "),
+            )
+        ).alias("gram"),
+    )
+    gdf = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    per_doc = (
+        grams.join(gdf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count_if(F.col("n_docs") >= DUP_GRAM_MIN_DOCS)
+            .cast("long")
+            .alias("dup_grams"),
+        )
+    )
+    frac = F.col("dup_grams") / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "dup_grams",
+        F.round(frac, 4).alias("dup_frac"),
+        (frac >= DUP_DOC_FRAC).alias("is_dup"),
+    )

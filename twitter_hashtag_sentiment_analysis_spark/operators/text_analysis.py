@@ -809,3 +809,96 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+#: Gopher-rule quality gate bounds (Rae et al. 2021, "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher", §A1.1 —
+#: public paper).  Word-count floor is adapted to the fixture corpus
+#: (docs are 10-99 tokens; the published 50 floor would still
+#: discriminate but 30 keeps both classes well-populated at sf0.001).
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+#: the rule's "contains >= 2 of a short English stopword list"
+_GOPHER_STOPS = ("the", "a", "is")
+
+
+@register(
+    "quality_gopher_rules",
+    sql=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(ts) AS n_words,
+                   list_sum(list_transform(ts, w -> length(w))) * 1.0
+                       / len(ts) AS mwl,
+                   len(list_filter(ts, w -> regexp_full_match(w, '[a-z]+')))
+                       * 1.0 / len(ts) AS ar,
+                   len(list_filter(ts, w -> w IN ('the', 'a', 'is'))) AS ns
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(mwl, 4) AS mean_word_len,
+               round(ar, 4) AS alpha_ratio,
+               CAST(ns AS BIGINT) AS n_stop_hits,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mwl BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                            AND {GOPHER_MAX_MEAN_WORD_LEN}
+                AND ar >= {GOPHER_MIN_ALPHA_RATIO}
+                AND ns >= {GOPHER_MIN_STOP_HITS}) AS keep
+        FROM m
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021 §A1.1) as one
+    per-document gate: word-count bounds, mean-word-length bounds,
+    alphabetic-word ratio, and a minimum stopword-hit count — the
+    standard pre-dedup heuristic pass of a web-corpus curation
+    pipeline (the batch generalization of the reference's only quality
+    gate, the keyword filter at streamer.py:48).
+
+    All four signals are per-row higher-order array expressions
+    (aggregate / filter / rlike) inside whole-stage codegen: zero
+    shuffle, embarrassingly parallel, linear at 100 TB.  Ratios are
+    integer-over-integer divisions so the keep flag compares
+    identically across engines; only the displayed columns are
+    rounded."""
+    d = table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    m = d.select(
+        "doc_id",
+        F.size(ts).alias("n_words"),
+        (
+            F.aggregate(ts, F.lit(0), lambda acc, w: acc + F.length(w)).cast(
+                "double"
+            )
+            / F.size(ts)
+        ).alias("mwl"),
+        (
+            F.size(F.filter(ts, lambda w: w.rlike("^[a-z]+$"))).cast("double")
+            / F.size(ts)
+        ).alias("ar"),
+        F.size(
+            F.filter(ts, lambda w: w.isin(*_GOPHER_STOPS))
+        ).alias("ns"),
+    )
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mwl").between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("ar") >= GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("ns") >= GOPHER_MIN_STOP_HITS)
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round("ar", 4).alias("alpha_ratio"),
+        F.col("ns").cast("long").alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
