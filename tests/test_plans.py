@@ -508,3 +508,29 @@ def test_weighted_quantile_preaggregates_before_sort(spark, sf_dir):
     win_pos = plan.index("Window")
     agg_pos = plan.rindex("HashAggregate")
     assert agg_pos > win_pos, plan
+
+
+def test_bpe_tokens_plan_is_narrow(spark, sf_dir):
+    """The unrolled merge chain must stay a map over the scan: no
+    Exchange, no Python."""
+    plan = plan_of(spark, sf_dir, "text_bpe_tokens")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_decontaminate_bloom_semis_are_broadcast(spark, sf_dir):
+    """One broadcast LEFT SEMI per Bloom probe plus the broadcast
+    verify join — the corpus side must never shuffle before its
+    per-doc aggregate."""
+    plan = plan_of(spark, sf_dir, "text_decontaminate_bloom")
+    assert plan.count("LeftSemi") >= 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_quantize_broadcasts_codebook_and_group_limits(spark, sf_dir):
+    """The sub-codebook must broadcast and the per-(vector, subspace)
+    argmin must run as WindowGroupLimit, not a full sort."""
+    plan = plan_of(spark, sf_dir, "embed_pq_quantize")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan

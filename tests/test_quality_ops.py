@@ -397,3 +397,63 @@ def test_weighted_quantile_exact_on_planted_weights(spark, tmp_path):
     assert len(got) == 1
     r = got[0]
     assert (r["p25_w"], r["p50_w"], r["p75_w"]) == (1.0, 2.0, 2.0), r
+
+
+def test_bpe_tokens_known_merge_sequence(spark, tmp_path):
+    """'the' collapses to 1 unit (t+h -> th, th+e -> the), 'table' to
+    2 (ta+b, l+e -> 'tab le'), 'hash' to 2 (a+s, h+as -> 'has h'),
+    and a word outside the merge alphabet stays at char count."""
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        [(1, "the table hash", "en", "s", 14), (2, "zzz", "en", "s", 3)],
+        DOC_SCHEMA,
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in load_all()["text_bpe_tokens"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[1]["n_bpe"] == 1 + 2 + 2, rows[1]
+    assert rows[1]["n_chars_sum"] == 12
+    assert rows[1]["chars_per_token"] == 2.4
+    assert rows[2]["n_bpe"] == 3, rows[2]
+
+
+def test_decontaminate_bloom_is_bit_identical_to_exact(spark, sf_dir):
+    """The Bloom prefilter must not change a single row vs the exact
+    operator — FNs impossible, FPs killed by the verify join."""
+    reg = load_all()
+    exact = {
+        (r["doc_id"], r["n_shared"], r["contaminated"])
+        for r in reg["text_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_shared"], r["contaminated"])
+        for r in reg["text_decontaminate_bloom"].fn(spark, sf_dir).collect()
+    }
+    assert exact == bloom
+    assert exact, "empty comparison"
+
+
+def test_pq_codebook_vectors_quantize_to_themselves(spark, sf_dir):
+    """Each codebook vector's sub-vectors are distance 0 from their own
+    code, so they must self-assign with zero reconstruction error; all
+    other vectors report non-negative error and a valid code."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.similarity import (
+        PQ_CODES_HI,
+        PQ_CODES_LO,
+        PQ_M,
+    )
+
+    rows = load_all()["embed_pq_quantize"].fn(spark, sf_dir).collect()
+    by_vec = {}
+    for r in rows:
+        assert 0 <= r["code"] <= PQ_CODES_HI - PQ_CODES_LO
+        assert r["sq_err"] >= 0.0
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    for vid, rs in by_vec.items():
+        assert len(rs) == PQ_M, (vid, rs)
+        if PQ_CODES_LO <= vid <= PQ_CODES_HI:
+            for r in rs:
+                assert r["code"] == vid - PQ_CODES_LO and r["sq_err"] == 0.0, r

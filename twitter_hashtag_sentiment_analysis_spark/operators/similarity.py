@@ -837,3 +837,124 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+#: Product-quantization geometry (Jégou et al. 2011, "Product
+#: Quantization for Nearest Neighbor Search" — public paper): the
+#: 64-dim embedding splits into PQ_M contiguous sub-vectors of
+#: PQ_SUBDIM dims; each sub-vector is assigned to the nearest of 8
+#: sub-codebook entries.  Codebook = the sub-vectors of a pinned
+#: vec_id range (the same trained-offline-then-broadcast stand-in as
+#: the IVF codebook), so assignments are deterministic and carry a
+#: full value-hash oracle.
+PQ_M = 4
+PQ_SUBDIM = 16
+PQ_CODES_LO, PQ_CODES_HI = 200, 207
+
+
+def _sql_sub_l2sq(a: str, b: str) -> str:
+    """DuckDB: squared L2 distance between two PQ_SUBDIM slices, same
+    upcast + left-to-right sum as the cosine kernel."""
+    return (
+        f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+@register(
+    "embed_pq_quantize",
+    sql=f"""
+        WITH codes AS (
+            SELECT vec_id - {PQ_CODES_LO} AS code, j.j,
+                   embedding[j.j * {PQ_SUBDIM} + 1 :
+                             j.j * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cv
+            FROM embeddings, (SELECT unnest(range(0, {PQ_M})) AS j) j
+            WHERE vec_id BETWEEN {PQ_CODES_LO} AND {PQ_CODES_HI}
+        ),
+        subs AS (
+            SELECT vec_id, j.j,
+                   embedding[j.j * {PQ_SUBDIM} + 1 :
+                             j.j * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+            FROM embeddings, (SELECT unnest(range(0, {PQ_M})) AS j) j
+        ),
+        scored AS (
+            SELECT s.vec_id, s.j, c.code,
+                   {_sql_sub_l2sq('s.sv', 'c.cv')} AS d2
+            FROM subs s JOIN codes c ON s.j = c.j
+        ),
+        best AS (
+            SELECT vec_id, j, code, d2, row_number() OVER (
+                PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+            FROM scored
+        )
+        SELECT vec_id, CAST(j AS BIGINT) AS subspace,
+               CAST(code AS BIGINT) AS code, round(d2, 6) AS sq_err
+        FROM best WHERE rn = 1
+    """,
+)
+def embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: compress each embedding to PQ_M one-byte
+    codes by assigning every contiguous sub-vector to its nearest
+    sub-codebook centroid (squared L2, ties to the lower code id) —
+    the memory side of large-scale ANN serving (IVF partitions the
+    corpus; PQ shrinks the residuals 64x here, 4 codes vs 64 floats).
+
+    Plan: the 8 x PQ_M sub-codebook rows broadcast (trained offline at
+    production scale, exactly like `sim_ann_ivf_trained`'s codebook);
+    every vector explodes into PQ_M sub-vectors, scores 8 candidates
+    each via the shared upcast-to-double kernel, and keeps the argmin
+    with a (vec_id, subspace)-keyed WindowGroupLimit — per-vector work
+    is CONSTANT (M x 8 distances), so the pass is linear and
+    shuffle-light at 100 TB.  Reconstruction error per subspace is
+    reported so a recall/size tradeoff audit needs no second pass."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def sub_slices(col: Column):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(col, j * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        )
+
+    codes = (
+        e.filter(F.col("vec_id").between(PQ_CODES_LO, PQ_CODES_HI))
+        .select(
+            (F.col("vec_id") - PQ_CODES_LO).alias("code"),
+            sub_slices(F.col("embedding")).alias("s"),
+        )
+        .select("code", F.col("s.j").alias("j"), F.col("s.sv").alias("cv"))
+    )
+    subs = e.select(
+        "vec_id", sub_slices(F.col("embedding")).alias("s")
+    ).select("vec_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = subs.join(F.broadcast(codes), "j").select(
+        "vec_id", "j", "code", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "j").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("j").cast("long").alias("subspace"),
+            F.col("code").cast("long").alias("code"),
+            F.round("d2", 6).alias("sq_err"),
+        )
+    )

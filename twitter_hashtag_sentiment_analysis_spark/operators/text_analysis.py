@@ -10,7 +10,7 @@ an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import spread, table
@@ -901,4 +901,187 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ar", 4).alias("alpha_ratio"),
         F.col("ns").cast("long").alias("n_stop_hits"),
         keep.alias("keep"),
+    )
+
+
+#: Fixed BPE merge table (ordered, as a trained tokenizer ships it —
+#: Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+#: with Subword Units", public paper).  Applying a FROZEN merge list
+#: is the deterministic half of BPE (training learns the list; here
+#: it is a constant, exactly like shipping a tokenizer.json).
+_BPE_MERGES = (
+    ("t", "h"),
+    ("th", "e"),
+    ("t", "a"),
+    ("ta", "b"),
+    ("l", "e"),
+    ("r", "o"),
+    ("a", "s"),
+    ("h", "as"),
+)
+
+
+def _bpe_sql_word(w: str) -> str:
+    """DuckDB expression: BPE token count of one word expression."""
+    s = f"' ' || array_to_string(string_split({w}, ''), ' ') || ' '"
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return f"len(string_split(trim({s}), ' '))"
+
+
+@register(
+    "text_bpe_tokens",
+    sql=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ts, w -> length(w)))
+                    AS BIGINT) AS n_chars_sum,
+               CAST(list_sum(list_transform(ts, w -> {_bpe_sql_word('w')}))
+                    AS BIGINT) AS n_bpe,
+               round(list_sum(list_transform(ts, w -> length(w))) * 1.0
+                     / list_sum(list_transform(ts, w -> {_bpe_sql_word('w')})),
+                     4) AS chars_per_token
+        FROM t
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True BPE token counting with a frozen merge table: each word is
+    exploded to characters and the ordered merge list is applied
+    greedily left-to-right (replace-all per merge, the reference
+    implementation's semantics), then surviving subword units are
+    counted.  Upgrades `text_tokens`'s BPE-ish regex to the real
+    algorithm; per-doc chars-per-token is the compression signal a
+    token-budget planner needs.
+
+    Everything is per-row string/array expressions in whole-stage
+    codegen — the merge loop unrolls into a fixed replace chain, so
+    cost is O(merges x chars) per doc with ZERO shuffle: at 100 TB
+    this is a map over the scan, exactly how a production tokenizer
+    count pass behaves (the merge table broadcasts as literals)."""
+    d = table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+
+    def bpe_count(w: Column) -> Column:
+        s = F.concat(F.lit(" "), F.array_join(F.split(w, ""), " "), F.lit(" "))
+        for a, b in _BPE_MERGES:
+            s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+        return F.size(F.split(F.trim(s), " "))
+
+    n_chars = F.aggregate(ts, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_bpe = F.aggregate(ts, F.lit(0), lambda acc, w: acc + bpe_count(w))
+    return d.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars_sum"),
+        n_bpe.cast("long").alias("n_bpe"),
+        F.round(n_chars.cast("double") / n_bpe, 4).alias("chars_per_token"),
+    )
+
+
+#: Bloom-prefilter geometry for the decontamination scale path: k
+#: hash probes into a fixed 2^20 slot space.  FN-free by construction
+#: (every benchmark shingle sets its k slots), FPs are removed by the
+#: exact verify join, so results are bit-identical to
+#: `text_decontaminate` — the oracle below is the SAME exact-overlap
+#: SQL, which is the point.
+DECON_BLOOM_BITS = 1 << 20
+DECON_BLOOM_SEEDS = (42, 1337, 7777)
+
+
+@register(
+    "text_decontaminate_bloom",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        shingles AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(ts) - {DECON_SHINGLE_K} + 2),
+                       i -> array_to_string(ts[i:i + {DECON_SHINGLE_K} - 1], ' ')
+                   )) AS sh
+            FROM toks
+            WHERE len(ts) >= {DECON_SHINGLE_K}
+        ),
+        bench AS (
+            SELECT DISTINCT sh FROM shingles
+            WHERE doc_id % {DECON_BENCH_MOD} = 0
+        ),
+        hits AS (
+            SELECT s.doc_id, CAST(count(DISTINCT s.sh) AS BIGINT) AS n_shared
+            FROM shingles s JOIN bench b ON s.sh = b.sh
+            WHERE s.doc_id % {DECON_BENCH_MOD} != 0
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+               coalesce(h.n_shared, 0) >= {DECON_OVERLAP_MIN} AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % {DECON_BENCH_MOD} != 0
+    """,
+)
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`text_decontaminate` with the production-scale prefilter its
+    docstring promises: corpus shingles first pass a Bloom-style
+    k-hash membership test against the benchmark set (k=3 probes into
+    a fixed 2^20 slot space — the broadcast is a set of 8-byte slot
+    ids, ~4x smaller than the shingle strings and CONSTANT-SIZE no
+    matter how the benchmark grows), then only survivors hit the
+    exact shingle-equality verify.  False negatives are impossible
+    (every benchmark shingle sets its slots), false positives die in
+    the verify join, so output is bit-identical to the exact operator
+    and the oracle is the same exact-overlap SQL.
+
+    Plan shape: three broadcast LEFT SEMI joins (one per probe) + one
+    broadcast verify join on the corpus-shingle stream — no shuffle
+    anywhere before the per-doc aggregate, same as the exact path;
+    the semis just make the verify join's input a trickle at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts")).filter(
+        F.size("ts") >= DECON_SHINGLE_K
+    )
+    shingle_expr = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - DECON_SHINGLE_K + 1),
+            lambda i: F.array_join(F.slice("ts", i, DECON_SHINGLE_K), " "),
+        )
+    )
+    shingles = toks.select("doc_id", shingle_expr.alias("sh"))
+    bench = (
+        shingles.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+        .select("sh")
+        .distinct()
+    )
+
+    def slot(col: Column, seed: int) -> Column:
+        return F.pmod(
+            F.xxhash64(F.concat(F.lit(str(seed)), col)), F.lit(DECON_BLOOM_BITS)
+        )
+
+    corpus_sh = shingles.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    for seed in DECON_BLOOM_SEEDS:
+        slots = bench.select(slot(F.col("sh"), seed).alias("slot")).distinct()
+        corpus_sh = corpus_sh.join(
+            F.broadcast(slots),
+            slot(F.col("sh"), seed) == F.col("slot"),
+            "left_semi",
+        )
+    hits = (
+        corpus_sh.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+    return (
+        d.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= DECON_OVERLAP_MIN).alias(
+                "contaminated"
+            ),
+        )
     )
