@@ -534,3 +534,25 @@ def test_pq_quantize_broadcasts_codebook_and_group_limits(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "embed_pq_quantize")
     assert "BroadcastHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bloom_scan_pushes_both_predicates(spark, sf_dir):
+    """Both the source equality (the Bloom/stats target) and the
+    n_chars range must reach the rewritten parquet scan."""
+    plan = plan_of(spark, sf_dir, "scan_parquet_bloom")
+    assert "EqualTo(source,src7)" in plan, plan
+    assert "GreaterThanOrEqual(n_chars,300" in plan, plan
+
+
+def test_interval_overlap_join_is_equi(spark, sf_dir):
+    """The binned rewrite must run as a hash/merge equi join on
+    (user, bin) — never a per-user nested loop."""
+    plan = plan_of(spark, sf_dir, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_poisson_repeat_plan_is_narrow(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sample_poisson_repeat")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan

@@ -457,3 +457,51 @@ def test_pq_codebook_vectors_quantize_to_themselves(spark, sf_dir):
         if PQ_CODES_LO <= vid <= PQ_CODES_HI:
             for r in rs:
                 assert r["code"] == vid - PQ_CODES_LO and r["sq_err"] == 0.0, r
+
+
+def test_poisson_repeat_is_deterministic_and_calibrated(spark, sf_dir):
+    """Same draws on every run; repeat counts within [1, 5]; the
+    fraction of docs drawn at all sits near 1 - e^-1 and mean copies
+    per doc near 1.0 (Poisson(1) calibration at 500 docs)."""
+    import math
+
+    reg = load_all()
+    a = sorted(
+        (r["doc_id"], r["repeats"], r["copy"])
+        for r in reg["sample_poisson_repeat"].fn(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["repeats"], r["copy"])
+        for r in reg["sample_poisson_repeat"].fn(spark, sf_dir).collect()
+    )
+    assert a == b and a
+    docs = {d for d, _, _ in a}
+    n_docs = 500  # sf0.001 documents table
+    drawn_frac = len(docs) / n_docs
+    assert abs(drawn_frac - (1 - math.exp(-1))) < 0.07, drawn_frac
+    mean_copies = len(a) / n_docs
+    assert abs(mean_copies - 1.0) < 0.15, mean_copies
+    assert all(1 <= k <= 5 and 1 <= c <= k for _, k, c in a)
+
+
+def test_interval_overlap_planted_pairs(spark, tmp_path):
+    """Purchase window [12:00, 12:30]; clicks at 11:55 (overlap 300 s),
+    12:25 (300 s), 12:30 (touch => 0.0), 12:40 (none), and another
+    user's 12:10 click (none) — checks the cross-bin case (11:55
+    click), the touch boundary, and the user guard in one fixture."""
+    rows = [
+        _ev(1, 0, 1, "purchase"),
+        _ev(10, -5, 1, "click"),
+        _ev(11, 25, 1, "click"),
+        _ev(12, 30, 1, "click"),
+        _ev(13, 40, 1, "click"),
+        _ev(14, 10, 2, "click"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        (r["p_id"], r["c_id"]): r["overlap_s"]
+        for r in load_all()["join_interval_overlap"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {(1, 10): 300.0, (1, 11): 300.0, (1, 12): 0.0}, got

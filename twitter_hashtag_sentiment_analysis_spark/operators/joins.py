@@ -527,3 +527,94 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(age_us <= tol_us, F.col("raw_asof")).alias("asof_click_ts"),
         (F.col("raw_asof").isNotNull() & (age_us > tol_us)).alias("stale_dropped"),
     )
+
+
+#: Interval-overlap geometry: purchases carry a 30-minute fulfillment
+#: window, clicks a 10-minute attribution window; a pair overlaps when
+#: the closed intervals intersect.  Bin width = the longer interval so
+#: each side covers at most 2 bins.
+IVL_P_US = 30 * 60 * 1_000_000
+IVL_C_US = 10 * 60 * 1_000_000
+IVL_BIN_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "join_interval_overlap",
+    sql=f"""
+        WITH p AS (
+            SELECT event_id AS p_id, user_id,
+                   epoch_us(ts) AS p_s, epoch_us(ts) + {IVL_P_US} AS p_e
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS c_id, user_id,
+                   epoch_us(ts) AS c_s, epoch_us(ts) + {IVL_C_US} AS c_e
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.p_id, c.c_id,
+               round((least(p.p_e, c.c_e) - greatest(p.p_s, c.c_s))
+                     / 1000000.0, 6) AS overlap_s
+        FROM p JOIN c
+          ON p.user_id = c.user_id AND p.p_s <= c.c_e AND c.c_s <= p.p_e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval OVERLAP join — the two-sided sibling of
+    `join_range_binned`'s point-in-interval: both inputs are time
+    windows and a pair qualifies when the windows intersect (campaign
+    x session, maintenance x outage, ad exposure x conversion window).
+    Naively a per-user cross product; made EQUI by flooring both
+    intervals onto bins sized to the LONGER window, so each interval
+    covers at most 2 bins and every overlapping pair shares at least
+    one bin (an interval pair that overlaps must overlap inside some
+    bin one of them touches).  The join runs on (user_id, bin) — plain
+    shuffle/broadcast hash join — the exact predicate is a residual
+    filter, and the <=2-bin double-match dedups with a distinct on the
+    output key.  Work scales with rows per (user, half-hour), never
+    rows per user.  Binning is a physical rewrite with identical
+    semantics, so the oracle is the plain theta join => exact hash."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        epoch_us("ts").alias("p_s"),
+        (epoch_us("ts") + IVL_P_US).alias("p_e"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        epoch_us("ts").alias("c_s"),
+        (epoch_us("ts") + IVL_C_US).alias("c_e"),
+    )
+    pb = p.withColumn(
+        "p_bin",
+        F.explode(
+            F.sequence(
+                (F.col("p_s") / IVL_BIN_US).cast("long"),
+                (F.col("p_e") / IVL_BIN_US).cast("long"),
+            )
+        ),
+    )
+    cb = c.withColumn(
+        "c_bin",
+        F.explode(
+            F.sequence(
+                (F.col("c_s") / IVL_BIN_US).cast("long"),
+                (F.col("c_e") / IVL_BIN_US).cast("long"),
+            )
+        ),
+    )
+    pairs = pb.join(
+        cb,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("p_bin") == F.col("c_bin"))
+        & (F.col("p_s") <= F.col("c_e"))
+        & (F.col("c_s") <= F.col("p_e")),
+    )
+    return pairs.select(
+        "p_id",
+        "c_id",
+        F.round(
+            (F.least("p_e", "c_e") - F.greatest("p_s", "c_s")) / 1e6, 6
+        ).alias("overlap_s"),
+    ).distinct()

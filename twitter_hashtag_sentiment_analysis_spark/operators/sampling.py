@@ -451,3 +451,75 @@ def sample_downweight_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.sum(F.lit(1.0) / F.col("csize")) / F.count("*"), 4
         ).alias("dup_discount"),
     )
+
+
+#: Poisson(1) inverse-CDF thresholds over the first 4 md5 hex chars
+#: (u ~ Uniform{0..65535} as a lowercase hex string; cum pmf x 65536,
+#: floor): the deterministic per-row bootstrap draw.  Salted so draws
+#: decorrelate from `sample_hash_split`'s prefix.
+_BOOT_SALT = ":boot"
+_POISSON1_CUM_HEX = ("5e30", "bc5e", "eb79", "fb2b", "ff10")  # k=0..4
+
+
+@register(
+    "sample_poisson_repeat",
+    sql=f"""
+        WITH u AS (
+            SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR) || '{_BOOT_SALT}'),
+                          1, 4) AS u4
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id,
+                   CASE WHEN u4 < '{_POISSON1_CUM_HEX[0]}' THEN 0
+                        WHEN u4 < '{_POISSON1_CUM_HEX[1]}' THEN 1
+                        WHEN u4 < '{_POISSON1_CUM_HEX[2]}' THEN 2
+                        WHEN u4 < '{_POISSON1_CUM_HEX[3]}' THEN 3
+                        WHEN u4 < '{_POISSON1_CUM_HEX[4]}' THEN 4
+                        ELSE 5 END AS repeats
+            FROM u
+        )
+        SELECT doc_id,
+               CAST(repeats AS BIGINT) AS repeats,
+               CAST(unnest(range(1, repeats + 1)) AS BIGINT) AS copy
+        FROM k WHERE repeats > 0
+    """,
+)
+def sample_poisson_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson(1) bootstrap resample — the epoch-mixing
+    primitive of a training-data pipeline (fractional dataset repeat
+    factors, bagging, bootstrap confidence intervals): each document
+    draws k ~ Poisson(1) via inverse-CDF over a salted md5 uniform and
+    is emitted k times with a copy index.  E[rows] = corpus size, and
+    the draw depends on doc_id alone, so resamples are reproducible
+    across runs AND stable under corpus growth (same property as
+    `sample_hash_split`).
+
+    Narrow map + explode, zero shuffle, zero state — at 100 TB each
+    executor draws for its own partitions; the hex-string threshold
+    compare replays bit-identically in any engine with md5, hence the
+    exact oracle."""
+    d = table(spark, sf_dir, "documents")
+    u4 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_BOOT_SALT))), 1, 4
+    )
+    repeats = (
+        F.when(u4 < _POISSON1_CUM_HEX[0], 0)
+        .when(u4 < _POISSON1_CUM_HEX[1], 1)
+        .when(u4 < _POISSON1_CUM_HEX[2], 2)
+        .when(u4 < _POISSON1_CUM_HEX[3], 3)
+        .when(u4 < _POISSON1_CUM_HEX[4], 4)
+        .otherwise(5)
+    )
+    return (
+        d.select("doc_id", repeats.cast("long").alias("repeats"))
+        .filter(F.col("repeats") > 0)
+        .select(
+            "doc_id",
+            "repeats",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("repeats"))
+            ).alias("copy"),
+        )
+    )

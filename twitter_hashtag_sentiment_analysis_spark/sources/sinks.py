@@ -175,3 +175,58 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_file.withColumn("file_rank", F.row_number().over(w))
         .select("file_rank", "min_ts", "max_ts", "n_rows")
     )
+
+
+# Bloom-filtered parquet dirs already written this process, keyed by
+# sf_dir — the write proves the layout; once per process is enough.
+_bloom_cache: dict[str, str] = {}
+
+#: Selection the bloom-layout scan answers: one source's large docs.
+BLOOM_SRC = "src7"
+BLOOM_MIN_CHARS = 300
+
+
+@register(
+    "scan_parquet_bloom",
+    sql=f"""
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE source = '{BLOOM_SRC}' AND n_chars >= {BLOOM_MIN_CHARS}
+    """,
+)
+def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet row-group Bloom filters as a write-side index: documents
+    are rewritten sorted by `source` with a Bloom filter declared on
+    that column (`parquet.bloom.filter.enabled#source`), then read
+    back with an equality predicate.  The sort clusters each source
+    into few row groups; min/max stats skip most groups and the Bloom
+    filter rejects the rest without decoding — at 100 TB this is the
+    difference between scanning a shard and scanning the lake, for
+    point lookups on columns too high-cardinality to partition by
+    (user ids, request ids: a partition per value would be millions of
+    tiny dirs, while a Bloom filter costs a few KB per row group).
+    Predicate pushdown to the scan is plan-asserted; results are
+    byte-identical to a plain filter (Bloom filters have no false
+    negatives and FPs only cost decode time), hence the exact oracle.
+    Partition-dir twin: `scan_partition_pruned`; file-glob twin:
+    `scan_glob_filtered`."""
+    docs = table(spark, sf_dir, "documents")
+    out = _bloom_cache.get(sf_dir)
+    if out is None:
+        out = os.path.join(tempfile.mkdtemp(prefix="thsa_bloom_"), "docs")
+        (
+            docs.repartition(4, "source")
+            .sortWithinPartitions("source")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#source", "true")
+            .option("parquet.bloom.filter.expected.ndv#source", "64")
+            .parquet(out)
+        )
+        _bloom_cache[sf_dir] = out
+    return (
+        spark.read.parquet(out)
+        .filter(
+            (F.col("source") == BLOOM_SRC)
+            & (F.col("n_chars") >= BLOOM_MIN_CHARS)
+        )
+        .select("doc_id", "source", "n_chars")
+    )
