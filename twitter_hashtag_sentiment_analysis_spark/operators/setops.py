@@ -97,3 +97,22 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicities then replaying the minimum; one shuffle on the key,
     no join explosion."""
     return _high_value(spark, sf_dir).intersectAll(_urgent(spark, sf_dir))
+
+
+@register(
+    "set_except_all",
+    sql="""
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL): keeps max(0, left multiplicity -
+    right multiplicity) copies per key — the incremental-load reconcile
+    primitive ("what arrived that the last snapshot doesn't already
+    account for, counting duplicates").  Completes the multiset pair
+    with `set_intersect_all`; same plan shape: per-side multiplicity
+    counts in ONE hash aggregate around a single key shuffle, replayed
+    as a difference — never an anti-join per copy."""
+    return _high_value(spark, sf_dir).exceptAll(_urgent(spark, sf_dir))
