@@ -204,3 +204,48 @@ def test_streaks_within_observed_range(spark, sf_dir):
     assert rows
     for r in rows:
         assert 1 <= r.longest_streak <= n_days, r
+
+
+def _bpe_list_scan(word: str) -> int:
+    """Reference BPE: apply each merge left-to-right, non-overlapping,
+    over the symbol list (Sennrich et al.'s semantics)."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.text_analysis import (
+        _BPE_MERGES,
+    )
+
+    toks = list(word)
+    for a, b in _BPE_MERGES:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return len(toks)
+
+
+def _bpe_double_replace(word: str) -> int:
+    """Pure-Python twin of the operators' double-replace string form
+    (str.replace is the same left-to-right non-overlapping scan as
+    Spark's replace and DuckDB's replace)."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.text_analysis import (
+        _BPE_MERGES,
+    )
+
+    s = " " + " ".join(word) + " "
+    for a, b in _BPE_MERGES:
+        for _ in range(2):
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    return len(s.split())
+
+
+@given(st.text(alphabet="thabelsro", min_size=1, max_size=24))
+def test_bpe_double_replace_equals_list_scan(word):
+    """The unrolled two-pass replace chain must produce exactly the
+    list-scan BPE token count on ANY word — including consecutive
+    merge sites sharing a separator space ('abab...'), where a single
+    replace pass under-merges."""
+    assert _bpe_double_replace(word) == _bpe_list_scan(word), word

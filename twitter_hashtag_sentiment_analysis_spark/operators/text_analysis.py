@@ -922,10 +922,19 @@ _BPE_MERGES = (
 
 
 def _bpe_sql_word(w: str) -> str:
-    """DuckDB expression: BPE token count of one word expression."""
+    """DuckDB expression: BPE token count of one word expression.
+
+    Each merge is applied as TWO replace passes: a single left-to-right
+    replace pass under-merges consecutive sites that share a separator
+    space (' a b a b ' -> ' ab a b '), but after one pass every
+    remaining site is isolated (its neighbor site merged), so a second
+    pass reaches the exact list-scan non-overlapping fixpoint — the
+    reference BPE semantics (property-tested against a pure list-scan
+    twin in tests/test_properties.py)."""
     s = f"' ' || array_to_string(string_split({w}, ''), ' ') || ' '"
     for a, b in _BPE_MERGES:
-        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+        for _ in range(2):
+            s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
     return f"len(string_split(trim({s}), ' '))"
 
 
@@ -967,7 +976,10 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bpe_count(w: Column) -> Column:
         s = F.concat(F.lit(" "), F.array_join(F.split(w, ""), " "), F.lit(" "))
         for a, b in _BPE_MERGES:
-            s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+            # two passes per merge = exact list-scan fixpoint (see
+            # _bpe_sql_word; consecutive sites share a separator space)
+            for _ in range(2):
+                s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
         return F.size(F.split(F.trim(s), " "))
 
     n_chars = F.aggregate(ts, F.lit(0), lambda acc, w: acc + F.length(w))
