@@ -556,3 +556,17 @@ def test_poisson_repeat_plan_is_narrow(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sample_poisson_repeat")
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_token_budget_windows_run_over_the_slice_relation(spark, sf_dir):
+    """The share/cumsum windows must sit ABOVE the per-slice hash
+    aggregate — the property that bounds the single-partition cumsum
+    by recipe cardinality, not corpus size."""
+    from twitter_hashtag_sentiment_analysis_spark.plans import explain_str
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    df = load_all()["corpus_token_budget"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    win_pos = plan.index("Window")
+    agg_pos = plan.rindex("HashAggregate")
+    assert agg_pos > win_pos, plan

@@ -505,3 +505,54 @@ def test_interval_overlap_planted_pairs(spark, tmp_path):
         .collect()
     }
     assert got == {(1, 10): 300.0, (1, 11): 300.0, (1, 12): 0.0}, got
+
+
+def test_cluster_keep_best_picks_longest_member(spark, sf_dir):
+    """Exactly one keeper per cluster; the keeper is a member and has
+    the cluster's max n_chars (ties to lower id); cluster sizes agree
+    with row counts."""
+    rows = load_all()["dedup_cluster_keep_best"].fn(spark, sf_dir).collect()
+    assert rows
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in clusters.items():
+        assert len(members) == members[0]["component_size"]
+        bests = [m for m in members if m["is_best"]]
+        assert len(bests) == 1, (cid, members)
+        best = bests[0]
+        assert all(m["best_doc_id"] == best["doc_id"] for m in members)
+        target = min(
+            (m["doc_id"] for m in members),
+            key=lambda d: (-chars[d], d),
+        )
+        assert best["doc_id"] == target, (cid, best, target)
+
+
+def test_token_budget_is_a_partition_of_the_corpus(spark, sf_dir):
+    """Shares sum to 1, cumulative share ends at 1 and is monotone in
+    the declared order, and slice token totals add up to the direct
+    corpus count."""
+    rows = load_all()["corpus_token_budget"].fn(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    ordered = sorted(
+        rows, key=lambda r: (-r["n_tokens"], r["source"], r["lang"])
+    )
+    assert ordered[-1]["cum_share"] == 1.0
+    assert all(
+        a["cum_share"] <= b["cum_share"]
+        for a, b in zip(ordered, ordered[1:])
+    )
+    direct = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("sum(size(split(text, ' '))) AS t")
+        .collect()[0]["t"]
+    )
+    assert sum(r["n_tokens"] for r in rows) == direct

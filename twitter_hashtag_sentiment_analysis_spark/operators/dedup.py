@@ -819,3 +819,73 @@ def dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 4).alias("dup_frac"),
         (frac >= DUP_DOC_FRAC).alias("is_dup"),
     )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    sql=f"""
+        WITH RECURSIVE{_NGRAM_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS s, doc_b AS t FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, node) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s
+        ),
+        comp AS (
+            SELECT src AS doc_id,
+                   min(node) AS cluster_id,
+                   CAST(count(*) AS BIGINT) AS component_size
+            FROM reach GROUP BY src
+        ),
+        ranked AS (
+            SELECT c.doc_id, c.cluster_id, c.component_size, d.n_chars,
+                   row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+            FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+        )
+        SELECT doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               component_size,
+               CAST(min(CASE WHEN rn = 1 THEN doc_id END)
+                        OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS best_doc_id,
+               rn = 1 AS is_best
+        FROM ranked
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision a curation pipeline actually ships: one
+    KEEPER per near-dup cluster chosen by CONTENT QUALITY (longest
+    document, ties to the lower id), not by min id — min-id keepers
+    systematically prefer whichever copy was crawled first, which for
+    mirror/boilerplate clusters is usually the truncated one.  Reuses
+    the `dedup_connected_components` label-propagation kernel for the
+    clusters (same corpus-sized shuffles, same localCheckpoint lineage
+    discipline), then one quality join + per-cluster WindowGroupLimit-
+    shaped argmax.  Output one row per doc: cluster id, size, the
+    cluster's best doc, and whether this row survives the dedup."""
+    cc = dedup_connected_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = cc.select(
+        "doc_id", F.col("keeper_doc_id").alias("cluster_id"), "component_size"
+    ).join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    wc = Window.partitionBy("cluster_id")
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        "component_size",
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .over(wc)
+        .cast("long")
+        .alias("best_doc_id"),
+        (F.col("rn") == 1).alias("is_best"),
+    )

@@ -523,3 +523,66 @@ def sample_poisson_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("copy"),
         )
     )
+
+
+@register(
+    "corpus_token_budget",
+    sql="""
+        WITH t AS (
+            SELECT source, lang,
+                   len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        ),
+        g AS (
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            FROM t GROUP BY source, lang
+        )
+        SELECT source, lang, n_docs, n_tokens,
+               round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6)
+                   AS token_share,
+               round(sum(n_tokens) OVER (
+                         ORDER BY n_tokens DESC, source, lang
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) * 1.0 / sum(n_tokens) OVER (), 6) AS cum_share
+        FROM g
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-recipe audit: per (source, language) document and
+    token counts, token share of the corpus, and cumulative share in
+    descending-share order — the table a mixture designer reads before
+    setting `sample_mixture_weighted` / `sample_temperature` rates,
+    and the one a training run logs as its recipe of record.
+
+    One data-sized shuffle (the per-slice aggregate, with map-side
+    partial combine); the share/cumulative windows then run over the
+    SLICE relation (|sources| x |langs| rows — hundreds at any corpus
+    size), so the single-partition ordered cumsum is bounded by the
+    recipe's cardinality, never the corpus.  Integer token cumsum =>
+    engine-exact; only the final ratios are rounded."""
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.select("source", "lang", F.size(F.split("text", " ")).alias("n_toks"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    wtot = Window.partitionBy()
+    wcum = (
+        Window.partitionBy()
+        .orderBy(F.desc("n_tokens"), F.asc("source"), F.asc("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum("n_tokens").over(wtot)
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / tot, 6).alias("token_share"),
+        F.round(F.sum("n_tokens").over(wcum) / tot, 6).alias("cum_share"),
+    )
