@@ -570,3 +570,11 @@ def test_token_budget_windows_run_over_the_slice_relation(spark, sf_dir):
     win_pos = plan.index("Window")
     agg_pos = plan.rindex("HashAggregate")
     assert agg_pos > win_pos, plan
+
+
+def test_asof_nearest_shares_one_sort(spark, sf_dir):
+    """Both directional frames must run over ONE user-partitioned
+    exchange+sort — the linear as-of shape, not two shuffles."""
+    plan = plan_of(spark, sf_dir, "join_asof_nearest")
+    n_exchanges = len(re.findall(r"^\s*\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 1, plan

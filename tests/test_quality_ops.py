@@ -556,3 +556,46 @@ def test_token_budget_is_a_partition_of_the_corpus(spark, sf_dir):
         .collect()[0]["t"]
     )
     assert sum(r["n_tokens"] for r in rows) == direct
+
+
+def test_minhash_recall_audit_invariants(spark, sf_dir):
+    """One row; found is a subset of truth; recall is exactly the
+    reported ratio; re-running reproduces the same numbers (the audit
+    is deterministic, it can be a tracked pipeline metric)."""
+    reg = load_all()
+    a = reg["dedup_minhash_recall_audit"].fn(spark, sf_dir).collect()
+    b = reg["dedup_minhash_recall_audit"].fn(spark, sf_dir).collect()
+    assert len(a) == 1 and a == b
+    r = a[0]
+    assert 0 <= r["n_found"] <= r["n_truth"]
+    if r["n_truth"] > 0:
+        assert r["recall"] == round(r["n_found"] / r["n_truth"], 4)
+        assert 0.0 <= r["recall"] <= 1.0
+    else:
+        assert r["recall"] is None
+
+
+def test_asof_nearest_planted_directions(spark, tmp_path):
+    """Backward pick, forward pick, equal-timestamp tie to the past,
+    and the no-click user in one fixture."""
+    rows = [
+        _ev(10, 0, 1, "click"),
+        _ev(11, 20, 1, "click"),
+        _ev(1, 5, 1, "purchase"),
+        _ev(2, 19, 1, "purchase"),
+        _ev(3, 20, 1, "purchase"),
+        _ev(4, 7, 2, "purchase"),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        r["event_id"]: (r["diff_us"], r["direction"])
+        for r in load_all()["join_asof_nearest"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        1: (5 * 60_000_000, "backward"),
+        2: (60_000_000, "forward"),
+        3: (0, "backward"),
+        4: (None, None),
+    }, got

@@ -618,3 +618,121 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.least("p_e", "c_e") - F.greatest("p_s", "c_s")) / 1e6, 6
         ).alias("overlap_s"),
     ).distinct()
+
+
+@register(
+    "join_asof_nearest",
+    sql="""
+        WITH ev AS (
+            SELECT event_id, user_id, epoch_us(ts) AS t_us,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_purchase
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        carried AS (
+            SELECT event_id, user_id, t_us, is_purchase,
+                   max(CASE WHEN is_purchase = 0 THEN t_us END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY t_us, is_purchase, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS back_us,
+                   min(CASE WHEN is_purchase = 0 THEN t_us END) OVER (
+                       PARTITION BY user_id
+                       ORDER BY t_us, is_purchase, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS fwd_us
+            FROM ev
+        )
+        SELECT event_id, user_id,
+               CAST(CASE
+                   WHEN back_us IS NULL THEN fwd_us
+                   WHEN fwd_us IS NULL THEN back_us
+                   WHEN fwd_us - t_us < t_us - back_us THEN fwd_us
+                   ELSE back_us
+               END AS BIGINT) AS nearest_click_us,
+               CAST(CASE
+                   WHEN back_us IS NULL THEN fwd_us - t_us
+                   WHEN fwd_us IS NULL THEN t_us - back_us
+                   ELSE least(fwd_us - t_us, t_us - back_us)
+               END AS BIGINT) AS diff_us,
+               CASE
+                   WHEN back_us IS NULL AND fwd_us IS NULL THEN NULL
+                   WHEN back_us IS NULL THEN 'forward'
+                   WHEN fwd_us IS NULL THEN 'backward'
+                   WHEN fwd_us - t_us < t_us - back_us THEN 'forward'
+                   ELSE 'backward'
+               END AS direction
+        FROM carried WHERE is_purchase = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: for each purchase, the click of
+    the same user closest in time in EITHER direction (ties, including
+    the equal-timestamp case, resolve toward the past — `join_asof`'s
+    at-or-before semantics) — the sensor-alignment flavor pandas calls
+    merge_asof(direction='nearest'), which the backward-only form
+    cannot express.
+
+    Same linear shape as `join_asof`: union both event kinds, ONE
+    user-partitioned sort shared by TWO frames over the same ordering
+    (running max of click times behind, running min ahead), then an
+    arithmetic pick — no pairwise explosion, cost linear in events per
+    user at any scale.  Window aggregates (max/min over CASE) replace
+    last/first(ignorenulls) so the identical SQL text runs on both
+    engines => exact oracle."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("t_us"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+    )
+    click_t = F.when(F.col("is_purchase") == 0, F.col("t_us"))
+    order = [F.col("t_us"), F.col("is_purchase"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "is_purchase",
+        F.max(click_t).over(w_back).alias("back_us"),
+        F.min(click_t).over(w_fwd).alias("fwd_us"),
+    )
+    d_back = F.col("t_us") - F.col("back_us")
+    d_fwd = F.col("fwd_us") - F.col("t_us")
+    nearest = (
+        F.when(F.col("back_us").isNull(), F.col("fwd_us"))
+        .when(F.col("fwd_us").isNull(), F.col("back_us"))
+        .when(d_fwd < d_back, F.col("fwd_us"))
+        .otherwise(F.col("back_us"))
+    )
+    diff = (
+        F.when(F.col("back_us").isNull(), d_fwd)
+        .when(F.col("fwd_us").isNull(), d_back)
+        .otherwise(F.least(d_fwd, d_back))
+    )
+    direction = (
+        F.when(F.col("back_us").isNull() & F.col("fwd_us").isNull(), F.lit(None).cast("string"))
+        .when(F.col("back_us").isNull(), "forward")
+        .when(F.col("fwd_us").isNull(), "backward")
+        .when(d_fwd < d_back, "forward")
+        .otherwise("backward")
+    )
+    return carried.filter(F.col("is_purchase") == 1).select(
+        "event_id",
+        "user_id",
+        nearest.cast("long").alias("nearest_click_us"),
+        diff.cast("long").alias("diff_us"),
+        direction.alias("direction"),
+    )
