@@ -599,3 +599,50 @@ def test_asof_nearest_planted_directions(spark, tmp_path):
         3: (0, "backward"),
         4: (None, None),
     }, got
+
+
+O_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def _order(key, year, month, price, pri="1-URGENT"):
+    return (key, 1, "O", float(price), dt.datetime(year, month, 15), pri)
+
+
+def test_monthly_yoy_anchors_by_date_not_row_offset(spark, tmp_path):
+    """Jan'24 100 -> Jan'25 150 gives +50%; Feb'25 has NO Feb'24
+    counterpart (month missing) so its comparison must be NULL — a
+    LAG(12)-row formulation would wrongly compare it against a
+    different month."""
+    rows = [
+        _order(1, 2024, 1, 100.0),
+        _order(2, 2025, 1, 150.0),
+        _order(3, 2025, 2, 75.0),
+    ]
+    _write(spark, tmp_path, "orders", rows, O_SCHEMA)
+    got = {
+        str(r["month"]): (r["prev_year_revenue"], r["yoy_pct"])
+        for r in load_all()["q_monthly_revenue_yoy"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        "2024-01-01": (None, None),
+        "2025-01-01": (100.0, 50.0),
+        "2025-02-01": (None, None),
+    }, got
+
+
+def test_pivot_dynamic_cap_refuses_high_cardinality(spark, tmp_path):
+    """Discovery past the declared cap must fail loudly instead of
+    building a runaway-width plan."""
+    import pytest as _pytest
+
+    rows = [
+        _order(i, 2024, 1, 10.0, pri=f"pri{i}") for i in range(30)
+    ]
+    _write(spark, tmp_path, "orders", rows, O_SCHEMA)
+    with _pytest.raises(ValueError, match="cap"):
+        load_all()["agg_pivot_dynamic"].fn(spark, str(tmp_path))

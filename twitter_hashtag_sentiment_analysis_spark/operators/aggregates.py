@@ -890,3 +890,52 @@ def agg_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(2, 1).alias("p50_w"),
         pick(4, 3).alias("p75_w"),
     )
+
+
+#: Cap on discovered pivot values — the guard that keeps the discovery
+#: form safe: discovery is a distinct-aggregate job whose result must
+#: fit a column list, so it is only legal under a declared bound.
+PIVOT_DISCOVER_CAP = 25
+
+
+@register(
+    "agg_pivot_dynamic",
+    sql="""
+        SELECT o_orderstatus,
+               round("1-URGENT", 2) AS "1-URGENT",
+               round("2-HIGH", 2) AS "2-HIGH",
+               round("3-MEDIUM", 2) AS "3-MEDIUM",
+               round("4-NOT SPECIFIED", 2) AS "4-NOT SPECIFIED",
+               round("5-LOW", 2) AS "5-LOW"
+        FROM (
+            PIVOT (SELECT o_orderstatus, o_orderpriority, o_totalprice
+                   FROM orders)
+            ON o_orderpriority USING sum(o_totalprice)
+            GROUP BY o_orderstatus
+        )
+    """,
+)
+def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with DISCOVERED values: the column set comes from the data
+    (Spark runs a distinct job over the pivot column when no value
+    list is given), vs `agg_pivot`'s declared-value form.  Discovery
+    is the convenient-but-dangerous form at scale — the distinct
+    result becomes driver-side schema, so this operator makes the
+    bound explicit: PIVOT_DISCOVER_CAP is asserted BEFORE pivoting and
+    the op fails loudly past it rather than building a million-column
+    plan.  Use the declared form on unbounded-cardinality columns; use
+    this one for enum-like columns whose values you refuse to
+    hard-code.  Discovered values are sorted by Spark, and DuckDB's
+    native dynamic PIVOT discovers the same set => exact oracle."""
+    o = table(spark, sf_dir, "orders")
+    n_vals = o.select("o_orderpriority").distinct().count()
+    if n_vals > PIVOT_DISCOVER_CAP:
+        raise ValueError(
+            f"pivot discovery found {n_vals} values > cap "
+            f"{PIVOT_DISCOVER_CAP}; declare values explicitly"
+        )
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )

@@ -1836,3 +1836,62 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"col": "o_orderstatus", "tbl": "orders_idq"},
     )
+
+
+@register(
+    "q_monthly_revenue_yoy",
+    sql="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(m.month AS DATE) AS month, m.n_orders, m.revenue,
+               p.revenue AS prev_year_revenue,
+               CASE WHEN p.revenue IS NOT NULL AND p.revenue <> 0
+                    THEN round((m.revenue - p.revenue) / p.revenue * 100, 4)
+               END AS yoy_pct
+        FROM monthly m
+        LEFT JOIN monthly p ON m.month = p.month + INTERVAL 12 MONTH
+    """,
+)
+def q_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth — the BI staple.
+    Comparison months are anchored by DATE ARITHMETIC (self-join on
+    month = prev_month + 12 months), not by LAG(12) row offsets, so a
+    missing month yields a NULL comparison instead of silently
+    comparing against the wrong month — the correctness trap in the
+    window-lag formulation.  The monthly relation is one fact-sized
+    hash aggregate; the self-join then runs over |months| rows
+    (broadcast, negligible at any corpus size).  The growth ratio is
+    computed from the ROUNDED 2dp sums on both engines, making the
+    4dp percentage engine-exact despite float summation order."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    prev = monthly.select(
+        F.add_months(F.col("month"), 12).cast("timestamp").alias("month"),
+        F.col("revenue").alias("prev_year_revenue"),
+    )
+    j = monthly.join(F.broadcast(prev), "month", "left")
+    return j.select(
+        F.col("month").cast("date").alias("month"),
+        "n_orders",
+        "revenue",
+        "prev_year_revenue",
+        F.when(
+            F.col("prev_year_revenue").isNotNull()
+            & (F.col("prev_year_revenue") != 0),
+            F.round(
+                (F.col("revenue") - F.col("prev_year_revenue"))
+                / F.col("prev_year_revenue")
+                * 100,
+                4,
+            ),
+        ).alias("yoy_pct"),
+    )
