@@ -578,3 +578,10 @@ def test_asof_nearest_shares_one_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_asof_nearest")
     n_exchanges = len(re.findall(r"^\s*\(\d+\) Exchange", plan, flags=re.M))
     assert n_exchanges == 1, plan
+
+
+def test_multi_distinct_expands_once(spark, sf_dir):
+    """Three distinct aggregates must compile to ONE Expand-based
+    aggregation pipeline, not one job per DISTINCT."""
+    plan = plan_of(spark, sf_dir, "agg_multi_distinct")
+    assert "Expand" in plan, plan

@@ -710,3 +710,42 @@ def test_langid_confusion_rows_are_distributions(spark, sf_dir):
         assert abs(sum(r["row_frac"] for r in rs) - 1.0) < 1e-3, lang
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r["n"] for r in rows) == n_docs
+
+
+def test_percentile_within_group_orderings(spark, sf_dir):
+    """p25 <= p50 <= p75 per group; the discrete median sits inside
+    the interquartile range."""
+    rows = load_all()["agg_percentile_within_group"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p25_cont"] <= r["p50_cont"] <= r["p75_cont"], r
+        assert r["p25_cont"] <= r["p50_disc"] <= r["p75_cont"], r
+
+
+def test_multi_distinct_algebraic_bounds(spark, sf_dir):
+    """Pair cardinality is bounded below by each single-key count and
+    above by their product and by the row count."""
+    rows = load_all()["agg_multi_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_cust_pri_pairs"] >= max(r["n_customers"], r["n_priorities"])
+        assert r["n_cust_pri_pairs"] <= r["n_customers"] * r["n_priorities"]
+        assert r["n_cust_pri_pairs"] <= r["n_orders"]
+
+
+def test_exact_normalized_merges_planted_variants(spark, tmp_path):
+    """Case/whitespace variants of one doc collapse into a single
+    cluster; n_variants counts only the members that needed the
+    canonicalizer; an unrelated doc stays alone."""
+    docs = [
+        (1, "Hello  World", "en", "s", 12),
+        (2, "hello world", "en", "s", 11),
+        (3, "  hello world ", "en", "s", 14),
+        (4, "other doc", "en", "s", 9),
+    ]
+    _write(spark, tmp_path, "documents", docs, DOC_SCHEMA)
+    rows = load_all()["dedup_exact_normalized"].fn(spark, str(tmp_path)).collect()
+    by_keeper = {r["keeper_doc_id"]: r for r in rows}
+    assert set(by_keeper) == {1, 4}
+    assert by_keeper[1]["n_copies"] == 3 and by_keeper[1]["n_variants"] == 2
+    assert by_keeper[4]["n_copies"] == 1 and by_keeper[4]["n_variants"] == 0

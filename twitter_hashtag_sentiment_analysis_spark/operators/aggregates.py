@@ -1030,3 +1030,63 @@ def stat_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t_stat"),
         F.round(df_num / df_den, 2).alias("welch_df"),
     )
+
+
+_ORDERED_SET_SQL = """
+    SELECT l_returnflag,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p25_cont,
+           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p50_cont,
+           round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p50_disc,
+           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p75_cont
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@register("agg_percentile_within_group", sql=_ORDERED_SET_SQL)
+def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ordered-set aggregates — `percentile_cont` (interpolating)
+    and `percentile_disc` (actual-member) WITHIN GROUP — run from the
+    IDENTICAL SQL text on both engines, the portability surface a
+    BI-tool user hits first.  Complements `agg_quantiles` (Spark
+    `percentile()` API form) and `agg_weighted_quantile` (weighted):
+    this is the standard-SQL spelling.  Same scale caveat as every
+    exact percentile: per-group value buffering — the mergeable sketch
+    `agg_approx_quantile` is the unbounded-cardinality path."""
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_ORDERED_SET_SQL)
+
+
+@register(
+    "agg_multi_distinct",
+    sql="""
+        SELECT o_orderstatus,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+               CAST(count(DISTINCT o_custkey || ':' || o_orderpriority)
+                    AS BIGINT) AS n_cust_pri_pairs,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE distinct aggregates over different keys in one query —
+    the shape that forces Catalyst's Expand rewrite: each input row is
+    replicated once per distinct group (3x here, tagged by grouping
+    id) so all distinct counts resolve in a single aggregation
+    pipeline instead of one job per DISTINCT.  Plan-asserted: the
+    Expand node is present and the whole query still runs as ONE
+    shuffle round-trip.  The 3x row expansion is the declared cost —
+    at 100 TB, prefer `approx_count_distinct` per key (no expand) when
+    exactness is negotiable (`agg_approx_distinct`)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        F.count_distinct("o_orderpriority").cast("long").alias("n_priorities"),
+        F.count_distinct("o_custkey", "o_orderpriority")
+        .cast("long")
+        .alias("n_cust_pri_pairs"),
+        F.count("*").cast("long").alias("n_orders"),
+    )

@@ -984,3 +984,52 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_found") / F.col("n_truth"), 4),
         ).alias("recall"),
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    sql="""
+        WITH canon AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                       AS canon_hash,
+                   text <> trim(regexp_replace(lower(text), ' +', ' ', 'g'))
+                       AS was_variant
+            FROM documents
+        )
+        SELECT canon_hash,
+               CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(*) FILTER (WHERE was_variant) AS BIGINT)
+                   AS n_variants
+        FROM canon
+        GROUP BY canon_hash
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER canonicalization (casefold, whitespace
+    collapse, trim) — catches the trivial-variant dups raw
+    `dedup_exact` misses: re-encoded mirrors, copy-paste whitespace
+    damage, case-mangled headers, which in web corpora outnumber
+    byte-identical copies.  Emits how many cluster members only
+    matched BECAUSE of normalization (n_variants), the number that
+    tells you whether the normalize pass is earning its scan.  Same
+    single-shuffle hash-group shape as `dedup_exact`; the
+    canonicalizer is three narrow string expressions fused into the
+    scan.  Normalization twin: `text_normalize` (which canonicalizes
+    tokens for downstream ops rather than dedup identity)."""
+    d = table(spark, sf_dir, "documents")
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return (
+        d.select(
+            "doc_id",
+            F.md5(canon.cast("binary")).alias("canon_hash"),
+            (F.col("text") != canon).alias("was_variant"),
+        )
+        .groupBy("canon_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+            F.count_if(F.col("was_variant")).cast("long").alias("n_variants"),
+        )
+    )
