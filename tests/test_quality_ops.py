@@ -749,3 +749,20 @@ def test_exact_normalized_merges_planted_variants(spark, tmp_path):
     assert set(by_keeper) == {1, 4}
     assert by_keeper[1]["n_copies"] == 3 and by_keeper[1]["n_variants"] == 2
     assert by_keeper[4]["n_copies"] == 1 and by_keeper[4]["n_variants"] == 0
+
+
+def test_gopher_alpha_anchors_reject_trailing_newline(spark, tmp_path):
+    """Java's $ matches before a final line terminator, so the gate
+    must use \\A..\\z anchors: a token 'abc\\n' is NOT alphabetic on
+    either engine (regression for the one latent cross-engine
+    divergence review found)."""
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        [(1, "abc\nxyz abc", "en", "s", 11)],
+        DOC_SCHEMA,
+    )
+    r = load_all()["quality_gopher_rules"].fn(spark, str(tmp_path)).collect()[0]
+    # tokens: ['abc\nxyz', 'abc'] -> only the clean one is alphabetic
+    assert r["n_words"] == 2 and r["alpha_ratio"] == 0.5, r

@@ -928,15 +928,24 @@ def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard-code.  Discovered values are sorted by Spark, and DuckDB's
     native dynamic PIVOT discovers the same set => exact oracle."""
     o = table(spark, sf_dir, "orders")
-    n_vals = o.select("o_orderpriority").distinct().count()
-    if n_vals > PIVOT_DISCOVER_CAP:
+    # ONE discovery job (limit cap+1 short-circuits the distinct scan);
+    # passing the discovered list to pivot() skips Spark's internal
+    # second distinct+collect — review flagged the double scan
+    vals = [
+        r[0]
+        for r in o.select("o_orderpriority")
+        .distinct()
+        .limit(PIVOT_DISCOVER_CAP + 1)
+        .collect()
+    ]
+    if len(vals) > PIVOT_DISCOVER_CAP:
         raise ValueError(
-            f"pivot discovery found {n_vals} values > cap "
-            f"{PIVOT_DISCOVER_CAP}; declare values explicitly"
+            f"pivot discovery found > cap {PIVOT_DISCOVER_CAP} values; "
+            "declare values explicitly"
         )
     return (
         o.groupBy("o_orderstatus")
-        .pivot("o_orderpriority")
+        .pivot("o_orderpriority", sorted(vals))
         .agg(F.round(F.sum("o_totalprice"), 2))
     )
 

@@ -458,7 +458,7 @@ def sample_downweight_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: floor): the deterministic per-row bootstrap draw.  Salted so draws
 #: decorrelate from `sample_hash_split`'s prefix.
 _BOOT_SALT = ":boot"
-_POISSON1_CUM_HEX = ("5e30", "bc5e", "eb79", "fb2b", "ff10")  # k=0..4
+_POISSON1_CUM_HEX = ("5e2d", "bc5a", "eb71", "fb23", "ff10")  # k=0..4
 
 
 @register(

@@ -881,7 +881,13 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(ts)
         ).alias("mwl"),
         (
-            F.size(F.filter(ts, lambda w: w.rlike("^[a-z]+$"))).cast("double")
+            # \A..\z anchors, not ^..$: Java's $ matches before a final
+            # line terminator, so 'abc\n' would count as alphabetic on
+            # Spark but not under DuckDB's regexp_full_match — the one
+            # latent cross-engine divergence review found in this gate
+            F.size(F.filter(ts, lambda w: w.rlike(r"\A[a-z]+\z"))).cast(
+                "double"
+            )
             / F.size(ts)
         ).alias("ar"),
         F.size(
@@ -1142,35 +1148,12 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed.  One data-sized aggregate collapses the corpus to the
     |langs|^2 confusion relation; the normalizing window then runs
     over that tiny relation.  Rates are integer-over-integer per cell
-    => engine-exact."""
-    d = table(spark, sf_dir, "documents")
-    tokens = F.split("text", " ")
-
-    def marker_count(words):
-        return F.size(F.filter(tokens, lambda t: t.isin(*words)))
-
-    s = {lang: marker_count(words) for lang, words in _LANG_MARKERS.items()}
-    predicted = (
-        F.when(
-            (s["de"] > s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]),
-            "de",
-        )
-        .when(
-            (s["es"] > s["en"]) & (s["es"] > s["de"]) & (s["es"] >= s["fr"]) & (s["es"] >= s["zh"]),
-            "es",
-        )
-        .when(
-            (s["fr"] > s["en"]) & (s["fr"] > s["de"]) & (s["fr"] > s["es"]) & (s["fr"] >= s["zh"]),
-            "fr",
-        )
-        .when(
-            (s["zh"] > s["en"]) & (s["zh"] > s["de"]) & (s["zh"] > s["es"]) & (s["zh"] > s["fr"]),
-            "zh",
-        )
-        .otherwise("en")
-    )
+    => engine-exact.  Predictions come from calling `text_langid`
+    itself, not a copy of its logic — the matrix always evaluates the
+    classifier that ships, including any future marker or tie-break
+    change."""
     cells = (
-        d.select("lang", predicted.alias("predicted_lang"))
+        text_langid(spark, sf_dir)
         .groupBy("lang", "predicted_lang")
         .agg(F.count("*").cast("long").alias("n"))
     )

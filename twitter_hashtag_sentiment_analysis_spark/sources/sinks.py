@@ -247,7 +247,9 @@ COMPACT_FRAG_FILES = 32
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
-               CAST({COMPACT_FRAG_FILES} AS BIGINT) AS files_before,
+               CAST(least({COMPACT_FRAG_FILES},
+                          greatest(1, (SELECT count(*) FROM documents)))
+                    AS BIGINT) AS files_before,
                CAST(greatest(1, CAST(floor((SELECT count(*) FROM documents)
                                            * 1.0 / {COMPACT_ROWS_PER_FILE})
                                      AS BIGINT))
@@ -275,9 +277,13 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is None:
         base = tempfile.mkdtemp(prefix="thsa_compact_")
         frag_dir = os.path.join(base, "frag")
-        docs.repartition(COMPACT_FRAG_FILES).write.mode("overwrite").parquet(frag_dir)
+        n_rows = docs.count()
+        # never fragment wider than the row count: empty partitions
+        # write no parquet file, which would desync the listing from
+        # the declared files_before on tiny corpora (review finding)
+        frag_n = max(1, min(COMPACT_FRAG_FILES, n_rows))
+        docs.repartition(frag_n).write.mode("overwrite").parquet(frag_dir)
         frag = spark.read.parquet(frag_dir)
-        n_rows = frag.count()
         target = max(1, n_rows // COMPACT_ROWS_PER_FILE)
         out_dir = os.path.join(base, "compacted")
         frag.repartition(target).write.mode("overwrite").parquet(out_dir)
