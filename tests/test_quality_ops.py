@@ -766,3 +766,26 @@ def test_gopher_alpha_anchors_reject_trailing_newline(spark, tmp_path):
     r = load_all()["quality_gopher_rules"].fn(spark, str(tmp_path)).collect()[0]
     # tokens: ['abc\nxyz', 'abc'] -> only the clean one is alphabetic
     assert r["n_words"] == 2 and r["alpha_ratio"] == 0.5, r
+
+
+def test_phash_neardup_identical_blobs_collide_at_zero(spark, tmp_path):
+    """Byte-identical blobs must pair at Hamming 0; a byte-disjoint
+    blob must not pair with them; symmetry/id ordering holds."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    other = "ZZZZ 9999 !!!! @@@@ #### $$$$ %%%% ^^^^ &&&& " * 3
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        [
+            (1, base, "en", "s", len(base)),
+            (2, base, "en", "s", len(base)),
+            (3, other, "en", "s", len(other)),
+        ],
+        DOC_SCHEMA,
+    )
+    rows = load_all()["mm_phash_neardup"].fn(spark, str(tmp_path)).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert got.get((1, 2)) == 0, got
+    assert all(a < b for a, b in got)
+    assert (1, 3) not in got and (2, 3) not in got

@@ -17,7 +17,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -217,3 +217,155 @@ def mm_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInArrow(meta, ARROW_META_SCHEMA)
+
+
+#: Byte-level blockhash geometry: 32 positions sampled evenly across
+#: the blob, bit = sampled byte above the blob's mean byte; 4 x 8-bit
+#: bands block the pair space; Hamming <= HAM_MAX verifies.  Same
+#: band-cap-verify discipline as the MinHash/SimHash family.
+MM_PHASH_BITS = 32
+MM_PHASH_BANDS = 4
+MM_PHASH_HAM_MAX = 2
+MM_PHASH_BUCKET_CAP = 64
+
+_PHASH_CTES = f"""
+        blobs AS (
+            SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+            FROM documents WHERE text <> ''
+        ),
+        parsed AS (
+            SELECT doc_id, n,
+                   list_transform(range(1, n + 1),
+                       i -> CAST('0x' || substr(h, CAST(2*i-1 AS INT), 2)
+                                 AS BIGINT)) AS bs
+            FROM blobs
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, {MM_PHASH_BITS}),
+                       j -> CASE WHEN bs[least(n, CAST(floor((j + 0.5) * n
+                                        / {MM_PHASH_BITS}.0) AS BIGINT) + 1)]
+                                      > list_sum(bs) * 1.0 / n
+                                 THEN CAST(1 AS BIGINT) << j ELSE 0 END))
+                        AS BIGINT) AS ph
+            FROM parsed
+        ),
+        bands AS (
+            SELECT doc_id, ph, b.j AS band_idx,
+                   (ph >> (8 * b.j)) & 255 AS band_val
+            FROM hashed, (SELECT unnest(range(0, {MM_PHASH_BANDS})) AS j) b
+        ),
+        kept AS (
+            SELECT band_idx, band_val FROM bands
+            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {MM_PHASH_BUCKET_CAP}
+        ),
+        eligible AS (
+            SELECT b.* FROM bands b JOIN kept USING (band_idx, band_val)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, a.ph AS ph_a,
+                            b.doc_id AS doc_b, b.ph AS ph_b
+            FROM eligible a
+            JOIN eligible b ON a.band_idx = b.band_idx
+                           AND a.band_val = b.band_val
+                           AND a.doc_id < b.doc_id
+        )"""
+
+
+@register(
+    "mm_phash_neardup",
+    sql=f"""
+        WITH{_PHASH_CTES}
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ph_a, ph_b)) <= {MM_PHASH_HAM_MAX}
+    """,
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-shaped near-dup over the opaque BINARY column:
+    a 32-bit blockhash (byte sampled at 32 even offsets, bit = above
+    the blob's mean byte), banded 4 x 8 bits, candidates share a band
+    under MM_PHASH_BUCKET_CAP, verified by Hamming distance <= 2 —
+    pHash/blockhash's exact pipeline shape, computed on RAW BYTES
+    because media decode is stubbed in this container (decode_image);
+    swap the hash input for decoded luma blocks on a real cluster and
+    nothing else changes.  Unlike `dedup_simhash` (token-level, text
+    only) this is modality-agnostic: it sees only bytes.
+
+    All JVM/SQL expressions (hex parse -> int array -> bit pack), the
+    same linear band-cap-verify contract as MinHash: candidate pairs
+    are bounded by CAP x band rows, never all-pairs.  Fully
+    SQL-expressible => exact oracle."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    blob = F.encode(F.col("text"), "utf-8")
+    hexs = F.hex(blob)
+    n = F.length(blob).cast("long")
+    bs = F.transform(
+        F.sequence(F.lit(1).cast("long"), n),
+        lambda i: F.conv(F.substring(hexs, (2 * i - 1).cast("int"), 2), 16, 10).cast(
+            "long"
+        ),
+    )
+    parsed = d.select("doc_id", n.alias("n"), bs.alias("bs"))
+    mean = F.aggregate("bs", F.lit(0).cast("long"), lambda a, v: a + v) / F.col("n")
+    bit = lambda j: F.when(  # noqa: E731
+        F.element_at(
+            "bs",
+            F.least(
+                F.col("n"),
+                F.floor(F.lit(j + 0.5) * F.col("n") / MM_PHASH_BITS).cast("long")
+                + 1,
+            ).cast("int"),
+        )
+        > mean,
+        F.lit(1 << j).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    hash_expr = bit(0)
+    for j in range(1, MM_PHASH_BITS):
+        hash_expr = hash_expr + bit(j)
+    hashed = parsed.select("doc_id", hash_expr.alias("ph"))
+    bands = hashed.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("ph", 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for b in range(MM_PHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "ph", "bd.band_idx", "bd.band_val")
+    wb = Window.partitionBy("band_idx", "band_val")
+    eligible = (
+        bands.withColumn("bn", F.count("*").over(wb))
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= MM_PHASH_BUCKET_CAP))
+        .drop("bn")
+    )
+    a, b = eligible.alias("a"), eligible.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.ph").alias("ph_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.ph").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= MM_PHASH_HAM_MAX
+    )
