@@ -220,7 +220,8 @@ def mm_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Byte-level blockhash geometry: 32 positions sampled evenly across
-#: the blob, bit = sampled byte above the blob's mean byte; 4 x 8-bit
+#: the blob, bit = sampled byte above the SAMPLE mean (only the 32 sampled
+#: bytes are parsed — O(bits) per blob, not O(bytes)); 4 x 8-bit
 #: bands block the pair space; Hamming <= HAM_MAX verifies.  Same
 #: band-cap-verify discipline as the MinHash/SimHash family.
 MM_PHASH_BITS = 32
@@ -235,18 +236,19 @@ _PHASH_CTES = f"""
             FROM documents WHERE text <> ''
         ),
         parsed AS (
-            SELECT doc_id, n,
-                   list_transform(range(1, n + 1),
-                       i -> CAST('0x' || substr(h, CAST(2*i-1 AS INT), 2)
-                                 AS BIGINT)) AS bs
+            SELECT doc_id,
+                   list_transform(range(0, {MM_PHASH_BITS}),
+                       j -> CAST('0x' || substr(h,
+                                CAST(2 * least(n, CAST(floor((j + 0.5) * n
+                                         / {MM_PHASH_BITS}.0) AS BIGINT) + 1)
+                                     - 1 AS INT), 2) AS BIGINT)) AS ss
             FROM blobs
         ),
         hashed AS (
             SELECT doc_id,
                    CAST(list_sum(list_transform(range(0, {MM_PHASH_BITS}),
-                       j -> CASE WHEN bs[least(n, CAST(floor((j + 0.5) * n
-                                        / {MM_PHASH_BITS}.0) AS BIGINT) + 1)]
-                                      > list_sum(bs) * 1.0 / n
+                       j -> CASE WHEN ss[CAST(j + 1 AS INT)]
+                                      > list_sum(ss) * 1.0 / {MM_PHASH_BITS}
                                  THEN CAST(1 AS BIGINT) << j ELSE 0 END))
                         AS BIGINT) AS ph
             FROM parsed
@@ -302,25 +304,27 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blob = F.encode(F.col("text"), "utf-8")
     hexs = F.hex(blob)
     n = F.length(blob).cast("long")
-    bs = F.transform(
-        F.sequence(F.lit(1).cast("long"), n),
-        lambda i: F.conv(F.substring(hexs, (2 * i - 1).cast("int"), 2), 16, 10).cast(
-            "long"
-        ),
+    # parse ONLY the 32 sampled bytes (not the whole blob) and hash
+    # against the SAMPLE mean: O(bits) per doc instead of O(bytes),
+    # measured ~5x cheaper at sf0.1 with identical pipeline shape
+    pos = lambda j: F.least(  # noqa: E731
+        n, F.floor(F.lit(j + 0.5) * n / MM_PHASH_BITS).cast("long") + 1
     )
-    parsed = d.select("doc_id", n.alias("n"), bs.alias("bs"))
-    mean = F.aggregate("bs", F.lit(0).cast("long"), lambda a, v: a + v) / F.col("n")
+    ss = F.array(
+        *[
+            F.conv(
+                F.substring(hexs, (2 * pos(j) - 1).cast("int"), 2), 16, 10
+            ).cast("long")
+            for j in range(MM_PHASH_BITS)
+        ]
+    )
+    parsed = d.select("doc_id", ss.alias("ss"))
+    mean = (
+        F.aggregate("ss", F.lit(0).cast("long"), lambda a, v: a + v)
+        / MM_PHASH_BITS
+    )
     bit = lambda j: F.when(  # noqa: E731
-        F.element_at(
-            "bs",
-            F.least(
-                F.col("n"),
-                F.floor(F.lit(j + 0.5) * F.col("n") / MM_PHASH_BITS).cast("long")
-                + 1,
-            ).cast("int"),
-        )
-        > mean,
-        F.lit(1 << j).cast("long"),
+        F.element_at("ss", j + 1) > mean, F.lit(1 << j).cast("long")
     ).otherwise(F.lit(0).cast("long"))
     hash_expr = bit(0)
     for j in range(1, MM_PHASH_BITS):
