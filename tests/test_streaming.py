@@ -478,3 +478,58 @@ def test_trending_terms_multibatch_converges_to_batch_counts(spark, sf_dir):
     )
     want = {(r.source, r.token): (r["count"], r.rk) for r in batch.collect()}
     assert got == want
+
+
+def test_curation_pipe_invariant_to_microbatch_boundaries(spark, sf_dir):
+    """The registered availableNow drain and a maxFilesPerTrigger=1
+    re-run (one micro-batch per source file) must produce identical
+    results — every stage is content-keyed or commutative, so batch
+    boundaries cannot leak into the output."""
+    from twitter_hashtag_sentiment_analysis_spark.functions.sentiment import (
+        with_sentiment,
+    )
+    from twitter_hashtag_sentiment_analysis_spark.operators.text_analysis import (
+        _GOPHER_STOPS,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+    )
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+    from twitter_hashtag_sentiment_analysis_spark.streaming.queries import (
+        _run_to_memory,
+        _stream_copy,
+    )
+
+    key = lambda r: (r["lang"], r["sentiment"])  # noqa: E731
+    got = {
+        key(r): (r["n_docs"], r["total_tokens"])
+        for r in load_all()["stream_curation_pipe"].fn(spark, sf_dir).collect()
+    }
+    assert got
+
+    path, docs = _stream_copy(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    ts = F.split("text", " ")
+    gated = stream.filter(
+        (F.size(ts) >= GOPHER_MIN_WORDS)
+        & (
+            F.size(F.filter(ts, lambda w: w.isin(*_GOPHER_STOPS)))
+            >= GOPHER_MIN_STOP_HITS
+        )
+    )
+    deduped = gated.withColumn(
+        "content_hash", F.sha2("text", 256)
+    ).dropDuplicates(["lang", "content_hash"])
+    agg = with_sentiment(deduped).groupBy("lang", "sentiment").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+    )
+    name = _run_to_memory(agg, "curate_mb", output_mode="complete")
+    chunked = {
+        key(r): (r["n_docs"], r["total_tokens"])
+        for r in spark.table(name).collect()
+    }
+    assert chunked == got

@@ -1009,3 +1009,81 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("long").alias("n"),
     )
+
+
+def _curation_oracle_sql() -> str:
+    """Batch twin of the streaming curation pipeline, assembled from
+    the SAME gate constants and sentiment CTE so the sides cannot
+    drift."""
+    from ..functions.sentiment import sentiment_sql_cte
+    from ..operators.text_analysis import (
+        _GOPHER_STOPS,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+    return f"""
+        WITH gated AS (
+            SELECT DISTINCT lang, text FROM documents
+            WHERE len(string_split(text, ' ')) >= {GOPHER_MIN_WORDS}
+              AND len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({stops})))
+                  >= {GOPHER_MIN_STOP_HITS}
+        ),
+        scored AS ({sentiment_sql_cte('gated')})
+        SELECT lang, sentiment,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS total_tokens
+        FROM scored
+        GROUP BY lang, sentiment
+    """
+
+
+@register("stream_curation_pipe", sql=_curation_oracle_sql())
+def stream_curation_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole thesis in ONE streaming query: the reference's
+    streaming shape (push source -> filter -> enrich -> aggregate,
+    R1-R8) carrying the north-star's curation stages — a document
+    stream passes the Gopher-lite quality gate, streaming exact-dedup
+    state (dropDuplicates on (lang, content hash) — content-keyed so
+    which duplicate arrives first cannot change the output), sentiment
+    enrichment, and a per-(lang, sentiment) corpus report, drained via
+    availableNow into a memory sink.
+
+    Determinism by construction: every stage is content-keyed or
+    commutative, so micro-batch boundaries and file arrival order
+    cannot affect the result — which is why a REAL streaming run can
+    carry an exact batch oracle (built from the same constants and
+    sentiment CTE).  The dedup state is unwatermarked (a whole-corpus
+    identity pass, as in `stream_dedup_state`); a deployment bounds it
+    with `stream_dedup_within_watermark`'s horizon when the stream is
+    unbounded."""
+    from ..functions.sentiment import with_sentiment
+    from ..operators.text_analysis import (
+        _GOPHER_STOPS,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+    )
+
+    path, docs = _stream_copy(spark, sf_dir, "documents")
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    ts = F.split("text", " ")
+    gated = stream.filter(
+        (F.size(ts) >= GOPHER_MIN_WORDS)
+        & (
+            F.size(F.filter(ts, lambda w: w.isin(*_GOPHER_STOPS)))
+            >= GOPHER_MIN_STOP_HITS
+        )
+    )
+    deduped = gated.withColumn("content_hash", F.sha2("text", 256)).dropDuplicates(
+        ["lang", "content_hash"]
+    )
+    scored = with_sentiment(deduped)
+    agg = scored.groupBy("lang", "sentiment").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+    )
+    name = _run_to_memory(agg, "curate", output_mode="complete")
+    return spark.table(name)
