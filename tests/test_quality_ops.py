@@ -760,11 +760,13 @@ def test_gopher_alpha_anchors_reject_trailing_newline(spark, tmp_path):
         spark,
         tmp_path,
         "documents",
-        [(1, "abc\nxyz abc", "en", "s", 11)],
+        [(1, "abc\n xyz", "en", "s", 8)],
         DOC_SCHEMA,
     )
     r = load_all()["quality_gopher_rules"].fn(spark, str(tmp_path)).collect()[0]
-    # tokens: ['abc\nxyz', 'abc'] -> only the clean one is alphabetic
+    # tokens: ['abc\n', 'xyz'] — the TOKEN-FINAL newline is the
+    # discriminating case: old '^[a-z]+$' accepts 'abc\n' (ratio 1.0),
+    # \A..\z rejects it (ratio 0.5) — reverting the fix fails here
     assert r["n_words"] == 2 and r["alpha_ratio"] == 0.5, r
 
 

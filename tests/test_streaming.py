@@ -485,18 +485,11 @@ def test_curation_pipe_invariant_to_microbatch_boundaries(spark, sf_dir):
     re-run (one micro-batch per source file) must produce identical
     results — every stage is content-keyed or commutative, so batch
     boundaries cannot leak into the output."""
-    from twitter_hashtag_sentiment_analysis_spark.functions.sentiment import (
-        with_sentiment,
-    )
-    from twitter_hashtag_sentiment_analysis_spark.operators.text_analysis import (
-        _GOPHER_STOPS,
-        GOPHER_MIN_STOP_HITS,
-        GOPHER_MIN_WORDS,
-    )
     from twitter_hashtag_sentiment_analysis_spark.registry import load_all
     from twitter_hashtag_sentiment_analysis_spark.streaming.queries import (
         _run_to_memory,
         _stream_copy,
+        curation_pipeline,
     )
 
     key = lambda r: (r["lang"], r["sentiment"])  # noqa: E731
@@ -512,21 +505,8 @@ def test_curation_pipe_invariant_to_microbatch_boundaries(spark, sf_dir):
         .option("maxFilesPerTrigger", "1")
         .parquet(path)
     )
-    ts = F.split("text", " ")
-    gated = stream.filter(
-        (F.size(ts) >= GOPHER_MIN_WORDS)
-        & (
-            F.size(F.filter(ts, lambda w: w.isin(*_GOPHER_STOPS)))
-            >= GOPHER_MIN_STOP_HITS
-        )
-    )
-    deduped = gated.withColumn(
-        "content_hash", F.sha2("text", 256)
-    ).dropDuplicates(["lang", "content_hash"])
-    agg = with_sentiment(deduped).groupBy("lang", "sentiment").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
-    )
+    # SAME shared builder as the operator — only the source varies
+    agg = curation_pipeline(stream)
     name = _run_to_memory(agg, "curate_mb", output_mode="complete")
     chunked = {
         key(r): (r["n_docs"], r["total_tokens"])

@@ -909,7 +909,7 @@ PIVOT_DISCOVER_CAP = 25
                round("5-LOW", 2) AS "5-LOW"
         FROM (
             PIVOT (SELECT o_orderstatus, o_orderpriority, o_totalprice
-                   FROM orders)
+                   FROM orders WHERE o_orderpriority IS NOT NULL)
             ON o_orderpriority USING sum(o_totalprice)
             GROUP BY o_orderstatus
         )
@@ -927,10 +927,15 @@ def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one for enum-like columns whose values you refuse to
     hard-code.  Discovered values are sorted by Spark, and DuckDB's
     native dynamic PIVOT discovers the same set => exact oracle."""
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+    )
     # ONE discovery job (limit cap+1 short-circuits the distinct scan);
     # passing the discovered list to pivot() skips Spark's internal
-    # second distinct+collect — review flagged the double scan
+    # second distinct+collect — review flagged the double scan.  NULL
+    # pivot values are excluded up front on BOTH engines: a NULL would
+    # crash sorted() and DuckDB PIVOT names its column differently, so
+    # the declared semantics are "non-null values become columns".
     vals = [
         r[0]
         for r in o.select("o_orderpriority")
@@ -940,8 +945,8 @@ def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     if len(vals) > PIVOT_DISCOVER_CAP:
         raise ValueError(
-            f"pivot discovery found > cap {PIVOT_DISCOVER_CAP} values; "
-            "declare values explicitly"
+            f"pivot discovery found >= {len(vals)} values > cap "
+            f"{PIVOT_DISCOVER_CAP}; declare values explicitly"
         )
     return (
         o.groupBy("o_orderstatus")

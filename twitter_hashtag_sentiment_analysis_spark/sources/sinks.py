@@ -278,11 +278,15 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = tempfile.mkdtemp(prefix="thsa_compact_")
         frag_dir = os.path.join(base, "frag")
         n_rows = docs.count()
-        # never fragment wider than the row count: empty partitions
-        # write no parquet file, which would desync the listing from
-        # the declared files_before on tiny corpora (review finding)
+        # never fragment wider than the row count, and round-robin from
+        # ONE input partition: a single source task with n_rows >=
+        # frag_n rows covers every output slot, so the listing always
+        # equals frag_n — multiple small input partitions can otherwise
+        # leave slots empty and desync files_before (review findings)
         frag_n = max(1, min(COMPACT_FRAG_FILES, n_rows))
-        docs.repartition(frag_n).write.mode("overwrite").parquet(frag_dir)
+        docs.coalesce(1).repartition(frag_n).write.mode("overwrite").parquet(
+            frag_dir
+        )
         frag = spark.read.parquet(frag_dir)
         target = max(1, n_rows // COMPACT_ROWS_PER_FILE)
         out_dir = os.path.join(base, "compacted")

@@ -1041,6 +1041,37 @@ def _curation_oracle_sql() -> str:
     """
 
 
+def curation_pipeline(stream: DataFrame) -> DataFrame:
+    """The curation stages over ANY document-shaped DataFrame (batch or
+    stream): Gopher-lite gate -> content-keyed dedup -> sentiment ->
+    per-(lang, sentiment) report.  Shared by the registered operator
+    and the micro-batch-boundary invariance test, which varies only the
+    source — so the test can never drift from the shipped stages."""
+    from ..functions.sentiment import with_sentiment
+    from ..operators.text_analysis import (
+        _GOPHER_STOPS,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+    )
+
+    ts = F.split("text", " ")
+    gated = stream.filter(
+        (F.size(ts) >= GOPHER_MIN_WORDS)
+        & (
+            F.size(F.filter(ts, lambda w: w.isin(*_GOPHER_STOPS)))
+            >= GOPHER_MIN_STOP_HITS
+        )
+    )
+    deduped = gated.withColumn("content_hash", F.sha2("text", 256)).dropDuplicates(
+        ["lang", "content_hash"]
+    )
+    scored = with_sentiment(deduped)
+    return scored.groupBy("lang", "sentiment").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+    )
+
+
 @register("stream_curation_pipe", sql=_curation_oracle_sql())
 def stream_curation_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole thesis in ONE streaming query: the reference's
@@ -1060,30 +1091,8 @@ def stream_curation_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity pass, as in `stream_dedup_state`); a deployment bounds it
     with `stream_dedup_within_watermark`'s horizon when the stream is
     unbounded."""
-    from ..functions.sentiment import with_sentiment
-    from ..operators.text_analysis import (
-        _GOPHER_STOPS,
-        GOPHER_MIN_STOP_HITS,
-        GOPHER_MIN_WORDS,
-    )
-
     path, docs = _stream_copy(spark, sf_dir, "documents")
     stream = spark.readStream.schema(docs.schema).parquet(path)
-    ts = F.split("text", " ")
-    gated = stream.filter(
-        (F.size(ts) >= GOPHER_MIN_WORDS)
-        & (
-            F.size(F.filter(ts, lambda w: w.isin(*_GOPHER_STOPS)))
-            >= GOPHER_MIN_STOP_HITS
-        )
-    )
-    deduped = gated.withColumn("content_hash", F.sha2("text", 256)).dropDuplicates(
-        ["lang", "content_hash"]
-    )
-    scored = with_sentiment(deduped)
-    agg = scored.groupBy("lang", "sentiment").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
-    )
+    agg = curation_pipeline(stream)
     name = _run_to_memory(agg, "curate", output_mode="complete")
     return spark.table(name)
