@@ -445,7 +445,55 @@ PR_DAMPING = 0.85
 PR_ITERS = 12
 
 
-@register("graph_pagerank", sql=None)  # iterative float fixpoint => rows-only
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled-iteration DuckDB twin of graph_pagerank: the loop is a
+    FIXED PR_ITERS rounds (no convergence collect), so 12 chained CTEs
+    replay it exactly; round(6) absorbs the cross-engine ulp drift of
+    the per-node float sums (ranks are O(1), accumulated drift ~1e-12).
+    Generated from the same PR_DAMPING/PR_ITERS constants as the Spark
+    loop so the two sides cannot drift."""
+    base = """
+        toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        bi AS (
+            SELECT ts[CAST(i AS INT)] AS src, ts[CAST(i + 1 AS INT)] AS dst
+            FROM toks, unnest(range(1, len(ts))) AS u(i)
+            WHERE len(ts) >= 2 AND ts[CAST(i AS INT)] <> ''
+              AND ts[CAST(i + 1 AS INT)] <> ''
+        ),
+        edges AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+            FROM bi GROUP BY 1, 2
+        ),
+        out_w AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+        trans AS (
+            SELECT e.src, e.dst, e.w * 1.0 / o.ow AS p
+            FROM edges e JOIN out_w o USING (src)
+        ),
+        nodes AS (
+            SELECT DISTINCT src AS word FROM edges
+            UNION SELECT DISTINCT dst FROM edges
+        ),
+        r0 AS (SELECT word, 1.0 AS rank FROM nodes)"""
+    its = []
+    for i in range(1, PR_ITERS + 1):
+        its.append(f"""
+        m{i} AS (
+            SELECT t.dst, sum(r.rank * t.p) AS mass
+            FROM trans t JOIN r{i - 1} r ON t.src = r.word GROUP BY t.dst
+        ),
+        r{i} AS (
+            SELECT n.word, {1 - PR_DAMPING} + {PR_DAMPING} * coalesce(m.mass, 0.0) AS rank
+            FROM nodes n LEFT JOIN m{i} m ON n.word = m.dst
+        )""")
+    return (
+        "WITH" + base + "," + ",".join(its)
+        + f"\n        SELECT word, round(rank, 6) AS rank FROM r{PR_ITERS}"
+    )
+
+
+@register("graph_pagerank", sql=_pagerank_oracle_sql())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the word co-occurrence graph (edges =
     bigram counts from the corpus, the text-derived graph a keyword/
@@ -456,8 +504,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     components, but with float mass instead of min-labels. At corpus
     scale the vocabulary graph is ~1e6 nodes (edges partition by src;
     ranks co-partition by node key, so each iteration is ONE shuffle).
-    Rows-only: the fixpoint is float-iterative; invariants (mass
-    conservation, positivity, convergence) are property-tested in
+    EXACT oracle since round 5's close: the loop runs a FIXED PR_ITERS
+    rounds (no convergence collect), so DuckDB replays it as 12
+    unrolled CTEs from the same constants (_pagerank_oracle_sql);
+    round(6) absorbs float ulp drift.  Invariants (mass conservation,
+    positivity, convergence) remain property-tested in
     tests/test_llm_ops.py. Output: (word, round(rank, 6)) for the
     full vocabulary."""
     d = table(spark, sf_dir, "documents").select(

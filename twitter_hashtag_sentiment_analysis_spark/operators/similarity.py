@@ -608,7 +608,103 @@ IVF_TRAIN_MAX_SAMPLE = 65536
 IVF_TRAIN_MAX_ITER = 3
 
 
-@register("sim_ann_ivf_trained", sql=None)  # approximate (recall < 1) => rows-only
+def _ivf_trained_oracle_sql() -> str:
+    """DuckDB twin of sim_ann_ivf_trained's ENTIRE pipeline, training
+    included: the Lloyd loop is a fixed IVF_TRAIN_MAX_ITER rounds over
+    a hash-deterministic sample with first-K init, so it unrolls into
+    chained CTEs (assign -> per-dim centroid means -> next codebook;
+    empty cells keep their centroid, numpy semantics).  numpy computes
+    means with pairwise summation and DuckDB's avg sums sequentially,
+    so centroids can differ by an ulp — argmin margins and the cos
+    round(6) absorb it (verified by the exact-hash gate); the recall
+    property test remains the semantic contract."""
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> (CAST({a}[i] AS DOUBLE) - {b}[i])"
+            f" * (CAST({a}[i] AS DOUBLE) - {b}[i])))"
+        )
+
+    base = f"""
+        samp AS (
+            SELECT vec_id, embedding, row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {IVF_TRAIN_MAX_SAMPLE}
+        ),
+        c0 AS (
+            SELECT rn - 1 AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+            FROM samp WHERE rn <= {IVF_TRAIN_K}
+        )"""
+    its = ""
+    prev = "c0"
+    for t in range(1, IVF_TRAIN_MAX_ITER + 1):
+        its += f""",
+        a{t} AS (
+            SELECT s.vec_id, s.embedding, c.cid,
+                   {l2("s.embedding", "c.ce")} AS d2
+            FROM samp s, {prev} c
+        ),
+        b{t} AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT vec_id, embedding, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn2
+                FROM a{t}) WHERE rn2 = 1
+        ),
+        m{t} AS (
+            SELECT cid, u.j AS j,
+                   avg(CAST(embedding[CAST(u.j AS INT)] AS DOUBLE)) AS v
+            FROM b{t}, unnest(range(1, {DIM + 1})) AS u(j)
+            GROUP BY cid, u.j
+        ),
+        c{t} AS (
+            SELECT c.cid, coalesce(n.ce, c.ce) AS ce
+            FROM {prev} c LEFT JOIN (
+                SELECT cid, list(v ORDER BY j) AS ce FROM m{t} GROUP BY cid
+            ) n USING (cid)
+        )"""
+        prev = f"c{t}"
+    return f"""WITH{base}{its},
+        scored_cells AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   {l2("e.embedding", "c.ce")} AS d2
+            FROM embeddings e, {prev} c
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cid AS cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+                FROM scored_cells) WHERE rn = 1
+        ),
+        probe_cells AS (
+            SELECT vec_id AS probe_id, embedding AS pe, cid AS cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+                FROM scored_cells WHERE vec_id < 20) WHERE rk <= {IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT DISTINCT p.probe_id, p.pe, a.vec_id, a.embedding
+            FROM assign a JOIN probe_cells p USING (cell)
+            WHERE a.vec_id != p.probe_id
+        ),
+        scored AS (
+            SELECT probe_id, vec_id,
+                   round({_sql_cosine("pe", "embedding")}, 6) AS cos_sim
+            FROM cand
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rk
+            FROM scored
+        )
+        SELECT probe_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5"""
+
+
+
+@register("sim_ann_ivf_trained", sql=_ivf_trained_oracle_sql())
 def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED codebook — the real production split:
     the codebook is fit OFFLINE on a bounded sample (a deterministic
