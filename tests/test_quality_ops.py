@@ -791,3 +791,21 @@ def test_phash_neardup_identical_blobs_collide_at_zero(spark, tmp_path):
     assert got.get((1, 2)) == 0, got
     assert all(a < b for a, b in got)
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_share_of_parent_levels_sum_to_one(spark, sf_dir):
+    """Within each region the nation shares sum to 1; the region
+    shares of total sum to 1 across distinct regions; every share is
+    in (0, 1]."""
+    rows = load_all()["q_share_of_parent"].fn(spark, sf_dir).collect()
+    assert rows
+    by_region = {}
+    region_share = {}
+    for r in rows:
+        assert 0 < r["share_of_region"] <= 1.0
+        assert 0 < r["region_share_of_total"] <= 1.0
+        by_region.setdefault(r["region"], []).append(r["share_of_region"])
+        region_share[r["region"]] = r["region_share_of_total"]
+    for region, shares in by_region.items():
+        assert abs(sum(shares) - 1.0) < 1e-3, region
+    assert abs(sum(region_share.values()) - 1.0) < 1e-3

@@ -14,7 +14,7 @@ and the top-k queries end in TakeOrderedAndProject — no global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import table
@@ -1945,4 +1945,60 @@ def q_monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ),
         ).alias("yoy_pct"),
+    )
+
+
+@register(
+    "q_share_of_parent",
+    sql="""
+        WITH base AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        )
+        SELECT region, nation, revenue,
+               round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+                   AS share_of_region,
+               round(sum(revenue) OVER (PARTITION BY region)
+                     / sum(revenue) OVER (), 6) AS region_share_of_total
+        FROM base
+    """,
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent — the drill-down ratio every BI
+    hierarchy renders (nation's share of its region, region's share of
+    the corpus): one fact-sized aggregate collapses orders to the
+    |nation| relation, then BOTH share levels are windows over that
+    tiny relation (25 rows) — the two-level generalization of
+    `win_pareto_share`'s single-level shares.  Ratios divide the
+    ROUNDED 2dp revenue sums, so the 6dp shares are engine-exact
+    despite float summation order.  Dims broadcast; the only
+    data-sized exchange is the one aggregate shuffle."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return base.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("revenue").over(w_region) / F.sum("revenue").over(w_all), 6
+        ).alias("region_share_of_total"),
     )
