@@ -320,6 +320,39 @@ def test_pagerank_invariants(spark, sf_dir):
     assert ranks[hub] > 1.05 * med, (hub, ranks[hub], med)
 
 
+def test_triangle_count_invariants(spark, sf_dir):
+    """Structural sanity on the degree-ordered triangle count: (a)
+    3T <= wedges (every triangle closes exactly 3 wedges), so the
+    clustering coefficient lands in [0, 1]; (b) a brute-force
+    recount on a small node sample agrees — the degree orientation
+    must not lose or double-count any triangle."""
+    row = load_all()["graph_triangle_count"].fn(spark, sf_dir).first()
+    assert row["n_triangles"] >= 0
+    assert 3 * row["n_triangles"] <= row["n_wedges"]
+    assert 0.0 <= row["global_clustering"] <= 1.0
+    assert row["n_nodes"] > 0 and row["n_edges"] > 0
+    # independent recount: adjacency sets in the driver (fixture
+    # vocabulary is tiny; this is test-only, not an operator path)
+    docs = [r["text"] for r in table(spark, sf_dir, "documents").collect()]
+    adj: dict[str, set[str]] = {}
+    for t in docs:
+        toks = [w for w in t.split(" ")]
+        for x, y in zip(toks, toks[1:]):
+            if x and y and x != y:
+                adj.setdefault(x, set()).add(y)
+                adj.setdefault(y, set()).add(x)
+    tri = (
+        sum(
+            len(adj[u] & adj[v])
+            for u in adj
+            for v in adj[u]
+            if u < v
+        )
+        // 3
+    )
+    assert tri == row["n_triangles"], (tri, row["n_triangles"])
+
+
 def test_ann_ivf_trained_recall_against_exact(spark, sf_dir):
     """The KMeans-trained codebook must probe at least as well as the
     pinned-centroid stand-in — trained cells fit the data distribution,

@@ -573,6 +573,139 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("word", F.round("rank", 6).alias("rank"))
 
 
+_TRIANGLE_SQL = """
+    WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+    bi AS (
+        SELECT ts[CAST(i AS INT)] AS x, ts[CAST(i + 1 AS INT)] AS y
+        FROM toks, unnest(range(1, len(ts))) AS u(i)
+        WHERE len(ts) >= 2 AND ts[CAST(i AS INT)] <> ''
+          AND ts[CAST(i + 1 AS INT)] <> ''
+    ),
+    edges AS (
+        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        FROM bi WHERE x <> y
+    ),
+    deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+        GROUP BY v
+    ),
+    wedge AS (
+        SELECT CAST(coalesce(sum((d * (d - 1)) // 2), 0) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           w.n_wedges,
+           t.n_triangles,
+           round(CASE WHEN w.n_wedges = 0 THEN 0.0
+                      ELSE 3.0 * t.n_triangles / w.n_wedges END, 6)
+               AS global_clustering
+    FROM wedge w, tri t
+"""
+
+
+@register("graph_triangle_count", sql=_TRIANGLE_SQL)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the word
+    co-occurrence graph (same bigram edges as graph_pagerank, made
+    undirected/distinct). Degree-ordered enumeration — the standard
+    distributed algorithm (node-iterator++ / MPC triangle join): each
+    undirected edge is oriented from its (degree, name)-smaller
+    endpoint to the larger, which (a) makes each triangle appear as
+    EXACTLY one directed path u->v->w plus closure edge u->w, and (b)
+    bounds every vertex's out-neighborhood by O(sqrt(m)) (arboricity
+    bound), so the wedge join's fan-out is capped even on hub words —
+    the lexicographic orientation would explode on hubs; the degree
+    orientation is what survives a 100 TB corpus. Two shuffles after
+    the checkpointed edge build: wedge join keyed on the shared
+    mid-vertex, closure left-semi keyed on the (u, w) pair. The count
+    is orientation-invariant, so the DuckDB oracle counts the same
+    triangles from lexicographic canonical edges — exact hash match.
+    Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering = 3T / wedges rounded to 6)."""
+    d = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    bigrams = F.expr(
+        "IF(size(toks) >= 2, "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS src, element_at(toks, i+1) AS dst)), "
+        "CAST(array() AS ARRAY<STRUCT<src: STRING, dst: STRING>>))"
+    )
+    und = (
+        d.select(F.explode(bigrams).alias("e"))
+        .filter(
+            (F.col("e.src") != "")
+            & (F.col("e.dst") != "")
+            & (F.col("e.src") != F.col("e.dst"))
+        )
+        .select(
+            F.least("e.src", "e.dst").alias("a"),
+            F.greatest("e.src", "e.dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # graph built once, reused 4x
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    e = und.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+    asc = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    directed = e.select(
+        F.when(asc, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(asc, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint(eager=True)
+    # wedge u->v->w (one shuffle on the mid-vertex), then closure
+    # check u->w against the directed edge set (semi join on the pair;
+    # duplicate (u, w) wedges through different mids each count)
+    paths = (
+        directed.alias("e1")
+        .join(directed.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .select(F.col("e1.src").alias("u"), F.col("e2.dst").alias("w"))
+    )
+    tri = paths.join(
+        directed.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_semi",
+    ).agg(F.count("*").cast("long").alias("n_triangles"))
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").cast("long").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.expr("CAST(coalesce(sum((d * (d - 1)) DIV 2), 0) AS BIGINT)").alias(
+            "n_wedges"
+        )
+    )
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_wedges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
 @register(
     "q_volume_shipping",
     sql="""
