@@ -585,3 +585,13 @@ def test_multi_distinct_expands_once(spark, sf_dir):
     aggregation pipeline, not one job per DISTINCT."""
     plan = plan_of(spark, sf_dir, "agg_multi_distinct")
     assert "Expand" in plan, plan
+
+
+def test_regr_trend_broadcasts_dims_and_aggregates_twice(spark, sf_dir):
+    """Both dimension joins must be broadcast (no fact-sized shuffle
+    before the monthly aggregate), and the OLS moments must compile to
+    plain two-phase hash aggregation — no Sort, no SortMergeJoin."""
+    plan = plan_of(spark, sf_dir, "stat_regr_trend")
+    assert plan.count("BroadcastHashJoin Inner") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_sum" in plan, plan  # map-side combine on the moments

@@ -1046,6 +1046,95 @@ def stat_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stat_regr_trend",
+    sql="""
+        WITH monthly AS (
+            SELECT n.n_name,
+                   CAST((year(o.o_orderdate) - 1992) * 12
+                        + month(o.o_orderdate) - 1 AS DOUBLE) AS x,
+                   round(sum(o.o_totalprice), 2) AS rev
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT n_name,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(x) AS sx, sum(rev) AS sy,
+                   sum(x * rev) AS sxy, sum(x * x) AS sxx,
+                   sum(rev * rev) AS syy
+            FROM monthly GROUP BY n_name
+        )
+        SELECT n_name,
+               CAST(n AS BIGINT) AS n_months,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 2) AS intercept,
+               round(pow(n * sxy - sx * sy, 2)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        FROM s
+    """,
+)
+def stat_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS trend fit — per-nation least-squares line (slope,
+    intercept, r^2) of monthly order revenue against a month index,
+    the "is this segment growing and how confidently" readout.
+
+    Two hash aggregations, both map-side combined: fact -> (nation,
+    month) monthly revenue (the only fact-sized shuffle; dims
+    broadcast), then (nation) -> the five OLS moment sums. The fit
+    itself is closed-form scalar arithmetic on the moments — no
+    iteration, no ML library, and the moment form is trivially
+    mergeable, so the plan is two partial-agg shuffles at any scale.
+    Cross-engine exactness: both engines compute the SAME explicit
+    sums (x cast to double up front; monthly revenue rounded to 2
+    before the regression) rather than their builtin regr_* one-pass
+    kernels, whose update orders differ; final rounding happens once,
+    after the closed form."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+            )
+            .cast("double")
+            .alias("x"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    s = monthly.groupBy("n_name").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("rev").alias("sy"),
+        F.sum(F.col("x") * F.col("rev")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("rev") * F.col("rev")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.select(
+        "n_name",
+        F.col("n").cast("long").alias("n_months"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 2).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(num, 2)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )
+
+
 _ORDERED_SET_SQL = """
     SELECT l_returnflag,
            round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p25_cont,
