@@ -595,3 +595,14 @@ def test_regr_trend_broadcasts_dims_and_aggregates_twice(spark, sf_dir):
     assert plan.count("BroadcastHashJoin Inner") == 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "partial_sum" in plan, plan  # map-side combine on the moments
+
+
+def test_scd2_pit_join_is_joinless(spark, sf_dir):
+    """The point-in-time lookup must compile to the union-sort shape —
+    two Exchanges (dimension versioning, union fill) and NO join node:
+    an interval theta-join here would cross facts x versions per key."""
+    plan = plan_of(spark, sf_dir, "join_scd2_pit")
+    n_exchanges = len(re.findall(r"^\s*\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 2, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)]" in plan, plan

@@ -736,3 +736,87 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         diff.cast("long").alias("diff_us"),
         direction.alias("direction"),
     )
+
+
+@register(
+    "join_scd2_pit",
+    sql="""
+        WITH sign AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN value < 50 THEN 'basic' ELSE 'premium' END
+                       AS tier,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   lead(ts) OVER w AS valid_to
+            FROM events WHERE event_type = 'signup'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        f AS (
+            SELECT event_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT f.event_id, f.user_id, f.ts, s.tier, s.version
+        FROM f LEFT JOIN sign s
+          ON s.user_id = f.user_id AND f.ts >= s.ts
+         AND (s.valid_to IS NULL OR f.ts < s.valid_to)
+    """,
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup — the consumption side of
+    scd2_intervals (operators/maintenance.py): every purchase event is
+    enriched with the dimension version (signup tier) valid AT its
+    event time, [valid_from, valid_to) semantics, NULL before the
+    first version. Spark-first shape: instead of the naive interval
+    theta-join (per-key cross product of facts x versions — the plan
+    that falls over when a hot user has thousands of versions), the
+    dimension-change rows and fact rows are UNIONED and run through
+    ONE user-keyed shuffle + (ts, kind, id) sort; last(ignorenulls)
+    over the preceding frame propagates the open version onto each
+    fact row — the same linear single-sort discipline as join_asof
+    (operators/joins.py:189), so cost is sort(facts + versions) at
+    any scale. kind orders dimension rows before facts at equal ts
+    (inclusive valid_from); event_id makes the order total, so
+    same-instant version churn resolves to the latest version on both
+    engines (the oracle's empty [t, t) intervals drop the superseded
+    twin). Output: (event_id, user_id, ts, tier, version) per
+    purchase — exact hash match vs the oracle's interval LEFT JOIN."""
+    ev = table(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.when(F.col("value") < 50, "basic")
+        .otherwise("premium")
+        .alias("tier"),
+        F.row_number().over(wv).cast("long").alias("version"),
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("tier"),
+        F.lit(None).cast("long").alias("version"),
+    )
+    u = dim.unionByName(fact)
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "kind",
+        F.last("tier", ignorenulls=True).over(wfill).alias("cur_tier"),
+        F.last("version", ignorenulls=True).over(wfill).alias("cur_version"),
+    )
+    return filled.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("cur_tier").alias("tier"),
+        F.col("cur_version").alias("version"),
+    )
