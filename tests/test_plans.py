@@ -606,3 +606,13 @@ def test_scd2_pit_join_is_joinless(spark, sf_dir):
     assert n_exchanges == 2, plan
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)]" in plan, plan
+
+
+def test_gram_matrix_combines_map_side_and_broadcasts_marginals(spark, sf_dir):
+    """The O(d^2) pair expansion must collapse to moment cells BEFORE
+    the shuffle (partial_sum), and both marginal joins must broadcast —
+    shuffle volume stays partitions x d(d+1)/2 at any vector count."""
+    plan = plan_of(spark, sf_dir, "embed_gram_matrix")
+    assert "partial_sum" in plan, plan
+    assert plan.count("BroadcastHashJoin Inner") == 2, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -1054,3 +1054,107 @@ def embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d2", 6).alias("sq_err"),
         )
     )
+
+
+@register(
+    "embed_gram_matrix",
+    sql="""
+        WITH dims AS (
+            SELECT CAST(u.i AS INT) + 1 AS i,
+                   CAST(e.embedding[CAST(u.i AS INT) + 1] AS DOUBLE) AS x
+            FROM embeddings e,
+                 unnest(range(0, len(e.embedding))) AS u(i)
+        ),
+        marg AS (
+            SELECT i, sum(x) AS sx, sum(x * x) AS sxx,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM dims GROUP BY i
+        ),
+        pairs AS (
+            SELECT CAST(u.i AS INT) + 1 AS i, CAST(v.j AS INT) + 1 AS j,
+                   sum(CAST(e.embedding[CAST(u.i AS INT) + 1] AS DOUBLE)
+                       * CAST(e.embedding[CAST(v.j AS INT) + 1] AS DOUBLE))
+                       AS sxy
+            FROM embeddings e,
+                 unnest(range(0, len(e.embedding))) AS u(i),
+                 unnest(range(0, len(e.embedding))) AS v(j)
+            WHERE v.j >= u.i
+            GROUP BY 1, 2
+        )
+        SELECT p.i, p.j,
+               round((p.sxy - mi.sx * mj.sx / mi.n) / mi.n, 6) + 0 AS cov,
+               round(((p.sxy - mi.sx * mj.sx / mi.n) / mi.n)
+                     / sqrt(((mi.sxx - mi.sx * mi.sx / mi.n) / mi.n)
+                            * ((mj.sxx - mj.sx * mj.sx / mj.n) / mj.n)),
+                     6) + 0 AS corr
+        FROM pairs p
+        JOIN marg mi ON mi.i = p.i
+        JOIN marg mj ON mj.i = p.j
+    """,
+)
+def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance/correlation matrix of the embedding
+    column (upper triangle, 1-based dims) — the one-pass Gram pattern
+    that feeds PCA/whitening/feature-drift checks on an embedding
+    corpus. Per-row work is the inherent O(d^2) pair expansion, but it
+    runs INSIDE whole-stage codegen (flatten/transform HOFs, floats
+    cast to double before the product so both engines multiply
+    identical values), and map-side partial aggregation collapses
+    every partition to at most d(d+1)/2 = 2,080 moment cells before
+    the shuffle — shuffle volume is partitions x cells regardless of
+    row count, the property that makes the plan hold at billions of
+    vectors. Covariance/correlation come from the moment form
+    (Sxy - SxSy/n)/n with the d-row marginal relation broadcast; the
+    same explicit arithmetic runs on both engines (no builtin covar_*
+    kernels, whose update order differs), rounded once at the end."""
+    e = table(spark, sf_dir, "embeddings").select(F.col("embedding").alias("v"))
+    dims = e.select(F.posexplode("v").alias("p", "x")).select(
+        (F.col("p") + 1).alias("i"), F.col("x").cast("double").alias("x")
+    )
+    marg = dims.groupBy("i").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count("*").cast("double").alias("n"),
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(sequence(1, size(v)), i ->
+          transform(sequence(i, size(v)), j ->
+            struct(i AS i, j AS j,
+                   CAST(element_at(v, i) AS DOUBLE)
+                   * CAST(element_at(v, j) AS DOUBLE) AS xy))))
+        """
+    )
+    psums = (
+        e.select(F.explode(pair_expr).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.xy").alias("sxy"))
+    )
+    mi = F.broadcast(
+        marg.select(
+            F.col("i").alias("li"),
+            F.col("sx").alias("sx_i"),
+            F.col("sxx").alias("sxx_i"),
+            F.col("n").alias("n"),
+        )
+    )
+    mj = F.broadcast(
+        marg.select(
+            F.col("i").alias("lj"),
+            F.col("sx").alias("sx_j"),
+            F.col("sxx").alias("sxx_j"),
+        )
+    )
+    joined = psums.join(mi, psums.i == mi.li).join(mj, psums.j == mj.lj)
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx_i") * F.col("sx_j") / n) / n
+    var_i = (F.col("sxx_i") - F.col("sx_i") * F.col("sx_i") / n) / n
+    var_j = (F.col("sxx_j") - F.col("sx_j") * F.col("sx_j") / n) / n
+    return joined.select(
+        "i",
+        "j",
+        # + 0.0 folds IEEE negative zero to +0.0 on both engines (a
+        # cov rounding to zero otherwise hashes as "-0" on one side)
+        (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
+        (F.round(cov / F.sqrt(var_i * var_j), 6) + F.lit(0.0)).alias("corr"),
+    )
