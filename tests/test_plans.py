@@ -616,3 +616,13 @@ def test_gram_matrix_combines_map_side_and_broadcasts_marginals(spark, sf_dir):
     assert "partial_sum" in plan, plan
     assert plan.count("BroadcastHashJoin Inner") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_triangle_count_closure_is_semi_and_scalars_broadcast(spark, sf_dir):
+    """The closure check must be a LeftSemi on the (u, w) pair (an
+    inner join would duplicate wedges per closing edge), and the only
+    cross joins are the four 1-row scalar combiners — broadcast
+    nested-loop, never a partitioned CartesianProduct."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
