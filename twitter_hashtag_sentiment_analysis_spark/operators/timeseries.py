@@ -1162,3 +1162,104 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.round(F.avg("value"), 6).alias("seasonal_mean"),
     )
+
+
+@register(
+    "ts_fill_forward",
+    sql="""
+        WITH bounds AS (
+            SELECT event_type,
+                   date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events GROUP BY event_type
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+            FROM bounds
+        ),
+        hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   round(sum(value), 4) AS total
+            FROM events GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT s.event_type, s.bucket, h.total,
+                   h.bucket AS obs_bucket
+            FROM spine s LEFT JOIN hourly h
+              ON s.event_type = h.event_type AND s.bucket = h.bucket
+        )
+        SELECT event_type, bucket,
+               coalesce(last_value(total IGNORE NULLS) OVER w, 0.0)
+                   AS total_ffill,
+               (obs_bucket IS NULL) AS gap,
+               CAST(date_diff('hour',
+                              last_value(obs_bucket IGNORE NULLS) OVER w,
+                              bucket) AS BIGINT) AS stale_hours
+        FROM g
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF) over a dense hourly spine — the third
+    classic gap treatment next to ts_resample_gapfill (explicit
+    zeros) and ts_interpolate_linear (midpoint estimates): silent
+    hours CARRY the last observed hourly total, flagged `gap`, with
+    `stale_hours` reporting how old the carried value is (the
+    freshness metric a feature-store / monitoring consumer alerts
+    on). One fact-sized shuffle (the map-side-combined hourly
+    pre-aggregate); the spine join and the carry-forward window run
+    over the bucket-sized relation (~types x hours), so the LOCF
+    itself costs a window over aggregates, never over raw events.
+    last(ignorenulls) over the unbounded-preceding frame is the
+    carry; both engines run the same IGNORE NULLS window, and the
+    carried totals were rounded ONCE in the hourly relation, so no
+    re-rounding drift."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.sum("value"), 4).alias("total"))
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "bucket"
+        ),
+    )
+    obs = hourly.select(
+        F.col("event_type").alias("h_type"),
+        F.col("bucket").alias("obs_bucket"),
+        "total",
+    )
+    g = spine.join(
+        obs,
+        (spine.event_type == obs.h_type) & (spine.bucket == obs.obs_bucket),
+        "left",
+    ).select("event_type", "bucket", "total", "obs_bucket")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = g.select(
+        "event_type",
+        "bucket",
+        F.coalesce(
+            F.last("total", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("total_ffill"),
+        F.col("obs_bucket").isNull().alias("gap"),
+        F.last("obs_bucket", ignorenulls=True).over(w).alias("last_obs"),
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        "total_ffill",
+        "gap",
+        F.expr("timestampdiff(HOUR, last_obs, bucket)")
+        .cast("long")
+        .alias("stale_hours"),
+    )
