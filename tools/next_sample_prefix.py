@@ -1,19 +1,27 @@
-"""Propose the next round's driver-sample prefix.
+"""Propose the next round's driver-sample prefix + the full rotation plan.
 
 The external correctness gate samples the first 50 keys of
 ``registry.load_all()``. ``registry._DRIVER_SAMPLE_PREFIX`` pins that
 block explicitly; this tool computes what the NEXT round's prefix
-should be so every oracle-backed key eventually receives a driver
-CORRECTNESS row:
+should be so every oracle-backed key eventually receives a green
+driver CORRECTNESS row:
 
-1. collect every key that already has a green row in any
-   ``CORRECTNESS_r*.json`` at the repo root (the driver's records),
-2. list the oracle-backed keys that still lack one, in registry order,
+1. for each key, find its LATEST row across ``CORRECTNESS_r*.json``
+   (latest-row semantics: a key whose newest row is red needs
+   re-adjudication even if an older round was green),
+2. list the oracle-backed keys whose latest row is missing or red,
+   prioritized the way a reference user would hit them:
+   previously-red-but-since-fixed keys first, then ``stream_*``,
+   then the TPC-H composites / ``sql_*`` surfaces, then the rest in
+   registry order,
 3. print the first 50 as a ready-to-paste ``_DRIVER_SAMPLE_PREFIX``
    tuple (falling back to already-adjudicated keys if fewer than 50
-   remain — re-adjudication is harmless).
+   remain — re-adjudication is harmless), and
+4. write the WHOLE pending queue, chunked by 50, to
+   ``tools/sample_rotation_plan.json`` so future rounds are a
+   mechanical paste (referenced from SURVEY.md §5).
 
-Usage: python tools/next_sample_prefix.py
+Usage: python tools/next_sample_prefix.py [next_round_number]
 """
 
 from __future__ import annotations
@@ -21,6 +29,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -28,28 +37,69 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from twitter_hashtag_sentiment_analysis_spark.registry import load_all
 
 
-def main() -> None:
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    adjudicated: set[str] = set()
+def pending_queue(root: str) -> tuple[list[str], int]:
+    """Oracle-backed keys whose LATEST driver row is missing or red,
+    in user-priority order. Returns (queue, n_latest_green)."""
+    latest_green: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             rows = json.load(f)
         for key, row in rows.items():
-            if isinstance(row, dict) and row.get("err") is None:
-                adjudicated.add(key)
+            if isinstance(row, dict):
+                latest_green[key] = row.get("err") is None
     reg = load_all()
-    oracle_backed = [k for k, q in reg.items() if q.sql is not None]
-    pending = [k for k in oracle_backed if k not in adjudicated]
-    done = [k for k in oracle_backed if k in adjudicated]
-    prefix = (pending + done)[:50]
+    oracle = [k for k, q in reg.items() if q.sql is not None]
+    pending = [k for k in oracle if not latest_green.get(k, False)]
+    # fixed-but-red first (had a red row at some point => need a fresh green)
+    red_fixed = [k for k in pending if k in latest_green]
+    streams = [k for k in pending if k.startswith("stream_") and k not in red_fixed]
+    composites = [
+        k
+        for k in pending
+        if (k.startswith("q_") or k.startswith("sql_"))
+        and k not in red_fixed
+        and k not in streams
+    ]
+    rest = [k for k in pending if k not in red_fixed and k not in streams and k not in composites]
+    queue = red_fixed + streams + composites + rest
+    n_green = sum(1 for k in oracle if latest_green.get(k, False))
+    return queue, n_green
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    next_round = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    if next_round is None:
+        rounds = [
+            int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+            for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        ]
+        next_round = (max(rounds) if rounds else 0) + 1
+    queue, n_green = pending_queue(root)
+    reg = load_all()
+    oracle = [k for k, q in reg.items() if q.sql is not None]
+    done = [k for k in oracle if k not in queue]
+    prefix = (queue + done)[:50]
     print(
-        f"# adjudicated so far: {len(adjudicated)}; oracle-backed pending: "
-        f"{len(pending)}; proposed next prefix:"
+        f"# oracle-backed keys latest-green: {n_green}; pending (latest red or"
+        f" never sampled): {len(queue)}; proposed r{next_round} prefix:"
     )
     print("_DRIVER_SAMPLE_PREFIX = (")
     for k in prefix:
         print(f'    "{k}",')
     print(")")
+    plan = {
+        "generated_for_round": next_round,
+        "pending_total": len(queue),
+        "chunks": {
+            f"r{next_round + i // 50}": queue[i : i + 50]
+            for i in range(0, len(queue), 50)
+        },
+    }
+    plan_path = os.path.join(root, "tools", "sample_rotation_plan.json")
+    with open(plan_path, "w") as f:
+        json.dump(plan, f, indent=1)
+    print(f"# rotation plan ({len(plan['chunks'])} chunks) -> {plan_path}")
 
 
 if __name__ == "__main__":

@@ -88,64 +88,59 @@ _loaded = False
 # Every key stays present — only ``dict`` insertion order changes, and
 # all consumers (tests, bench, entry shim) address the registry by key.
 _DRIVER_SAMPLE_PREFIX = (
-    # dedup family (oracle-backed, never driver-adjudicated)
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "dedup_levenshtein",
-    # sampling / packing family
-    "sample_hash_split",
-    "sample_quota_per_source",
-    "sample_mixture_weighted",
-    "pack_sequences",
-    "corpus_curation_pipeline",
-    "sample_stratified",
-    "sample_fixed_k",
-    "sample_temperature",
-    # similarity / embeddings (oracle-backed members)
-    "sim_cosine_topk",
-    "sim_cosine_neardup",
-    "embed_normalize_quantize",
-    "embed_centroid_stats",
-    # text analysis
-    "text_langid",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "text_tfidf",
-    "text_ngrams",
-    "text_pii_redact",
-    "text_normalize",
-    "text_perplexity_proxy",
-    "text_decontaminate",
-    "text_repetition_filter",
-    # multimodal (oracle-backed member)
-    "mm_blob_meta",
-    # window functions (members without a prior driver row)
-    "win_first_last",
-    "win_ntile_cume",
-    "win_ignore_nulls",
-    "win_time_range",
-    # time series / events (members without a prior driver row)
-    "ts_anomaly_zscore",
-    "event_funnel",
-    "ts_ohlc_resample",
-    # TPC-H-shaped composites + SQL/API surfaces
-    "q_shipping_priority",
-    "q_local_supplier_volume",
-    "q_returned_items",
-    "q_pricing_summary",
-    "q_order_priority",
-    "q_forecast_revenue",
-    "q_volume_shipping",
-    "q_market_share",
-    "set_intersect_all",
-    "sql_api_query",
-    "sql_recursive_cte",
-    "cache_reuse",
-    "obs_metrics",
-    "q_promo_revenue",
-    "q_big_orders",
-    "q_discounted_revenue",
+    # round-6 block (tools/sample_rotation_plan.json chunk r6):
+    # 3 fixed-but-red keys first, then all 20 stream_*, then the
+    # never-sampled TPC-H composites + sql_* surfaces, then ts_/event_.
+    "ts_sessionize",
+    "dedup_minhash",
+    "agg_approx_quantile",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup_state",
+    "stream_sentiment_pipe",
+    "stream_socket_pipe",
+    "stream_static_join",
+    "stream_stateful_counter",
+    "stream_stream_join",
+    "stream_foreach_batch",
+    "stream_update_mode",
+    "stream_trending_terms",
+    "stream_two_level_window",
+    "stream_dedup_within_watermark",
+    "stream_rocksdb_state",
+    "stream_observe_metrics",
+    "stream_state_reader",
+    "stream_curation_pipe",
+    "stream_python_source",
+    "q_customer_distribution",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_waiting_suppliers",
+    "q_dormant_customers",
+    "q_min_cost_supplier",
+    "q_product_type_profit",
+    "q_important_stock",
+    "q_late_shipment_priority",
+    "q_parts_supplier_relation",
+    "q_potential_promotion",
+    "sql_parameterized",
+    "sql_scalar_udf",
+    "sql_group_by_all",
+    "sql_pipe_syntax",
+    "sql_join_hints",
+    "sql_variables",
+    "sql_identifier_clause",
+    "q_monthly_revenue_yoy",
+    "q_share_of_parent",
+    "ts_interpolate_linear",
+    "event_retention_cohort",
+    "event_attribution",
+    "ts_ewma",
+    "event_streaks",
+    "event_markov",
+    "ts_lag_correlation",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
