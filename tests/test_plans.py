@@ -510,6 +510,22 @@ def test_weighted_quantile_preaggregates_before_sort(spark, sf_dir):
     assert agg_pos > win_pos, plan
 
 
+def test_percentile_within_group_preaggregates_before_sort(spark, sf_dir):
+    """agg_percentile_within_group must collapse to the distinct-value
+    relation (partial+final hash agg) BEFORE the per-group window sort
+    — per-group state bounded by distinct values, not rows — and must
+    not compile to Spark's buffering percentile_cont aggregate."""
+    from twitter_hashtag_sentiment_analysis_spark.plans import explain_str
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    df = load_all()["agg_percentile_within_group"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    win_pos = plan.index("Window")
+    agg_pos = plan.rindex("HashAggregate")
+    assert agg_pos > win_pos, plan  # collapse sits below the window
+    assert "percentile_cont" not in plan, plan
+
+
 def test_bpe_tokens_plan_is_narrow(spark, sf_dir):
     """The unrolled merge chain must stay a map over the scan: no
     Exchange, no Python."""

@@ -1149,16 +1149,58 @@ _ORDERED_SET_SQL = """
 @register("agg_percentile_within_group", sql=_ORDERED_SET_SQL)
 def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI ordered-set aggregates — `percentile_cont` (interpolating)
-    and `percentile_disc` (actual-member) WITHIN GROUP — run from the
-    IDENTICAL SQL text on both engines, the portability surface a
-    BI-tool user hits first.  Complements `agg_quantiles` (Spark
-    `percentile()` API form) and `agg_weighted_quantile` (weighted):
-    this is the standard-SQL spelling.  Same scale caveat as every
-    exact percentile: per-group value buffering — the mergeable sketch
-    `agg_approx_quantile` is the unbounded-cardinality path."""
+    and `percentile_disc` (actual-member) WITHIN GROUP.  The oracle is
+    the standard-SQL spelling a BI-tool user writes; the Spark plan is
+    the value-collapsing kernel `agg_weighted_quantile` uses, because
+    Spark's own `percentile_cont` buffers every group member in the
+    aggregate — the one state shape that grows with rows per group.
+
+    Distributed form: (1) hash-aggregate to one row per (group, value)
+    with a long count — map-side partial combine collapses 100 TB to
+    its distinct-value relation; (2) one per-group sort for the running
+    count `cw` and group total `tot`; (3) exact rank arithmetic in
+    INTEGERS: for p = k/4 the zero-based continuous rank is
+    k*(tot-1)/4, so floor = shiftright(k*(tot-1), 2) and the fraction
+    numerator is (k*(tot-1)) & 3 — no floating-point rank near a
+    boundary.  `cont` interpolates lo + frac*(hi-lo) (the same formula
+    both engines' percentile_cont uses, so the doubles are
+    bit-identical); `disc` is min(v) with cw*2 >= tot.  Per-group
+    state is bounded by distinct values, not rows; for
+    unbounded-cardinality measures reach for the mergeable sketch
+    twin `agg_approx_quantile`."""
     li = table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem")
-    return spark.sql(_ORDERED_SET_SQL)
+    byval = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = byval.select(
+        "l_returnflag",
+        "v",
+        F.sum("cnt").over(wcum).alias("cw"),
+        F.sum("cnt").over(wtot).alias("tot"),
+    )
+
+    def cont(k: int):  # p = k/4, exact integer rank arithmetic
+        kn = F.lit(k) * (F.col("tot") - F.lit(1))
+        floor_rank = F.shiftright(kn, 2)
+        lo = F.min(F.when(F.col("cw") >= floor_rank + F.lit(1), F.col("v")))
+        hi = F.min(F.when(F.col("cw") >= floor_rank + F.lit(2), F.col("v")))
+        frac = F.min(kn.bitwiseAND(F.lit(3))).cast("double") / F.lit(4.0)
+        return F.round(lo + frac * (F.coalesce(hi, lo) - lo), 2)
+
+    return cum.groupBy("l_returnflag").agg(
+        cont(1).alias("p25_cont"),
+        cont(2).alias("p50_cont"),
+        F.round(
+            F.min(F.when(F.col("cw") * 2 >= F.col("tot"), F.col("v"))), 2
+        ).alias("p50_disc"),
+        cont(3).alias("p75_cont"),
+    )
 
 
 @register(
