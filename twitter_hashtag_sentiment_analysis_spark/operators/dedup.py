@@ -419,14 +419,22 @@ _NGRAM_PAIRS_CTES = f"""{_NGRAM_COMMON_CTES},
         )"""
 
 
-def _shingle_common(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-pair common-shingle counts with both docs' shingle-set sizes
-    — the DataFrame twin of _NGRAM_COMMON_CTES. Columns: (doc_a, doc_b,
-    n_common, n_sh_a, n_sh_b); both symmetric-Jaccard and asymmetric-
-    containment scoring are one projection away."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
+def _shingle_relation(
+    spark: SparkSession, sf_dir: str, docs_w: DataFrame | None = None
+) -> DataFrame:
+    """Surviving (doc_id, shingle) rows under the weighted DF cap.
+
+    ``docs_w`` — optional (doc_id, text, w) relation to shingle instead
+    of the documents table; ``w`` weights the document-frequency cap so
+    a collapsed exact-dup group (one row per distinct content, w =
+    member count) still counts every member toward DF, keeping the
+    surviving-shingle set IDENTICAL to the uncollapsed run."""
+    if docs_w is None:
+        d = table(spark, sf_dir, "documents").select(
+            "doc_id", F.lit(1).cast("long").alias("w"), F.split("text", " ").alias("toks")
+        )
+    else:
+        d = docs_w.select("doc_id", "w", F.split("text", " ").alias("toks"))
     # split once into an array column; re-splitting inside the lambda
     # (element_at(split(text, ' '), i)) is O(tokens^2) per document
     shingles_expr = F.expr(
@@ -437,17 +445,22 @@ def _shingle_common(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(array() AS ARRAY<STRING>))"
     )
     shingled_raw = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles_expr)).alias("shingle")
+        "doc_id", "w", F.explode(F.array_distinct(shingles_expr)).alias("shingle")
     )
-    # DF cap as a window count over the shingle key: one shuffle, and
-    # the inverted-index self-join below reuses that partitioning (vs a
-    # groupBy + semi-join, which recomputes the shingle scan twice)
+    # DF cap as a window sum over the shingle key: one shuffle, and
+    # the inverted-index self-join downstream reuses that partitioning
+    # (vs a groupBy + semi-join, which recomputes the shingle scan twice)
     wsh = Window.partitionBy("shingle")
-    shingled = (
-        shingled_raw.withColumn("df_n", F.count("*").over(wsh))
+    return (
+        shingled_raw.withColumn("df_n", F.sum("w").over(wsh))
         .filter(F.col("df_n") <= NGRAM_DF_CAP)
-        .drop("df_n")
+        .select("doc_id", "shingle")
     )
+
+
+def _common_from(shingled: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_sh_a, n_sh_b) from a surviving
+    (doc_id, shingle) relation — the self-join + per-pair counts."""
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = shingled.alias("a"), shingled.alias("b")
     common = (
@@ -472,6 +485,14 @@ def _shingle_common(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sb.n_sh").alias("n_sh_b"),
         )
     )
+
+
+def _shingle_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair common-shingle counts with both docs' shingle-set sizes
+    — the DataFrame twin of _NGRAM_COMMON_CTES. Columns: (doc_a, doc_b,
+    n_common, n_sh_a, n_sh_b); both symmetric-Jaccard and asymmetric-
+    containment scoring are one projection away."""
+    return _common_from(_shingle_relation(spark, sf_dir))
 
 
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,8 +623,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap 2048) scales the count back up. The oracle
     replicates with a recursive CTE computing min reachable id — exact
     hash despite the iterative implementation. component_size counts
-    reachable docs (oracle) == component membership (Spark groupBy)."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    reachable docs (oracle) == component membership (Spark groupBy).
+
+    Exact-dup pre-collapse (the 100 TB move — a real crawl is 30-50%
+    byte-identical): documents are first grouped by sha2(text) to one
+    REPRESENTATIVE row per distinct content (rep = min member doc_id,
+    w = member count), and shingling / pair-gen / label propagation all
+    run on the collapsed relation — the quadratic pair space shrinks
+    from docs sharing a shingle to CONTENTS sharing one.  Correctness
+    is preserved exactly: (a) the DF cap is weighted by w, so the
+    surviving-shingle set matches the uncollapsed run; (b) pair
+    existence and jaccard depend only on content; (c) members of a
+    group WITH >=1 surviving shingle are pairwise jaccard-1.0, so they
+    inherit their rep's component (keeper = min rep in rep-component =
+    min doc_id in the full component, since each rep is its group's
+    min); (d) members of a group with NO surviving shingles have no
+    edges at all and stay singletons — exactly the oracle's reach.
+    sha2-256 collisions are the only approximation (cryptographically
+    negligible)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # one row per distinct content: rep id, the text, and member count
+    grp = docs.groupBy(F.sha2("text", 256).alias("chash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("text").alias("text"),
+        F.count("*").cast("long").alias("w"),
+    )
     # size EVERY shuffle here (shingle join + label propagation) to the
     # corpus: ~1 partition per 20k docs, floor 8, capped — parquet
     # metadata count, no data read
@@ -611,12 +655,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        pairs = _ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        grp = grp.localCheckpoint(eager=True)  # reused: pair gen + re-expand
+        shingled = _shingle_relation(spark, sf_dir, docs_w=grp).localCheckpoint(
+            eager=True
+        )  # reused: pair gen + has-shingle flag
+        c = _common_from(shingled)
+        jac = F.col("n_common") / (
+            F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
+        )
+        pairs = c.filter(jac >= 0.2).select("doc_a", "doc_b")
         edges = pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
         edges = edges.localCheckpoint(eager=True)  # pair graph computed once
-        labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
+        labels = grp.select("doc_id", F.col("doc_id").alias("comp"))
         prev_sum = None
         for _ in range(CC_MAX_ITERS):
             nb_min = (
@@ -638,13 +690,40 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev_sum = cur_sum
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    sizes = labels.groupBy("comp").agg(F.count("*").alias("component_size"))
+    # re-expand: rep-level component -> every member of the content group
+    has_sh = shingled.select("doc_id").distinct().withColumn(
+        "has_sh", F.lit(True)
+    )
+    rep = (
+        grp.select("chash", "doc_id", "w")
+        .join(labels, "doc_id")
+        .join(has_sh, "doc_id", "left")
+        .select(
+            "chash",
+            "comp",
+            "w",
+            F.coalesce("has_sh", F.lit(False)).alias("has_sh"),
+        )
+    )
+    comp_sizes = (
+        rep.filter("has_sh")
+        .groupBy("comp")
+        .agg(F.sum("w").alias("comp_n"))
+    )
+    rep = rep.join(comp_sizes, "comp", "left")
     return (
-        labels.join(sizes, "comp")
+        docs.select("doc_id", F.sha2("text", 256).alias("chash"))
+        .join(rep, "chash")
         .select(
             "doc_id",
-            F.col("comp").alias("keeper_doc_id"),
-            "component_size",
+            F.when(F.col("has_sh"), F.col("comp"))
+            .otherwise(F.col("doc_id"))
+            .cast("long")
+            .alias("keeper_doc_id"),
+            F.when(F.col("has_sh"), F.col("comp_n"))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("component_size"),
         )
     )
 
