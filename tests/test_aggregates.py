@@ -86,3 +86,25 @@ def test_observed_metrics_match_recount(spark, sf_dir):
     ).collect()[0]
     assert got["rows_seen"] == expect["rows_seen"]
     assert got["price_seen"] == expect["price_seen"]
+
+
+def test_ab_ttest_degenerate_groups_yield_null(spark, tmp_path):
+    """With one variant missing or n=1 (Welch df denominator 0), the
+    t statistic and df must be an agreed NULL, never inf/NaN — the
+    cross-engine contract the explicit gate pins."""
+    ev = spark.createDataFrame(
+        # user_id 2/4 -> variant A (n=2); user_id 1 -> variant B (n=1)
+        [
+            (1, "2024-01-01 00:00:00", 2, "purchase", 10.0, "{}"),
+            (2, "2024-01-01 00:01:00", 4, "purchase", 12.0, "{}"),
+            (3, "2024-01-01 00:02:00", 1, "purchase", 11.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    row = load_all()["stat_ab_ttest"].fn(spark, str(tmp_path)).collect()[0]
+    assert row["n_a"] == 2 and row["n_b"] == 1
+    assert row["t_stat"] is None and row["welch_df"] is None

@@ -510,6 +510,15 @@ def test_weighted_quantile_preaggregates_before_sort(spark, sf_dir):
     assert agg_pos > win_pos, plan
 
 
+def test_share_of_parent_broadcasts_all_dims(spark, sf_dir):
+    """All three dimension joins (customer, nation, region) must
+    broadcast — the only data-sized exchange is the one aggregate
+    shuffle, as the docstring promises."""
+    plan = plan_of(spark, sf_dir, "q_share_of_parent")
+    assert plan.count("BroadcastHashJoin Inner") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_percentile_within_group_preaggregates_before_sort(spark, sf_dir):
     """agg_percentile_within_group must collapse to the distinct-value
     relation (partial+final hash agg) BEFORE the per-group window sort

@@ -826,7 +826,7 @@ def stat_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH byval AS (
             SELECT l_returnflag,
                    l_extendedprice AS v,
-                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
             FROM lineitem
             GROUP BY 1, 2
         ),
@@ -866,7 +866,7 @@ def agg_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     byval = li.groupBy(
         "l_returnflag", F.col("l_extendedprice").alias("v")
-    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    ).agg(F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("w"))
     wcum = (
         Window.partitionBy("l_returnflag")
         .orderBy("v")
@@ -983,11 +983,17 @@ def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n_a, n_b,
                round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
-               round((mean_a - mean_b)
-                     / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
-               round(pow(var_a / n_a + var_b / n_b, 2)
-                     / (pow(var_a / n_a, 2) / (n_a - 1)
-                        + pow(var_b / n_b, 2) / (n_b - 1)), 2) AS welch_df
+               CASE WHEN n_a > 1 AND n_b > 1
+                         AND var_a IS NOT NULL AND var_b IS NOT NULL
+                    THEN round((mean_a - mean_b)
+                               / sqrt(var_a / n_a + var_b / n_b), 4)
+               END AS t_stat,
+               CASE WHEN n_a > 1 AND n_b > 1
+                         AND var_a IS NOT NULL AND var_b IS NOT NULL
+                    THEN round(pow(var_a / n_a + var_b / n_b, 2)
+                               / (pow(var_a / n_a, 2) / (n_a - 1)
+                                  + pow(var_b / n_b, 2) / (n_b - 1)), 2)
+               END AS welch_df
         FROM wide
     """,
 )
@@ -1004,7 +1010,12 @@ def stat_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan + one 2-key shuffle at any corpus size.  Means/variances
     are rounded before comparison (float summation order differs
     across engines); the t statistic is computed from the UNROUNDED
-    aggregates and rounded last, once."""
+    aggregates and rounded last, once.  Degenerate inputs (a missing
+    variant, or n <= 1 where the Welch df denominator is 0) produce an
+    AGREED NULL via an explicit gate on both engines — ungated,
+    Spark's non-ANSI division yields NULL on zero while DuckDB can
+    yield inf, so the gate is what keeps the oracle exact on any
+    input."""
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -1034,15 +1045,24 @@ def stat_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_den = F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1) + F.pow(
         F.col("var_b") / F.col("n_b"), 2
     ) / (F.col("n_b") - 1)
+    ok = (
+        (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & F.col("var_a").isNotNull()
+        & F.col("var_b").isNotNull()
+    )
     return wide.select(
         "n_a",
         "n_b",
         F.round("mean_a_raw", 6).alias("mean_a"),
         F.round("mean_b_raw", 6).alias("mean_b"),
-        F.round(
-            (F.col("mean_a_raw") - F.col("mean_b_raw")) / F.sqrt(se2), 4
+        F.when(
+            ok,
+            F.round(
+                (F.col("mean_a_raw") - F.col("mean_b_raw")) / F.sqrt(se2), 4
+            ),
         ).alias("t_stat"),
-        F.round(df_num / df_den, 2).alias("welch_df"),
+        F.when(ok, F.round(df_num / df_den, 2)).alias("welch_df"),
     )
 
 

@@ -586,23 +586,22 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_us("ts").alias("c_s"),
         (epoch_us("ts") + IVL_C_US).alias("c_e"),
     )
+    def bin_of(col: str):
+        # exact floor division on long microseconds: subtracting
+        # pmod(a, d) (always in [0, d)) leaves an exact multiple of d,
+        # so the double division is exact for |a| < 2^53 and the result
+        # FLOORS for any sign — a plain /-then-cast truncates toward
+        # zero (wrong bin for pre-1970 timestamps) and routes the raw
+        # 16-digit value through double rounding
+        a = F.col(col)
+        exact = a - F.pmod(a, F.lit(IVL_BIN_US))
+        return (exact / F.lit(IVL_BIN_US)).cast("long")
+
     pb = p.withColumn(
-        "p_bin",
-        F.explode(
-            F.sequence(
-                (F.col("p_s") / IVL_BIN_US).cast("long"),
-                (F.col("p_e") / IVL_BIN_US).cast("long"),
-            )
-        ),
+        "p_bin", F.explode(F.sequence(bin_of("p_s"), bin_of("p_e")))
     )
     cb = c.withColumn(
-        "c_bin",
-        F.explode(
-            F.sequence(
-                (F.col("c_s") / IVL_BIN_US).cast("long"),
-                (F.col("c_e") / IVL_BIN_US).cast("long"),
-            )
-        ),
+        "c_bin", F.explode(F.sequence(bin_of("c_s"), bin_of("c_e")))
     )
     pairs = pb.join(
         cb,

@@ -456,7 +456,11 @@ def sample_downweight_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Poisson(1) inverse-CDF thresholds over the first 4 md5 hex chars
 #: (u ~ Uniform{0..65535} as a lowercase hex string; cum pmf x 65536,
 #: floor): the deterministic per-row bootstrap draw.  Salted so draws
-#: decorrelate from `sample_hash_split`'s prefix.
+#: decorrelate from `sample_hash_split`'s prefix.  The tail is
+#: TRUNCATED at k = 5: the ~0.37% of mass at k >= 5 all lands on 5
+#: repeats, so the draw is min(Poisson(1), 5) — mean bias ~ -0.0009
+#: (negligible for epoch mixing) and the max per-doc fanout is a
+#: declared constant instead of an unbounded tail.
 _BOOT_SALT = ":boot"
 _POISSON1_CUM_HEX = ("5e2d", "bc5a", "eb71", "fb23", "ff10")  # k=0..4
 
@@ -490,8 +494,9 @@ def sample_poisson_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson(1) bootstrap resample — the epoch-mixing
     primitive of a training-data pipeline (fractional dataset repeat
     factors, bagging, bootstrap confidence intervals): each document
-    draws k ~ Poisson(1) via inverse-CDF over a salted md5 uniform and
-    is emitted k times with a copy index.  E[rows] = corpus size, and
+    draws k ~ min(Poisson(1), 5) via inverse-CDF over a salted md5
+    uniform (tail truncated at 5 — see _POISSON1_CUM_HEX) and
+    is emitted k times with a copy index.  E[rows] ~= corpus size, and
     the draw depends on doc_id alone, so resamples are reproducible
     across runs AND stable under corpus growth (same property as
     `sample_hash_split`).
