@@ -102,6 +102,15 @@ def main() -> None:
     print(json.dumps({**summary, "queries": timings}))
     # final compact line: survives any tail-capture window
     print(json.dumps(summary))
+    # durable twin of the full line: the driver's BENCH artifact keeps
+    # only the stdout tail, which truncates the per-query map head at
+    # 260+ queries — the checked-in detail file carries the whole map
+    if not only:  # full sweeps only; subset runs must not clobber it
+        detail = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail, "w") as f:
+            json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":
