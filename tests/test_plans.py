@@ -510,6 +510,25 @@ def test_weighted_quantile_preaggregates_before_sort(spark, sf_dir):
     assert agg_pos > win_pos, plan
 
 
+def test_weighted_reservoir_pushes_rank_limit(spark, sf_dir):
+    """The per-language K-sample must compile to WindowGroupLimit
+    (partial local top-K heaps below the shuffle) — the distributed
+    reservoir property; without it the exchange carries the corpus."""
+    plan = plan_of(spark, sf_dir, "sample_weighted_reservoir")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_skew_hotcold_join_splits_paths(spark, sf_dir):
+    """The skew-split join must keep its two physical paths: hot keys
+    through a broadcast hash join, the cold remainder through a
+    shuffled hash join (hint pinned), unioned before the aggregate."""
+    plan = plan_of(spark, sf_dir, "join_skew_hotcold")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "Union" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_share_of_parent_broadcasts_all_dims(spark, sf_dir):
     """All three dimension joins (customer, nation, region) must
     broadcast — the only data-sized exchange is the one aggregate

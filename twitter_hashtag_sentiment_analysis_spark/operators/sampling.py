@@ -591,3 +591,167 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_tokens") / tot, 6).alias("token_share"),
         F.round(F.sum("n_tokens").over(wcum) / tot, 6).alias("cum_share"),
     )
+
+
+#: Weighted reservoir geometry: K docs per language, weight = n_chars
+#: (sample probability proportional to size, the unit a char/token
+#: budget actually spends). Efraimidis-Spirakis A-ES keys
+#: -ln(u)/w with a DETERMINISTIC uniform u from the first 8 md5 hex
+#: chars of the salted doc id, so the "reservoir" is reproducible
+#: across engines and reruns. Keys are rounded to 10 dp before
+#: ranking with a doc_id tie-break: two draws within 1e-10 resolve
+#: deterministically instead of by last-ulp libm differences.
+RESERVOIR_K = 16
+_RESERVOIR_SALT = ":resv"
+_RESERVOIR_HASH_SPACE = 2**32
+
+
+@register(
+    "sample_weighted_reservoir",
+    sql=f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   round(
+                       -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                      || '{_RESERVOIR_SALT}'),
+                                                  1, 8)) AS UBIGINT) + 1.0)
+                           / {_RESERVOIR_HASH_SPACE + 1}.0)
+                       / n_chars, 10) AS k_key
+            FROM documents WHERE n_chars > 0
+        ),
+        ranked AS (
+            SELECT doc_id, lang, n_chars, k_key,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY k_key, doc_id
+                   ) AS rk
+            FROM keyed
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               k_key, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {RESERVOIR_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, K per language, inclusion
+    probability proportional to document size — the Efraimidis-Spirakis
+    A-ES reservoir (key = u^(1/w), kept as the equivalent min-key form
+    -ln(u)/w), which is how a training pipeline draws a size-weighted
+    eval/calibration slice per language in one pass.  The uniform is
+    hash-derived (salted md5 of doc_id), so unlike a true reservoir the
+    sample is REPRODUCIBLE and engine-portable — same discipline as
+    `sample_fixed_k`, generalized to weights.
+
+    Scale shape: narrow map for the key, then rank-limit per language.
+    Spark compiles the row_number <= K filter to WindowGroupLimit
+    (plan-asserted): each partition keeps a local K-heap per language
+    BEFORE the shuffle, so the exchange carries at most
+    K x |languages| x partitions rows, never the corpus — the
+    distributed reservoir property, from a declarative plan.  Docs
+    with n_chars = 0 carry zero weight and are excluded on both
+    engines (-ln(u)/0 is a division by zero, not a draw)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_RESERVOIR_SALT))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + F.lit(1.0)) / F.lit(float(_RESERVOIR_HASH_SPACE + 1))
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(-F.log(u) / F.col("n_chars"), 10).alias("k_key"),
+    )
+    rk = F.row_number().over(Window.partitionBy("lang").orderBy("k_key", "doc_id"))
+    return (
+        keyed.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= RESERVOIR_K)
+    )
+
+
+#: Mixture-allocation geometry: a declared per-source target weight
+#: (curated sources src0-src4 get 2x the weight of the long tail) and
+#: a fixed char budget. Allocation is the single-pass capped fill:
+#: each source gets min(availability, its target share of the budget)
+#: — saturated sources report their shortfall rather than silently
+#: re-spreading it (re-spread is a second pass over this table, a
+#: planner decision, not an engine one).
+MIX_BUDGET_CHARS = 100_000
+_MIX_CURATED = ("src0", "src1", "src2", "src3", "src4")
+
+
+@register(
+    "corpus_mix_allocate",
+    sql=f"""
+        WITH avail AS (
+            SELECT source,
+                   CAST(sum(n_chars) AS BIGINT) AS avail_chars,
+                   CASE WHEN source IN {_MIX_CURATED!r} THEN 2 ELSE 1 END
+                       AS weight
+            FROM documents GROUP BY source
+        ),
+        shared AS (
+            SELECT source, avail_chars, CAST(weight AS BIGINT) AS weight,
+                   CAST(floor(weight * {MIX_BUDGET_CHARS}.0
+                              / sum(weight) OVER ()) AS BIGINT)
+                       AS target_chars
+            FROM avail
+        )
+        SELECT source, avail_chars, weight, target_chars,
+               CAST(least(avail_chars, target_chars) AS BIGINT)
+                   AS allocated_chars,
+               round(least(avail_chars, target_chars) * 1.0
+                     / target_chars, 6) AS fill_rate,
+               round(least(avail_chars, target_chars) * 1.0
+                     / avail_chars, 6) AS accept_rate,
+               CAST(greatest(target_chars - avail_chars, 0) AS BIGINT)
+                   AS unmet_chars
+        FROM shared
+    """,
+)
+def corpus_mix_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture PLANNER between `corpus_token_budget`'s audit and
+    `sample_mixture_weighted`'s filter: declared per-source target
+    weights plus a fixed char budget become a per-source allocation,
+    capped by what each source actually has.  Emits the acceptance
+    rate a downstream hash filter would apply (allocated/available —
+    plug directly into the `sample_mixture_weighted` threshold), the
+    fill rate against target, and the unmet shortfall for saturated
+    sources — the numbers a data-recipe review reads.
+
+    Scale shape: one map-side-combined aggregate collapses the corpus
+    to the |sources| relation; shares and caps are window/scalar
+    arithmetic on that tiny table.  Integer char arithmetic
+    throughout (floor before compare), ratios rounded once at the
+    edge."""
+    d = table(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("avail_chars")
+    ).withColumn(
+        "weight",
+        F.when(F.col("source").isin(*_MIX_CURATED), 2).otherwise(1).cast("long"),
+    )
+    w_all = Window.partitionBy()
+    shared = avail.withColumn(
+        "target_chars",
+        F.floor(
+            F.col("weight") * F.lit(float(MIX_BUDGET_CHARS)) / F.sum("weight").over(w_all)
+        ).cast("long"),
+    )
+    alloc = F.least("avail_chars", "target_chars")
+    return shared.select(
+        "source",
+        "avail_chars",
+        "weight",
+        "target_chars",
+        alloc.cast("long").alias("allocated_chars"),
+        F.round(alloc / F.col("target_chars"), 6).alias("fill_rate"),
+        F.round(alloc / F.col("avail_chars"), 6).alias("accept_rate"),
+        F.greatest(F.col("target_chars") - F.col("avail_chars"), F.lit(0))
+        .cast("long")
+        .alias("unmet_chars"),
+    )
