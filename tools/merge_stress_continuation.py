@@ -1,8 +1,12 @@
-"""Append a continuation section to SCALING_STRESS_r05.json.
+"""Append a continuation section to a SCALING_STRESS artifact.
 
 Usage:
-    python tools/merge_stress_continuation.py <bench_sf01.json> \
-        <bench_x5.json> <keys...>
+    python tools/merge_stress_continuation.py [--artifact=PATH] \
+        <bench_sf01.json> <bench_x5.json> <keys...>
+
+--artifact defaults to the newest SCALING_STRESS_r*.json at the repo
+root; pass it explicitly to seed a new round's artifact (the file must
+exist — copy the previous round's as the base).
 
 Reads the two bench.py outputs (full-line JSON with a per-query map),
 extracts the named keys, and writes a `continuation_new_keys` block
@@ -30,7 +34,19 @@ def load(path: str) -> dict:
 
 
 def main() -> None:
-    base, x5, keys = sys.argv[1], sys.argv[2], sys.argv[3:]
+    args = sys.argv[1:]
+    artifact = None
+    if args and args[0].startswith("--artifact="):
+        artifact = args[0].split("=", 1)[1]
+        args = args[1:]
+    if artifact is None:
+        import glob
+
+        cands = sorted(glob.glob("SCALING_STRESS_r*.json"))
+        if not cands:
+            raise SystemExit("no SCALING_STRESS_r*.json found")
+        artifact = cands[-1]
+    base, x5, keys = args[0], args[1], args[2:]
     a, b = load(base), load(x5)
     rows = {}
     for k in keys:
@@ -42,7 +58,7 @@ def main() -> None:
             "x5_sec": hi,
             "ratio": round(hi / lo, 3) if lo > 0 else None,
         }
-    doc = json.load(open("SCALING_STRESS_r05.json"))
+    doc = json.load(open(artifact))
     # merge: keep rows from earlier continuation batches
     prior = doc.get("continuation_new_keys", {}).get("queries", {})
     rows = {**prior, **rows}
@@ -60,7 +76,8 @@ def main() -> None:
         ),
         "queries": rows,
     }
-    json.dump(doc, open("SCALING_STRESS_r05.json", "w"), indent=1)
+    json.dump(doc, open(artifact, "w"), indent=1)
+    print(f"-> {artifact}")
     print(json.dumps(rows, indent=1))
 
 
