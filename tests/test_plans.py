@@ -510,6 +510,27 @@ def test_weighted_quantile_preaggregates_before_sort(spark, sf_dir):
     assert agg_pos > win_pos, plan
 
 
+def test_mmr_shortlist_is_take_ordered(spark, sf_dir):
+    """The distributed stage of the MMR re-rank (corpus -> MMR_C
+    shortlist) must compile to TakeOrderedAndProject — per-partition
+    heaps, no global sort of the scored corpus."""
+    from twitter_hashtag_sentiment_analysis_spark.plans import explain_str
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+    from twitter_hashtag_sentiment_analysis_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.transform(
+        F.sequence(F.lit(1), F.lit(sim.DIM)),
+        lambda i: ((i * 37 % 19) - 9) / F.lit(10.0),
+    )
+    scored = e.select(
+        "vec_id", "embedding", F.round(sim.cosine(q, F.col("embedding")), 6).alias("rel")
+    )
+    shortlist = scored.orderBy(F.desc("rel"), "vec_id").limit(sim.MMR_C)
+    assert "TakeOrderedAndProject" in explain_str(shortlist, "simple")
+
+
 def test_weighted_reservoir_pushes_rank_limit(spark, sf_dir):
     """The per-language K-sample must compile to WindowGroupLimit
     (partial local top-K heaps below the shuffle) — the distributed

@@ -1158,3 +1158,159 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
         (F.round(cov / F.sqrt(var_i * var_j), 6) + F.lit(0.0)).alias("corr"),
     )
+
+
+#: MMR re-rank geometry: shortlist the top MMR_C candidates by query
+#: relevance (the distributed, TakeOrderedAndProject-bounded stage),
+#: then greedily pick MMR_K results maximizing
+#: lambda*rel - (1-lambda)*max-sim-to-already-picked. The greedy stage
+#: is inherently sequential, so it runs UNROLLED over the bounded
+#: shortlist — the production split: the corpus scan is the parallel
+#: part, diversification reranks a constant-size page.  The query
+#: vector is a literal rational pattern (q[i] = ((i*37)%19 - 9)/10),
+#: exactly representable identically in both engines.
+MMR_C = 24
+MMR_K = 5
+#: lambda as an exact rational pair (7/10, 3/10) applied as *7/10 so
+#: both engines run the identical double sequence.
+_MMR_LAM_NUM, _MMR_PEN_NUM = 7, 3
+
+
+def _mmr_sql() -> str:
+    """Generate the unrolled-greedy oracle: sel1..selK CTE chain."""
+    q = "list_transform(range(1, 65), i -> ((i*37) % 19 - 9) / 10.0)"
+    parts = [
+        f"""
+        WITH scored AS (
+            SELECT vec_id, embedding,
+                   round({_sql_cosine(q, 'embedding')}, 6) AS rel
+            FROM embeddings
+        ),
+        cand AS (
+            SELECT * FROM scored ORDER BY rel DESC, vec_id LIMIT {MMR_C}
+        ),
+        sel1 AS (
+            SELECT CAST(1 AS BIGINT) AS rk, vec_id, embedding, rel,
+                   0.0 AS penalty
+            FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+        )"""
+    ]
+    for t in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, t))
+        parts.append(
+            f"""
+        sel{t} AS (
+            SELECT CAST({t} AS BIGINT) AS rk, c.vec_id, c.embedding, c.rel,
+                   max(round({_sql_cosine('c.embedding', 's.embedding')}, 6))
+                       AS penalty
+            FROM cand c JOIN ({prev}) s ON true
+            WHERE c.vec_id NOT IN ({" UNION ".join(f"SELECT vec_id FROM sel{i}" for i in range(1, t))})
+            GROUP BY c.vec_id, c.embedding, c.rel
+            ORDER BY c.rel * {_MMR_LAM_NUM} / 10.0
+                     - max(round({_sql_cosine('c.embedding', 's.embedding')}, 6))
+                       * {_MMR_PEN_NUM} / 10.0 DESC,
+                     c.vec_id
+            LIMIT 1
+        )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, MMR_K + 1))
+    return (
+        ",".join(parts)
+        + f"""
+        SELECT rk, vec_id, rel, round(penalty, 6) AS penalty,
+               round(rel * {_MMR_LAM_NUM} / 10.0
+                     - penalty * {_MMR_PEN_NUM} / 10.0, 6) AS mmr_score
+        FROM ({union}) ORDER BY rk"""
+    )
+
+
+@register("sim_mmr_rerank", sql=_mmr_sql())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-K — the serving-side
+    re-rank between ANN retrieval and the consumer (RAG context
+    assembly, dedup of near-identical hits): greedily pick the result
+    maximizing lambda*relevance - (1-lambda)*max-similarity-to-picked.
+
+    Scale split: stage 1 (distributed) scores the corpus against the
+    query and shortlists MMR_C candidates via ORDER BY + LIMIT —
+    TakeOrderedAndProject, per-partition heaps, no global sort; the
+    shortlist is localCheckpointed once (24 rows) so the K greedy
+    steps do not rescan the corpus. Stage 2 (bounded) unrolls the
+    inherently-sequential greedy loop as K dataframe steps over the
+    checkpointed shortlist — each step is a <=24 x <=K broadcast
+    cross-score, an anti-join on picked ids, and a limit-1 argmax.
+    Cross-engine exactness: relevances and pairwise penalties are
+    rounded to 6 dp BEFORE the lambda combination (exact rational
+    7/10, 3/10 applied in the same order), ties broken by vec_id —
+    the oracle is the same greedy chain unrolled in SQL by the same
+    generator loop."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: ((i * 37 % 19) - 9) / F.lit(10.0),
+    )
+    scored = e.select(
+        "vec_id",
+        "embedding",
+        F.round(cosine(q, F.col("embedding")), 6).alias("rel"),
+    )
+    cand = (
+        scored.orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_C)
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(F.lit(1).cast("long").alias("rk"), "vec_id", "embedding", "rel",
+                F.lit(0.0).alias("penalty"))
+    )
+    selected = first
+    for t in range(2, MMR_K + 1):
+        s = selected.select(
+            F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb")
+        )
+        pick = (
+            cand.join(F.broadcast(s), cand.vec_id != s.s_id)
+            .join(
+                F.broadcast(selected.select(F.col("vec_id").alias("x_id"))),
+                F.col("vec_id") == F.col("x_id"),
+                "left_anti",
+            )
+            .groupBy("vec_id", "embedding", "rel")
+            .agg(
+                F.max(
+                    F.round(cosine(F.col("embedding"), F.col("s_emb")), 6)
+                ).alias("penalty")
+            )
+            .orderBy(
+                (
+                    F.col("rel") * _MMR_LAM_NUM / F.lit(10.0)
+                    - F.col("penalty") * _MMR_PEN_NUM / F.lit(10.0)
+                ).desc(),
+                "vec_id",
+            )
+            .limit(1)
+            .select(
+                F.lit(t).cast("long").alias("rk"),
+                "vec_id",
+                "embedding",
+                "rel",
+                "penalty",
+            )
+        )
+        # each pick is 1 row; checkpointing it keeps the next step's
+        # plan flat (unchained, the greedy chain re-expands every prior
+        # step's subtree and the plan grows exponentially in K)
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "rk",
+        "vec_id",
+        "rel",
+        F.round("penalty", 6).alias("penalty"),
+        F.round(
+            F.col("rel") * _MMR_LAM_NUM / F.lit(10.0)
+            - F.col("penalty") * _MMR_PEN_NUM / F.lit(10.0),
+            6,
+        ).alias("mmr_score"),
+    ).orderBy("rk")
