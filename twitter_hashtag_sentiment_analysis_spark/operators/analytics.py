@@ -2135,3 +2135,83 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue").over(w_region) / F.sum("revenue").over(w_all), 6
         ).alias("region_share_of_total"),
     )
+
+
+@register(
+    "sql_scripting",
+    sql="""
+        WITH per_cust AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT rev,
+                   row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk
+            FROM per_cust
+        ),
+        tot AS (SELECT round(sum(rev), 2) AS t FROM per_cust),
+        pows AS (
+            SELECT CAST(pow(2, i) AS BIGINT) AS k FROM range(0, 40) r(i)
+        ),
+        cov AS (
+            SELECT p.k,
+                   (SELECT round(sum(rev), 2) FROM ranked
+                    WHERE rk <= p.k) AS covered
+            FROM pows p
+        )
+        SELECT k, round(covered / t, 6) AS covered_share
+        FROM cov, tot
+        WHERE covered * 2 >= t
+        ORDER BY k LIMIT 1
+    """,
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 SQL scripting (BEGIN/END compound statements with
+    DECLARE / SET / WHILE): a procedural doubling search for the
+    smallest power-of-two K such that the top-K customers by revenue
+    cover at least half the total — the control-flow surface a
+    SQL-first user reaches for before ever touching Python.  The loop
+    body re-queries the ranked customer relation with the live
+    variable in the predicate (~log2(n) bounded iterations), which is
+    exactly the class of workload scripting exists for: iterate a
+    DECLARATIVE query under procedural control instead of porting it
+    to a driver-side loop.
+
+    Cross-engine discipline: per-customer revenue, per-iteration
+    coverage, and the total are rounded to 2 dp before the threshold
+    comparison on BOTH engines, so float summation order cannot flip
+    the crossover; the oracle replays the identical search
+    declaratively (powers-of-two relation, first k whose coverage
+    crosses half).  Scale: the corpus collapses ONCE to the ranked
+    per-customer relation (map-side-combined aggregate; cached so the
+    ~log2(n) probes rescan the collapsed table, not the facts); the
+    global rank mirrors the oracle's — at true scale you'd
+    range-partition that sort, the script around it is unchanged."""
+    o = table(spark, sf_dir, "orders")
+    ranked = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    ).select(
+        "rev",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev"), "o_custkey"))
+        .alias("rk"),
+    )
+    ranked.cache().createOrReplaceTempView("cust_rank_script_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE k BIGINT DEFAULT 1;
+          DECLARE covered DOUBLE;
+          DECLARE total DOUBLE;
+          SET total = (SELECT round(sum(rev), 2) FROM cust_rank_script_v);
+          SET covered = (SELECT round(sum(rev), 2)
+                         FROM cust_rank_script_v WHERE rk <= k);
+          WHILE covered * 2 < total DO
+            SET k = k * 2;
+            SET covered = (SELECT round(sum(rev), 2)
+                           FROM cust_rank_script_v WHERE rk <= k);
+          END WHILE;
+          SELECT k, round(covered / total, 6) AS covered_share;
+        END
+        """
+    )

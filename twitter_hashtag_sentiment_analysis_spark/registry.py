@@ -134,13 +134,13 @@ _DRIVER_SAMPLE_PREFIX = (
     "sql_identifier_clause",
     "q_monthly_revenue_yoy",
     "q_share_of_parent",
+    "sql_scripting",
     "ts_interpolate_linear",
     "event_retention_cohort",
     "event_attribution",
     "ts_ewma",
     "event_streaks",
     "event_markov",
-    "ts_lag_correlation",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions

@@ -30,6 +30,7 @@ embedded, so the source runs on workers that have only pyspark.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -382,4 +383,131 @@ def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("numPartitions", PYDS_PARTITIONS)
         .load()
         .filter(F.col("lang") == "en")
+    )
+
+
+@register(
+    "sink_python_stream_writer",
+    sql="SELECT event_id, event_type, value FROM events",
+)
+def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source STREAMING WRITER — the sink-side twin
+    of `stream_python_source` (the reference's delivery-stream edge,
+    stream_processor.py's Firehose put, as an engine-native connector):
+    a plain Python class receives each micro-batch partition-by-
+    partition on the EXECUTORS (`write(iterator)` per partition, rows
+    never funneled through the driver), emits one JSON-lines part file
+    per (batch, partition) with a WriterCommitMessage each, and the
+    driver-side `commit(messages, batchId)` seals the batch with a
+    manifest — the same two-phase contract a Kafka/Firehose producer
+    sink implements, including `abort` cleanup on task failure.
+
+    Verification goes beyond smoke: the events table is streamed
+    through the sink (availableNow drain), the part files are read
+    back THROUGH the manifest, and the result must hash-match the
+    plain SQL projection of the input — an exactly-once round-trip
+    check (JSON float round-trip is exact for IEEE doubles).  Scale:
+    parts are written where the partitions live; the driver sees only
+    commit messages (one per partition per batch)."""
+    import glob as _glob
+    import json as _json
+
+    from ..streaming.queries import _events_stream
+
+    out_dir = tempfile.mkdtemp(prefix="thsa_pywriter_")
+    ck = tempfile.mkdtemp(prefix="thsa_pywriter_ck_")
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class PartMsg(WriterCommitMessage):
+        def __init__(self, path: str, n: int):
+            self.path = path
+            self.n = n
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, outdir: str):
+            self.outdir = outdir
+
+        def write(self, iterator):  # executor-side, one call per partition
+            import json
+            import os
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            # task attempt id keeps retried tasks from colliding; only
+            # committed paths enter the manifest, so orphans are inert
+            att = ctx.taskAttemptId() if ctx is not None else 0
+            path = os.path.join(self.outdir, f"part-{pid}-{att}.jsonl")
+            n = 0
+            with open(path, "w") as f:
+                for row in iterator:
+                    f.write(
+                        json.dumps(
+                            {
+                                "event_id": row.event_id,
+                                "event_type": row.event_type,
+                                "value": row.value,
+                            }
+                        )
+                        + "\n"
+                    )
+                    n += 1
+            return PartMsg(path, n)
+
+        def commit(self, messages, batchId):  # driver-side seal
+            import json
+            import os
+
+            manifest = {
+                "batch": batchId,
+                "parts": [
+                    {"path": m.path, "n": m.n} for m in messages if m is not None
+                ],
+            }
+            with open(
+                os.path.join(self.outdir, f"_manifest-{batchId}.json"), "w"
+            ) as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages, batchId):
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return JsonlStreamWriter(self.options["outdir"])
+
+    spark.dataSource.register(JsonlSinkDataSource)
+
+    sdf = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        sdf.writeStream.format("jsonl_stream_sink")
+        .option("outdir", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # read back THROUGH the manifests: only committed parts count
+    committed: list[str] = []
+    for mpath in sorted(_glob.glob(os.path.join(out_dir, "_manifest-*.json"))):
+        with open(mpath) as f:
+            committed.extend(p["path"] for p in _json.load(f)["parts"])
+    if not committed:
+        raise RuntimeError(f"stream writer committed no parts in {out_dir}")
+    return spark.read.schema("event_id long, event_type string, value double").json(
+        committed
     )
