@@ -1165,3 +1165,103 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.sum("n").over(w), 4).alias("row_frac"),
         (F.col("lang") == F.col("predicted_lang")).alias("is_correct"),
     )
+
+
+#: Per-document fluency cut: documents whose smoothed bigram NLL (nats
+#: per bigram, corpus-trained add-1 model) exceeds this are flagged for
+#: the drop list. The comparison runs on the ROUNDED score, so the
+#: flag is engine-exact wherever the score is.
+LM_NLL_MAX = 6.5
+
+
+@register(
+    "text_lm_doc_nll",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE text <> ''
+        ),
+        occ AS (
+            SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+            FROM toks, LATERAL unnest(range(1, len(ts))) AS u(i)
+        ),
+        doc_bi AS (
+            SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c_doc
+            FROM occ GROUP BY 1, 2, 3
+        ),
+        bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM occ GROUP BY 1, 2),
+        uni AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+        vocab AS (
+            SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+                SELECT w1 AS w FROM bi UNION SELECT w2 FROM bi
+            )
+        )
+        SELECT d.doc_id,
+               CAST(sum(d.c_doc) AS BIGINT) AS n_bigrams,
+               round(sum(d.c_doc * -ln((bi.c2 + 1.0) / (uni.c1 + vocab.v)))
+                     / sum(d.c_doc), 4) AS nll,
+               round(sum(d.c_doc * -ln((bi.c2 + 1.0) / (uni.c1 + vocab.v)))
+                     / sum(d.c_doc), 4) <= {LM_NLL_MAX} AS is_fluent
+        FROM doc_bi d
+        JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
+        JOIN uni ON d.w1 = uni.w1
+        CROSS JOIN vocab
+        GROUP BY d.doc_id, vocab.v
+    """,
+)
+def text_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT language-model fluency score — the decision signal
+    `text_perplexity_proxy` aggregates away: each document's mean
+    negative log-likelihood (nats/bigram) under an add-1-smoothed
+    bigram model trained on the corpus itself, plus the keep/drop flag
+    a CCNet-style quality filter acts on. Smoothing matters here
+    (unlike the per-lang proxy): a document is scored against bigrams
+    the REST of the corpus made common, so unseen-continuation mass
+    must be finite for the score to rank gibberish below prose.
+
+    Scale shape: one corpus explode collapses to per-doc distinct
+    bigram counts (map-side combine); the model tables (bigram,
+    unigram, vocab scalar) are vocabulary-sized aggregates OF that
+    relation — the corpus is scanned once, model math joins on bigram
+    keys, and the vocab size broadcasts as a 1-row relation. The NLL
+    sum is occurrence-weighted over distinct bigrams (bounded terms
+    per doc), rounded to 4 dp once, and the fluency flag compares the
+    rounded score on both engines."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    bigram_expr = F.expr(
+        "IF(size(ts) >= 2, "
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2)), "
+        "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>))"
+    )
+    doc_bi = (
+        toks.select("doc_id", F.explode(bigram_expr).alias("b"))
+        .groupBy("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c_doc"))
+        # three model consumers below — materialize the collapse once
+        .localCheckpoint(eager=True)
+    )
+    bi = doc_bi.groupBy("w1", "w2").agg(F.sum("c_doc").cast("long").alias("c2"))
+    uni = bi.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    vocab = (
+        bi.select(F.col("w1").alias("w"))
+        .union(bi.select(F.col("w2").alias("w")))
+        .agg(F.count_distinct("w").cast("long").alias("v"))
+    )
+    nll_term = F.col("c_doc") * -F.log(
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    )
+    nll = F.round(F.sum(nll_term) / F.sum("c_doc"), 4)
+    return (
+        doc_bi.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "v")
+        .agg(
+            F.sum("c_doc").cast("long").alias("n_bigrams"),
+            nll.alias("nll"),
+            (nll <= LM_NLL_MAX).alias("is_fluent"),
+        )
+        .drop("v")
+    )
