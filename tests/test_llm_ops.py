@@ -448,3 +448,153 @@ def test_kmeans_embeddings_deterministic_partition(spark, sf_dir):
     total = table(spark, sf_dir, "embeddings").count()
     assert sum(row[1] for row in r1) == total
     assert all(row[2] >= 0.0 for row in r1)
+
+
+def test_weighted_reservoir_k_per_lang_and_weight_bias(spark, sf_dir):
+    """Exactly K docs per language (or all docs if a language has
+    fewer), no repeats — and the size-weighted draw must skew the
+    sample's mean n_chars above the population mean (inclusion
+    probability proportional to size)."""
+    reg = load_all()
+    rows = reg["sample_weighted_reservoir"].fn(spark, sf_dir).collect()
+    from twitter_hashtag_sentiment_analysis_spark.operators.sampling import (
+        RESERVOIR_K,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    pop = {
+        r["lang"]: (r["n"], r["mean_chars"])
+        for r in docs.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.avg("n_chars").alias("mean_chars"))
+        .collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, members in by_lang.items():
+        assert len(members) == min(RESERVOIR_K, pop[lang][0]), lang
+        ids = [m["vec_id"] if "vec_id" in m else m["doc_id"] for m in members]
+        assert len(set(ids)) == len(ids), lang
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    pop_mean = sum(n * m for n, m in pop.values()) / sum(n for n, _ in pop.values())
+    assert sample_mean > pop_mean * 0.95, (sample_mean, pop_mean)
+
+
+def test_mix_allocate_respects_budget_and_caps(spark, sf_dir):
+    """No source is allocated beyond its availability or its target;
+    total allocation never exceeds the budget; saturated sources
+    report the exact shortfall."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.sampling import (
+        MIX_BUDGET_CHARS,
+    )
+
+    rows = load_all()["corpus_mix_allocate"].fn(spark, sf_dir).collect()
+    total_alloc = 0
+    for r in rows:
+        assert r["allocated_chars"] <= r["avail_chars"]
+        assert r["allocated_chars"] <= r["target_chars"]
+        assert r["unmet_chars"] == max(r["target_chars"] - r["avail_chars"], 0)
+        total_alloc += r["allocated_chars"]
+    assert total_alloc <= MIX_BUDGET_CHARS
+
+
+def test_mmr_diversifies_against_pure_relevance(spark, sf_dir):
+    """The MMR page must (a) start with the single most relevant hit,
+    (b) never repeat a vector, and (c) have a mean pairwise similarity
+    no higher than the pure top-K-by-relevance page — the property the
+    operator exists to enforce."""
+    from itertools import combinations
+
+    reg = load_all()
+    rows = sorted(
+        reg["sim_mmr_rerank"].fn(spark, sf_dir).collect(), key=lambda r: r["rk"]
+    )
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    assert rows[0]["rel"] == max(r["rel"] for r in rows)
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    def mean_pairwise(vecs):
+        sims = [cos(emb[a], emb[b]) for a, b in combinations(vecs, 2)]
+        return sum(sims) / len(sims)
+
+    # pure relevance page = top-K by rel over the same scored corpus
+    scored = sorted(
+        ((r["vec_id"], r["rel"]) for r in rows), key=lambda t: -t[1]
+    )
+    # recompute the full relevance ranking independently
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(1, 65)]
+    rel_all = sorted(
+        ((vid, cos(q, e)) for vid, e in emb.items()), key=lambda t: (-t[1], t[0])
+    )
+    topk_ids = [vid for vid, _ in rel_all[: len(ids)]]
+    assert mean_pairwise(ids) <= mean_pairwise(topk_ids) + 1e-9
+
+
+def test_sql_scripting_finds_minimal_power_of_two(spark, sf_dir):
+    """The scripted doubling search must return the SMALLEST power of
+    two whose top-k coverage crosses half the revenue: k covers >= 50%
+    and k/2 (when k > 1) does not."""
+    row = load_all()["sql_scripting"].fn(spark, sf_dir).collect()[0]
+    k, share = row["k"], row["covered_share"]
+    assert share >= 0.5
+    assert k & (k - 1) == 0  # power of two
+    if k > 1:
+        o = table(spark, sf_dir, "orders")
+        from pyspark.sql import Window
+
+        ranked = (
+            o.groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+            .select(
+                "rev",
+                F.row_number()
+                .over(Window.orderBy(F.desc("rev"), "o_custkey"))
+                .alias("rk"),
+            )
+        )
+        half_cov = (
+            ranked.filter(F.col("rk") <= k // 2).agg(F.sum("rev")).collect()[0][0]
+        )
+        total = ranked.agg(F.sum("rev")).collect()[0][0]
+        assert half_cov * 2 < total, (k, half_cov, total)
+
+
+def test_python_stream_writer_manifest_accounts_every_row(spark, sf_dir):
+    """The committed manifests must account for exactly the input row
+    count, and the read-back relation must match the events projection
+    row-for-row (exactly-once round trip)."""
+    out = load_all()["sink_python_stream_writer"].fn(spark, sf_dir)
+    got = {(r["event_id"], r["event_type"], r["value"]) for r in out.collect()}
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    expect = {(r["event_id"], r["event_type"], r["value"]) for r in ev.collect()}
+    assert got == expect
+
+
+def test_lm_doc_nll_ranks_gibberish_below_prose(spark, tmp_path):
+    """A document assembled from the corpus's common bigrams must score
+    a LOWER mean NLL than a same-length document of tokens that never
+    co-occur — the separation the fluency filter depends on."""
+    reg = load_all()
+    common = "the quick brown fox " * 8  # repeated fluent bigrams
+    rare = "zq xv qj wk vb kz jx qv bw kv " * 3  # never-repeating pairs
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, common.strip()), (2, common.strip()), (3, rare.strip())],
+    )
+    got = {r["doc_id"]: r for r in reg["text_lm_doc_nll"].fn(spark, sf).collect()}
+    assert got[1]["nll"] < got[3]["nll"]
+    assert got[1]["nll"] == got[2]["nll"]  # identical docs, identical score
