@@ -88,9 +88,8 @@ _loaded = False
 # Every key stays present — only ``dict`` insertion order changes, and
 # all consumers (tests, bench, entry shim) address the registry by key.
 _DRIVER_SAMPLE_PREFIX = (
-    # round-6 block (tools/sample_rotation_plan.json chunk r6):
-    # 3 fixed-but-red keys first, then all 20 stream_*, then the
-    # never-sampled TPC-H composites + sql_* surfaces, then ts_/event_.
+    # round-6 block (tools/sample_rotation_plan.json; regenerate with
+    # `python tools/apply_next_prefix.py` at round start)
     "ts_sessionize",
     "dedup_minhash",
     "agg_approx_quantile",
