@@ -809,3 +809,30 @@ def test_share_of_parent_levels_sum_to_one(spark, sf_dir):
     for region, shares in by_region.items():
         assert abs(sum(shares) - 1.0) < 1e-3, region
     assert abs(sum(region_share.values()) - 1.0) < 1e-3
+
+
+def test_interval_overlap_pre_epoch_timestamps(spark, tmp_path):
+    """Bin indices must FLOOR for negative epoch times (pre-1970): a
+    purchase window straddling a bin boundary in 1965 must still pair
+    with its overlapping click — truncation-toward-zero binning (the
+    pre-round-6 arithmetic) assigns the two sides different bins and
+    silently drops the pair."""
+    t0 = dt.datetime(1965, 6, 1, 12, 0, 0)  # epoch_us < 0
+
+    def ev(eid, minutes, user, etype):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype, 1.0, "{}")
+
+    rows = [
+        ev(1, 0, 1, "purchase"),   # window [12:00, 12:30]
+        ev(10, -5, 1, "click"),    # [11:55, 12:05] -> overlap 300 s
+        ev(11, 25, 1, "click"),    # [12:25, 12:35] -> overlap 300 s
+        ev(12, 40, 1, "click"),    # no overlap
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    got = {
+        (r["p_id"], r["c_id"]): r["overlap_s"]
+        for r in load_all()["join_interval_overlap"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {(1, 10): 300.0, (1, 11): 300.0}, got
