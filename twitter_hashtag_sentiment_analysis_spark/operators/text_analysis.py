@@ -1219,30 +1219,42 @@ def text_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     the REST of the corpus made common, so unseen-continuation mass
     must be finite for the score to rank gibberish below prose.
 
-    Scale shape: one corpus explode collapses to per-doc distinct
-    bigram counts (map-side combine); the model tables (bigram,
-    unigram, vocab scalar) are vocabulary-sized aggregates OF that
-    relation — the corpus is scanned once, model math joins on bigram
-    keys, and the vocab size broadcasts as a 1-row relation. The NLL
-    sum is occurrence-weighted over distinct bigrams (bounded terms
-    per doc), rounded to 4 dp once, and the fluency flag compares the
-    rounded score on both engines."""
+    Scale shape: documents first collapse to one REPRESENTATIVE row
+    per distinct content (sha2 group, w = member count — identical
+    contents score identically, and a real crawl is 30-50% exact
+    dups), then one explode of the collapsed relation yields per-rep
+    distinct bigram counts; the model tables (bigram, unigram, vocab
+    scalar) aggregate those counts WEIGHTED BY w, so corpus statistics
+    count every copy exactly as the uncollapsed run would. Scores
+    compute once per content and re-expand to members by a hash join.
+    The NLL sum is occurrence-weighted over distinct bigrams (bounded
+    terms per doc), rounded to 4 dp once, and the fluency flag
+    compares the rounded score on both engines."""
     d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
-    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    grp = d.groupBy(F.sha2("text", 256).alias("chash")).agg(
+        F.min("doc_id").alias("rep_id"),
+        F.first("text").alias("text"),
+        F.count("*").cast("long").alias("w"),
+    )
+    toks = grp.select("rep_id", "w", F.split("text", " ").alias("ts"))
     bigram_expr = F.expr(
         "IF(size(ts) >= 2, "
         "transform(sequence(1, size(ts) - 1), "
         "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2)), "
         "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>))"
     )
-    doc_bi = (
-        toks.select("doc_id", F.explode(bigram_expr).alias("b"))
-        .groupBy("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    rep_bi = (
+        toks.select("rep_id", "w", F.explode(bigram_expr).alias("b"))
+        .groupBy(
+            "rep_id", "w", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        )
         .agg(F.count("*").cast("long").alias("c_doc"))
         # three model consumers below — materialize the collapse once
         .localCheckpoint(eager=True)
     )
-    bi = doc_bi.groupBy("w1", "w2").agg(F.sum("c_doc").cast("long").alias("c2"))
+    bi = rep_bi.groupBy("w1", "w2").agg(
+        F.sum(F.col("c_doc") * F.col("w")).cast("long").alias("c2")
+    )
     uni = bi.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
     vocab = (
         bi.select(F.col("w1").alias("w"))
@@ -1253,15 +1265,22 @@ def text_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
     )
     nll = F.round(F.sum(nll_term) / F.sum("c_doc"), 4)
-    return (
-        doc_bi.join(bi, ["w1", "w2"])
+    per_rep = (
+        rep_bi.join(bi, ["w1", "w2"])
         .join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id", "v")
+        .groupBy("rep_id", "v")
         .agg(
             F.sum("c_doc").cast("long").alias("n_bigrams"),
             nll.alias("nll"),
             (nll <= LM_NLL_MAX).alias("is_fluent"),
         )
         .drop("v")
+    )
+    # re-expand the per-content score to every member document
+    members = d.select("doc_id", F.sha2("text", 256).alias("chash")).join(
+        grp.select("chash", "rep_id"), "chash"
+    )
+    return members.join(per_rep, "rep_id").select(
+        "doc_id", "n_bigrams", "nll", "is_fluent"
     )
