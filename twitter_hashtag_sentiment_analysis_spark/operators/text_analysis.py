@@ -1284,3 +1284,88 @@ def text_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.join(per_rep, "rep_id").select(
         "doc_id", "n_bigrams", "nll", "is_fluent"
     )
+
+
+#: Drift report size: the top tokens by absolute KL contribution. The
+#: report is the TakeOrdered top slice of a vocabulary-sized relation.
+DRIFT_TOP = 20
+
+
+@register(
+    "text_distribution_drift",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id % 2 AS snap, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text <> ''
+        ),
+        counts AS (
+            SELECT tok,
+                   CAST(count(*) FILTER (snap = 0) AS BIGINT) AS c_a,
+                   CAST(count(*) FILTER (snap = 1) AS BIGINT) AS c_b
+            FROM toks GROUP BY tok
+        ),
+        tot AS (
+            SELECT sum(c_a) AS t_a, sum(c_b) AS t_b,
+                   count(*) AS v
+            FROM counts
+        )
+        SELECT tok, c_a, c_b,
+               round((c_a + 1.0) / (t_a + v), 8) AS p_a,
+               round((c_b + 1.0) / (t_b + v), 8) AS p_b,
+               round((c_a + 1.0) / (t_a + v)
+                     * ln(((c_a + 1.0) / (t_a + v))
+                          / ((c_b + 1.0) / (t_b + v))), 8) AS kl_term
+        FROM counts, tot
+        ORDER BY abs(round((c_a + 1.0) / (t_a + v)
+                     * ln(((c_a + 1.0) / (t_a + v))
+                          / ((c_b + 1.0) / (t_b + v))), 8)) DESC, tok
+        LIMIT {DRIFT_TOP}
+    """,
+)
+def text_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots — the
+    monitoring readout a data-version bump gets before training
+    restarts on it: per-token add-1-smoothed probabilities under
+    snapshot A and B and each token's signed contribution to
+    KL(A || B), top DRIFT_TOP by magnitude.  The deterministic
+    doc_id-parity split stands in for the two corpus versions (the
+    operator is a pure function of two tagged relations; swap the tag
+    expression for a real snapshot column in production).
+
+    Scale shape: one corpus-sized explode collapses into per-token
+    paired counts (map-side combine, count FILTER — one pass, no
+    self-join of snapshots); totals and vocab size are a 1-row
+    aggregate OF that relation, broadcast back; the report is a
+    TakeOrdered top slice.  Each KL term is scalar arithmetic on one
+    row's integers (no cross-row float accumulation), rounded once to
+    8 dp before ranking with a token tie-break — engine-exact."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("snap"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count_if(F.col("snap") == 0).cast("long").alias("c_a"),
+        F.count_if(F.col("snap") == 1).cast("long").alias("c_b"),
+    )
+    tot = counts.agg(
+        F.sum("c_a").alias("t_a"),
+        F.sum("c_b").alias("t_b"),
+        F.count("*").alias("v"),
+    )
+    p_a = (F.col("c_a") + F.lit(1.0)) / (F.col("t_a") + F.col("v"))
+    p_b = (F.col("c_b") + F.lit(1.0)) / (F.col("t_b") + F.col("v"))
+    kl = F.round(p_a * F.log(p_a / p_b), 8)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "c_a",
+            "c_b",
+            F.round(p_a, 8).alias("p_a"),
+            F.round(p_b, 8).alias("p_b"),
+            kl.alias("kl_term"),
+        )
+        .orderBy(F.abs(F.col("kl_term")).desc(), "tok")
+        .limit(DRIFT_TOP)
+    )
