@@ -598,3 +598,32 @@ def test_lm_doc_nll_ranks_gibberish_below_prose(spark, tmp_path):
     got = {r["doc_id"]: r for r in reg["text_lm_doc_nll"].fn(spark, sf).collect()}
     assert got[1]["nll"] < got[3]["nll"]
     assert got[1]["nll"] == got[2]["nll"]  # identical docs, identical score
+
+
+def test_distribution_drift_flags_planted_token(spark, tmp_path):
+    """A token that exists only in snapshot A (even doc_ids) must top
+    the KL report with a positive contribution; with identical
+    snapshots every contribution is ~0."""
+    reg = load_all()
+    base = "alpha beta gamma delta " * 5
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, (base + "driftword " * 10).strip()),  # snap A
+            (2, (base + "driftword " * 10).strip()),  # snap A
+            (1, base.strip()),                        # snap B
+            (3, base.strip()),                        # snap B
+        ],
+    )
+    rows = reg["text_distribution_drift"].fn(spark, sf).collect()
+    top = max(rows, key=lambda r: abs(r["kl_term"]))
+    assert top["tok"] == "driftword" and top["kl_term"] > 0, rows[:3]
+    assert top["c_a"] == 20 and top["c_b"] == 0
+
+    # identical snapshots: every term collapses to ~0
+    sf2 = _write_docs(
+        spark, tmp_path / "same", [(0, base.strip()), (1, base.strip())]
+    )
+    rows2 = reg["text_distribution_drift"].fn(spark, sf2).collect()
+    assert all(abs(r["kl_term"]) < 1e-6 for r in rows2), rows2[:3]
