@@ -491,8 +491,86 @@ def _shingle_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-pair common-shingle counts with both docs' shingle-set sizes
     — the DataFrame twin of _NGRAM_COMMON_CTES. Columns: (doc_a, doc_b,
     n_common, n_sh_a, n_sh_b); both symmetric-Jaccard and asymmetric-
-    containment scoring are one projection away."""
-    return _common_from(_shingle_relation(spark, sf_dir))
+    containment scoring are one projection away.
+
+    Exact-dup pre-collapse (same move as `dedup_connected_components`,
+    extended to the PAIR-EMITTING family): the expensive stage — the
+    shingle inverted-index self-join — runs on one REPRESENTATIVE per
+    distinct content (sha2 groups, DF cap weighted by member count, so
+    the surviving-shingle set matches the uncollapsed run), and the
+    result re-expands to member pairs afterwards. Counts depend only
+    on content, so the expansion is exact: (a) every member pair
+    WITHIN a group that kept >=1 shingle shares its full shingle set
+    (n_common = n_sh on both sides); (b) every CROSS-group member pair
+    inherits its rep pair's counts, ordered by (least, greatest) id.
+    The output is still quadratic in cluster size — it lists the pairs
+    — but pair GENERATION cost drops from (copies x copies) joins to
+    (contents x contents), which is the difference that matters on a
+    30-50%-duplicate crawl."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    grp = d.groupBy(F.sha2("text", 256).alias("chash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("text").alias("text"),
+        F.count("*").cast("long").alias("w"),
+    )
+    grp = grp.localCheckpoint(eager=True)  # reused: shingles + expansion
+    shingled = _shingle_relation(spark, sf_dir, docs_w=grp).localCheckpoint(
+        eager=True
+    )  # reused: pair gen + intra-group sizes
+    rep_pairs = _common_from(shingled)
+    members = d.select("doc_id", F.sha2("text", 256).alias("chash"))
+    rep_of = grp.select("chash", F.col("doc_id").alias("rep"))
+    mem = members.join(rep_of, "chash").select("doc_id", "rep")
+    # (a) intra-group pairs: groups with >=1 surviving shingle and >=2
+    # members — all ordered member pairs, full-overlap counts
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ma, mb = mem.alias("ma"), mem.alias("mb")
+    intra = (
+        ma.join(
+            mb,
+            (F.col("ma.rep") == F.col("mb.rep"))
+            & (F.col("ma.doc_id") < F.col("mb.doc_id")),
+        )
+        .join(sizes, F.col("ma.rep") == sizes.doc_id)
+        .select(
+            F.col("ma.doc_id").alias("doc_a"),
+            F.col("mb.doc_id").alias("doc_b"),
+            F.col("n_sh").alias("n_common"),
+            F.col("n_sh").alias("n_sh_a"),
+            F.col("n_sh").alias("n_sh_b"),
+        )
+    )
+    # (b) cross-group pairs: expand each rep pair to all member pairs,
+    # re-ordering by id (member ids need not follow rep order); the
+    # per-side counts follow their own group, so they swap with the ids
+    xa, xb = mem.alias("xa"), mem.alias("xb")
+    cross = (
+        rep_pairs.join(xa, F.col("doc_a") == F.col("xa.rep"))
+        .join(xb, F.col("doc_b") == F.col("xb.rep"))
+        .select(
+            F.least("xa.doc_id", "xb.doc_id").alias("out_a"),
+            F.greatest("xa.doc_id", "xb.doc_id").alias("out_b"),
+            F.col("n_common"),
+            F.when(
+                F.col("xa.doc_id") < F.col("xb.doc_id"), F.col("n_sh_a")
+            )
+            .otherwise(F.col("n_sh_b"))
+            .alias("n_sh_a_out"),
+            F.when(
+                F.col("xa.doc_id") < F.col("xb.doc_id"), F.col("n_sh_b")
+            )
+            .otherwise(F.col("n_sh_a"))
+            .alias("n_sh_b_out"),
+        )
+        .select(
+            F.col("out_a").alias("doc_a"),
+            F.col("out_b").alias("doc_b"),
+            "n_common",
+            F.col("n_sh_a_out").alias("n_sh_a"),
+            F.col("n_sh_b_out").alias("n_sh_b"),
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
