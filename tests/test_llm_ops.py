@@ -473,7 +473,7 @@ def test_weighted_reservoir_k_per_lang_and_weight_bias(spark, sf_dir):
         by_lang.setdefault(r["lang"], []).append(r)
     for lang, members in by_lang.items():
         assert len(members) == min(RESERVOIR_K, pop[lang][0]), lang
-        ids = [m["vec_id"] if "vec_id" in m else m["doc_id"] for m in members]
+        ids = [m["doc_id"] for m in members]
         assert len(set(ids)) == len(ids), lang
     sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
     pop_mean = sum(n * m for n, m in pop.values()) / sum(n for n, _ in pop.values())
@@ -528,11 +528,7 @@ def test_mmr_diversifies_against_pure_relevance(spark, sf_dir):
         sims = [cos(emb[a], emb[b]) for a, b in combinations(vecs, 2)]
         return sum(sims) / len(sims)
 
-    # pure relevance page = top-K by rel over the same scored corpus
-    scored = sorted(
-        ((r["vec_id"], r["rel"]) for r in rows), key=lambda t: -t[1]
-    )
-    # recompute the full relevance ranking independently
+    # pure relevance page: recompute the full ranking independently
     q = [((i * 37) % 19 - 9) / 10.0 for i in range(1, 65)]
     rel_all = sorted(
         ((vid, cos(q, e)) for vid, e in emb.items()), key=lambda t: (-t[1], t[0])

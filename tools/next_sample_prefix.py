@@ -66,20 +66,45 @@ def pending_queue(root: str) -> tuple[list[str], int]:
     return queue, n_green
 
 
-def main() -> None:
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    next_round = int(sys.argv[1]) if len(sys.argv) > 1 else None
-    if next_round is None:
-        rounds = [
-            int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
-            for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
-        ]
-        next_round = (max(rounds) if rounds else 0) + 1
-    queue, n_green = pending_queue(root)
+def infer_next_round(root: str) -> int:
+    """Next round number = newest CORRECTNESS_r*.json + 1."""
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def build_prefix(queue: list[str]) -> list[str]:
+    """The 50-key driver block: the pending queue, padded with
+    already-green keys when fewer than 50 remain (re-adjudication is
+    harmless)."""
     reg = load_all()
     oracle = [k for k, q in reg.items() if q.sql is not None]
     done = [k for k in oracle if k not in queue]
-    prefix = (queue + done)[:50]
+    return (queue + done)[:50]
+
+
+def build_plan(queue: list[str], next_round: int) -> dict:
+    """The committed rotation schedule: the whole pending queue in
+    50-key chunks keyed r<round>."""
+    return {
+        "generated_for_round": next_round,
+        "pending_total": len(queue),
+        "chunks": {
+            f"r{next_round + i // 50}": queue[i : i + 50]
+            for i in range(0, len(queue), 50)
+        },
+    }
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    next_round = (
+        int(sys.argv[1]) if len(sys.argv) > 1 else infer_next_round(root)
+    )
+    queue, n_green = pending_queue(root)
+    prefix = build_prefix(queue)
     print(
         f"# oracle-backed keys latest-green: {n_green}; pending (latest red or"
         f" never sampled): {len(queue)}; proposed r{next_round} prefix:"
@@ -88,14 +113,7 @@ def main() -> None:
     for k in prefix:
         print(f'    "{k}",')
     print(")")
-    plan = {
-        "generated_for_round": next_round,
-        "pending_total": len(queue),
-        "chunks": {
-            f"r{next_round + i // 50}": queue[i : i + 50]
-            for i in range(0, len(queue), 50)
-        },
-    }
+    plan = build_plan(queue, next_round)
     plan_path = os.path.join(root, "tools", "sample_rotation_plan.json")
     with open(plan_path, "w") as f:
         json.dump(plan, f, indent=1)

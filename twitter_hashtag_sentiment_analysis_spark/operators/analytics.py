@@ -2211,7 +2211,13 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
             SET covered = (SELECT round(sum(rev), 2)
                            FROM cust_rank_script_v WHERE rk <= k);
           END WHILE;
-          SELECT k, round(covered / total, 6) AS covered_share;
+          -- degenerate gate: an EMPTY orders table leaves both
+          -- variables NULL (the WHILE never runs); emit zero rows to
+          -- match the oracle's WHERE covered*2 >= t filter instead of
+          -- a (k=1, NULL) row — same agreed-NULL discipline as
+          -- stat_ab_ttest
+          SELECT k, round(covered / total, 6) AS covered_share
+          WHERE total IS NOT NULL AND covered IS NOT NULL;
         END
         """
     )

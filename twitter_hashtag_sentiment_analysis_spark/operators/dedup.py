@@ -419,22 +419,16 @@ _NGRAM_PAIRS_CTES = f"""{_NGRAM_COMMON_CTES},
         )"""
 
 
-def _shingle_relation(
-    spark: SparkSession, sf_dir: str, docs_w: DataFrame | None = None
-) -> DataFrame:
+def _shingle_relation(docs_w: DataFrame) -> DataFrame:
     """Surviving (doc_id, shingle) rows under the weighted DF cap.
 
-    ``docs_w`` — optional (doc_id, text, w) relation to shingle instead
-    of the documents table; ``w`` weights the document-frequency cap so
-    a collapsed exact-dup group (one row per distinct content, w =
-    member count) still counts every member toward DF, keeping the
-    surviving-shingle set IDENTICAL to the uncollapsed run."""
-    if docs_w is None:
-        d = table(spark, sf_dir, "documents").select(
-            "doc_id", F.lit(1).cast("long").alias("w"), F.split("text", " ").alias("toks")
-        )
-    else:
-        d = docs_w.select("doc_id", "w", F.split("text", " ").alias("toks"))
+    ``docs_w`` — a (doc_id, text, w) relation to shingle; ``w`` weights
+    the document-frequency cap so a collapsed exact-dup group (one row
+    per distinct content, w = member count) still counts every member
+    toward DF, keeping the surviving-shingle set IDENTICAL to the
+    uncollapsed run.  (Both callers pass the sha2-collapsed content
+    relation; an uncollapsed run is the w≡1 special case.)"""
+    d = docs_w.select("doc_id", "w", F.split("text", " ").alias("toks"))
     # split once into an array column; re-splitting inside the lambda
     # (element_at(split(text, ' '), i)) is O(tokens^2) per document
     shingles_expr = F.expr(
@@ -514,7 +508,7 @@ def _shingle_common(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("w"),
     )
     grp = grp.localCheckpoint(eager=True)  # reused: shingles + expansion
-    shingled = _shingle_relation(spark, sf_dir, docs_w=grp).localCheckpoint(
+    shingled = _shingle_relation(grp).localCheckpoint(
         eager=True
     )  # reused: pair gen + intra-group sizes
     rep_pairs = _common_from(shingled)
@@ -734,7 +728,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         grp = grp.localCheckpoint(eager=True)  # reused: pair gen + re-expand
-        shingled = _shingle_relation(spark, sf_dir, docs_w=grp).localCheckpoint(
+        shingled = _shingle_relation(grp).localCheckpoint(
             eager=True
         )  # reused: pair gen + has-shingle flag
         c = _common_from(shingled)

@@ -50,6 +50,10 @@ PYDS_PARTITIONS = 4
 
 _registered = False
 
+# stream-writer output dirs already allocated this process, keyed by
+# (sf_dir, purpose) — wiped and reused per invocation, never leaked
+_pywriter_dir_cache: dict[tuple[str, str], str] = {}
+
 
 @register(
     "source_python_datasource",
@@ -411,11 +415,27 @@ def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit messages (one per partition per batch)."""
     import glob as _glob
     import json as _json
+    import shutil as _shutil
 
     from ..streaming.queries import _events_stream
 
-    out_dir = tempfile.mkdtemp(prefix="thsa_pywriter_")
-    ck = tempfile.mkdtemp(prefix="thsa_pywriter_ck_")
+    # one output+checkpoint dir pair per fixture dir, WIPED and reused
+    # across invocations (each run re-exercises the writer end to end)
+    # — fresh mkdtemp per call would leak a full events copy per bench
+    # repetition until /tmp fills
+    key = (sf_dir, "pywriter")
+    out_dir = _pywriter_dir_cache.get(key)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="thsa_pywriter_")
+        _pywriter_dir_cache[key] = out_dir
+    for leftover in _glob.glob(os.path.join(out_dir, "*")):
+        os.remove(leftover)
+    # fresh checkpoint per run (a resumed availableNow checkpoint would
+    # see no new data and write no parts), at a STABLE path so nothing
+    # accumulates
+    ck = out_dir + "_ck"
+    if os.path.exists(ck):
+        _shutil.rmtree(ck)
 
     from pyspark.sql.datasource import (
         DataSource,

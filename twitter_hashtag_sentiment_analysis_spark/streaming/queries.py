@@ -747,12 +747,26 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpath = _stream_dir_cache.get(key)
     cols = ("event_id", "ts", "user_id", "event_type", "value", "props")
     if fpath is None:
-        # the drop directory is pure function of the fixture dir, so it
-        # is cached DURABLY (deterministic /tmp path + ready marker):
+        # the drop directory is a pure function of the fixture FILE, so
+        # it is cached DURABLY (deterministic /tmp path + ready marker):
         # bench's repeated runs and fresh processes reuse it instead of
-        # re-writing ~10 replay jobs each time ("v2" = layout version)
+        # re-writing ~10 replay jobs each time ("v2" = layout version).
+        # The digest folds in the source parquet's size+mtime, so a
+        # fixture REGENERATED at the same path (e.g. /tmp/synth_x5 is
+        # rebuilt every round) gets a fresh drop dir instead of stale
+        # replay input silently diverging from the oracle's read.
+        src_parquet = os.path.join(sf_dir, "events.parquet")
+        try:
+            st = os.stat(src_parquet)
+            sig = f"{st.st_size}:{st.st_mtime_ns}"
+        except OSError:  # directory-shaped fixture: sign the listing
+            names = sorted(os.listdir(src_parquet))
+            sig = ",".join(
+                f"{n}:{os.stat(os.path.join(src_parquet, n)).st_size}"
+                for n in names
+            )
         digest = hashlib.sha256(
-            f"evdaily-v2:{os.path.abspath(sf_dir)}".encode()
+            f"evdaily-v2:{os.path.abspath(sf_dir)}:{sig}".encode()
         ).hexdigest()[:16]
         cache_root = os.path.join(
             tempfile.gettempdir(), "thsa_cache", f"evdaily_{digest}"
