@@ -925,36 +925,52 @@ def dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-document Jaccard cut, which is exactly the dup class
     pairwise MinHash misses.
 
-    Plan (all equi-key, all linear): (1) narrow explode of 5-gram
-    positions, (2) gram -> distinct-doc-frequency hash aggregate
-    (partial map-side combine; the 100 TB corpus collapses to its
-    distinct-gram relation), (3) join the per-position grams back on
-    the gram key — exactly 1:1 per position, no pair fanout anywhere —
-    then (4) re-aggregate per doc.  A boilerplate mega-gram skews the
-    join-back key; AQE skew-join splits it (session.tune), and unlike
-    the pairwise family no cap is needed because the fanout is bounded
-    by position count by construction.  Fully SQL-expressible =>
-    exact oracle.  Pairwise twin: `dedup_ngram_jaccard`; whole-doc
-    twin: `dedup_exact`."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("ts")).filter(
-        F.size("ts") >= DUP_GRAM_N
+    Plan (all equi-key, all linear): (1) exact-dup pre-collapse — the
+    same sha2(text) representative move as `dedup_ngram_jaccard` /
+    `dedup_connected_components` / `text_lm_doc_nll`; every stage below
+    runs once per distinct CONTENT, not once per copy, which is the
+    difference on a 30-50%-duplicate crawl — (2) ONE narrow explode of
+    the representatives' 5-gram positions, localCheckpointed so the
+    expansion is computed once and reused by both consumers, (3) gram
+    -> doc-frequency hash aggregate where each distinct (content, gram)
+    contributes the group's member count w (identical copies each hold
+    the gram, so n_docs = sum(w) is exactly count(DISTINCT doc_id)),
+    (4) join the per-position grams back on the gram key — exactly 1:1
+    per position, no pair fanout anywhere — re-aggregate per content,
+    then (5) re-expand to member doc_ids (scores depend only on
+    content, so the expansion is exact; a group with w >= 2 has every
+    gram duplicated by definition, which the weighted DF reproduces).
+    A boilerplate mega-gram skews the join-back key; AQE skew-join
+    splits it (session.tune), and unlike the pairwise family no cap is
+    needed because the fanout is bounded by position count by
+    construction.  Fully SQL-expressible => exact oracle.  Pairwise
+    twin: `dedup_ngram_jaccard`; whole-doc twin: `dedup_exact`."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    grp = d.groupBy(F.sha2("text", 256).alias("chash")).agg(
+        F.first("text").alias("text"),
+        F.count("*").cast("long").alias("w"),
     )
+    toks = grp.select(
+        "chash", "w", F.split("text", " ").alias("ts")
+    ).filter(F.size("ts") >= DUP_GRAM_N)
     grams = toks.select(
-        "doc_id",
+        "chash",
+        "w",
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("ts") - DUP_GRAM_N + 1),
                 lambda i: F.array_join(F.slice("ts", i, DUP_GRAM_N), " "),
             )
         ).alias("gram"),
+    ).localCheckpoint(eager=True)  # reused: DF aggregate + join-back
+    gdf = (
+        grams.dropDuplicates(["chash", "gram"])
+        .groupBy("gram")
+        .agg(F.sum("w").cast("long").alias("n_docs"))
     )
-    gdf = grams.groupBy("gram").agg(
-        F.count_distinct("doc_id").cast("long").alias("n_docs")
-    )
-    per_doc = (
+    per_grp = (
         grams.join(gdf, "gram")
-        .groupBy("doc_id")
+        .groupBy("chash")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
             F.count_if(F.col("n_docs") >= DUP_GRAM_MIN_DOCS)
@@ -962,8 +978,9 @@ def dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_grams"),
         )
     )
+    members = d.select("doc_id", F.sha2("text", 256).alias("chash"))
     frac = F.col("dup_grams") / F.col("n_grams")
-    return per_doc.select(
+    return members.join(per_grp, "chash").select(
         "doc_id",
         "n_grams",
         "dup_grams",
