@@ -576,11 +576,15 @@ def test_percentile_within_group_preaggregates_before_sort(spark, sf_dir):
 
 
 def test_bpe_tokens_plan_is_narrow(spark, sf_dir):
-    """The unrolled merge chain must stay a map over the scan: no
-    Exchange, no Python."""
+    """The unrolled merge chain must stay JVM expressions (no Python)
+    and run once per distinct content: the exact-dup pre-collapse shows
+    up as a sha2 hash aggregate feeding the merge arithmetic, and the
+    only join back to member doc_ids is a 1:1 equi-join."""
     plan = plan_of(spark, sf_dir, "text_bpe_tokens")
-    assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+    assert "sha2" in plan, plan
+    assert "Aggregate" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
 
 
 def test_decontaminate_bloom_semis_are_broadcast(spark, sf_dir):

@@ -971,12 +971,26 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm; per-doc chars-per-token is the compression signal a
     token-budget planner needs.
 
-    Everything is per-row string/array expressions in whole-stage
-    codegen — the merge loop unrolls into a fixed replace chain, so
-    cost is O(merges x chars) per doc with ZERO shuffle: at 100 TB
-    this is a map over the scan, exactly how a production tokenizer
-    count pass behaves (the merge table broadcasts as literals)."""
-    d = table(spark, sf_dir, "documents")
+    The merge arithmetic is per-row string/array expressions in
+    whole-stage codegen — the merge loop unrolls into a fixed replace
+    chain, so cost is O(merges x chars) per distinct document (the
+    merge table broadcasts as literals).  Two scale moves on top of
+    the plain map: (1) the unrolled chain is evaluated ONCE per row —
+    the counts project in a first SELECT and `chars_per_token` derives
+    from the aliased columns (CollapseProject keeps non-cheap
+    higher-order expressions single-evaluated rather than re-inlining
+    them); (2) the same exact-dup pre-collapse as `text_lm_doc_nll` /
+    `dedup_ngram_jaccard` — counts depend only on content, so the
+    replace chain runs once per sha2(text) representative and re-joins
+    to member doc_ids.  The collapse trades the pure map's zero
+    shuffle for a partial-agg-collapsed chash shuffle + 1:1 join-back;
+    on a 30-50%-duplicate crawl that removes the majority of the
+    tokenizer arithmetic, and on a dup-free corpus the overhead is the
+    same modest constant the shingle family documents."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    grp = d.groupBy(F.sha2("text", 256).alias("chash")).agg(
+        F.first("text").alias("text")
+    )
     ts = F.split("text", " ")
 
     def bpe_count(w: Column) -> Column:
@@ -990,12 +1004,21 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_chars = F.aggregate(ts, F.lit(0), lambda acc, w: acc + F.length(w))
     n_bpe = F.aggregate(ts, F.lit(0), lambda acc, w: acc + bpe_count(w))
-    return d.select(
-        "doc_id",
+    per = grp.select(
+        "chash",
         F.size(ts).cast("long").alias("n_words"),
         n_chars.cast("long").alias("n_chars_sum"),
         n_bpe.cast("long").alias("n_bpe"),
-        F.round(n_chars.cast("double") / n_bpe, 4).alias("chars_per_token"),
+    )
+    members = d.select("doc_id", F.sha2("text", 256).alias("chash"))
+    return members.join(per, "chash").select(
+        "doc_id",
+        "n_words",
+        "n_chars_sum",
+        "n_bpe",
+        F.round(
+            F.col("n_chars_sum").cast("double") / F.col("n_bpe"), 4
+        ).alias("chars_per_token"),
     )
 
 
