@@ -587,6 +587,45 @@ def test_bpe_tokens_plan_is_narrow(spark, sf_dir):
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
 
 
+def test_global_rank_by_range_is_distributed_and_exact(spark, sf_dir):
+    """The sql_scripting customer rank must never be a single-task
+    global sort: the helper range-partitions the relation, ranks per
+    partition, and offsets — and agrees row-for-row with the naive
+    unpartitioned window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.operators.analytics import (
+        _global_rank_by_range,
+    )
+    from twitter_hashtag_sentiment_analysis_spark.plans import explain_str
+
+    per = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    order = [F.desc("rev"), F.asc("o_custkey")]
+    ranked = _global_rank_by_range(per, order)
+    plan = explain_str(ranked)
+    # the range exchange itself is frozen behind the localCheckpoint
+    # (Scan ExistingRDD); what must hold downstream: the corpus-sized
+    # window is partitioned by _pid, the only single-partition exchange
+    # is the one-row-per-partition offset relation (post-aggregate),
+    # and the offsets come back via broadcast
+    assert "Scan ExistingRDD" in plan, plan
+    assert "windowspecdefinition(_pid" in plan, plan
+    assert plan.count("SinglePartition") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    naive = per.select(
+        "o_custkey", F.row_number().over(Window.orderBy(*order)).alias("rk")
+    )
+    got = {r.o_custkey: r.rk for r in ranked.select("o_custkey", "rk").collect()}
+    want = {r.o_custkey: r.rk for r in naive.collect()}
+    assert got == want
+
+
 def test_decontaminate_bloom_semis_are_broadcast(spark, sf_dir):
     """One broadcast LEFT SEMI per Bloom probe plus the broadcast
     verify join — the corpus side must never shuffle before its

@@ -2137,6 +2137,44 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _global_rank_by_range(df: DataFrame, order: list) -> DataFrame:
+    """Distributed global `row_number` without a single-task sort:
+    range-partition the relation on the (strict, tie-broken) sort
+    order, rank locally per partition, then add per-partition offsets
+    computed from the partition row counts (one row per partition —
+    the only unpartitioned window runs over that bounded relation,
+    then broadcasts back).  Because `repartitionByRange` makes the
+    sort order monotonic across partition ids and the order is a
+    strict total order, local-rank + offset IS the global rank,
+    whatever boundaries the range sampler picked.  Adds column `rk`."""
+    parts = df.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # both consumers (local rank + offset counts) must see the SAME
+    # partition ids; freeze the range exchange so AQE / the range
+    # sampler cannot re-plan it differently per subtree
+    parts = parts.localCheckpoint(eager=True)
+    local = parts.withColumn(
+        "_lrk",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*order)),
+    )
+    offsets = (
+        parts.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .select(
+            "_pid",
+            (
+                F.sum("_cnt").over(Window.orderBy("_pid")) - F.col("_cnt")
+            ).alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("rk", (F.col("_lrk") + F.col("_off")).cast("int"))
+        .drop("_pid", "_lrk", "_off")
+    )
+
+
 @register(
     "sql_scripting",
     sql="""
@@ -2185,17 +2223,16 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses half).  Scale: the corpus collapses ONCE to the ranked
     per-customer relation (map-side-combined aggregate; cached so the
     ~log2(n) probes rescan the collapsed table, not the facts); the
-    global rank mirrors the oracle's — at true scale you'd
-    range-partition that sort, the script around it is unchanged."""
+    global rank is range-partitioned (`_global_rank_by_range`) — no
+    single-task sort over a corpus-growing relation anywhere in the
+    script."""
     o = table(spark, sf_dir, "orders")
-    ranked = o.groupBy("o_custkey").agg(
+    per = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("rev")
-    ).select(
-        "rev",
-        F.row_number()
-        .over(Window.orderBy(F.desc("rev"), "o_custkey"))
-        .alias("rk"),
     )
+    ranked = _global_rank_by_range(
+        per, [F.desc("rev"), F.asc("o_custkey")]
+    ).select("rev", "rk")
     ranked.cache().createOrReplaceTempView("cust_rank_script_v")
     return spark.sql(
         """
