@@ -253,7 +253,12 @@ def test_frame_sample_matches_python_reference(spark, sf_dir):
         blob = row["text"].encode("utf-8")
         n_frames = len(blob) // FRAME_BYTES
         want = {
-            i: hashlib.md5(blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]).hexdigest()
+            i: hashlib.md5(
+                blob[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                .hex()
+                .upper()
+                .encode()
+            ).hexdigest()
             for i in range(0, n_frames, FRAME_STRIDE)
         }
         assert got.get(row["doc_id"], {}) == want, row["doc_id"]
@@ -269,9 +274,9 @@ def test_decode_image_stub_raises_clearly():
 
 
 def test_arrow_batch_meta_matches_python_reference(spark, sf_dir):
-    """mapInArrow metadata must agree with direct Python zlib/len over
-    the same blobs."""
-    import zlib
+    """mapInArrow metadata must agree with direct Python hashlib/len
+    over the same blobs."""
+    import hashlib
 
     reg = load_all()
     got = {r["doc_id"]: r for r in reg["mm_arrow_batch"].fn(spark, sf_dir).collect()}
@@ -280,21 +285,31 @@ def test_arrow_batch_meta_matches_python_reference(spark, sf_dir):
         blob = row["text"].encode("utf-8")
         g = got[row["doc_id"]]
         assert g["n_bytes"] == len(blob)
-        assert g["crc32"] == zlib.crc32(blob)
+        assert g["sha256"] == hashlib.sha256(blob).hexdigest()
 
 
 def test_sorted_layout_files_are_disjoint(spark, sf_dir):
     """Range-clustered files must cover disjoint ts ranges — the
-    invariant that lets a time filter prune to one file."""
-    reg = load_all()
+    invariant that lets a time filter prune to one file. Asserted on
+    the per-file manifest directly, plus the registered summary."""
+    from twitter_hashtag_sentiment_analysis_spark.sources.sinks import (
+        _range_layout_manifest,
+    )
+
     manifest = sorted(
-        reg["sink_sorted_layout"].fn(spark, sf_dir).collect(),
+        _range_layout_manifest(spark, sf_dir).collect(),
         key=lambda r: r["file_rank"],
     )
+    assert len(manifest) >= 2, manifest  # disjointness must be non-vacuous
     total = sum(r["n_rows"] for r in manifest)
     assert total == table(spark, sf_dir, "events").count()
     for prev, cur in zip(manifest, manifest[1:]):
         assert prev["max_ts"] <= cur["min_ts"], (prev, cur)
+
+    reg = load_all()
+    [summary] = reg["sink_sorted_layout"].fn(spark, sf_dir).collect()
+    assert summary["n_rows"] == total
+    assert summary["overlapping_files"] == 0
 
 
 def test_pagerank_invariants(spark, sf_dir):

@@ -59,7 +59,9 @@ def byte_features(blob: bytes) -> tuple[int, list[float], float]:
         counts[byte * N_HIST_BINS // 256] += 1
     hist = [c / n if n else 0.0 for c in counts]
     entropy = -sum(p * math.log2(p) for p in hist if p > 0)
-    return n, [round(h, 6) for h in hist], round(entropy, 6)
+    # + 0.0 normalizes IEEE -0.0 (single-bin blob) to +0.0 so the value
+    # hash matches the SQL oracle's `0 - sum(...)` form
+    return n, [round(h, 6) for h in hist], round(entropy, 6) + 0.0
 
 
 @register(
@@ -86,14 +88,48 @@ def mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_features", sql=None)  # Arrow-batch Python path => rows-only
+@register(
+    "mm_features",
+    sql=f"""
+        WITH b AS (
+            SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+                   octet_length(CAST(text AS BLOB)) AS n
+            FROM documents
+        ),
+        counts AS (
+            -- bin index of a byte = its high nibble = the byte's FIRST
+            -- hex digit (byte * 16 // 256 == byte >> 4), so the 16-bin
+            -- histogram is countable directly on the hex rendering
+            SELECT doc_id, n,
+                   list_transform(range(0, {N_HIST_BINS}), k ->
+                       len(list_filter(range(0, n), i ->
+                           strpos('0123456789ABCDEF',
+                                  substr(h, CAST(2 * i + 1 AS INT), 1))
+                               - 1 = k))) AS cs
+            FROM b
+        )
+        SELECT doc_id,
+               CAST(n AS INTEGER) AS n_bytes,
+               array_to_string(list_transform(cs, c -> printf('%.6f',
+                   CASE WHEN n > 0 THEN c * 1.0 / n ELSE 0 END)), ',')
+                   AS byte_hist,
+               round(0 - list_sum(list_transform(cs, c ->
+                   CASE WHEN c > 0
+                        THEN (c * 1.0 / n) * log2(c * 1.0 / n)
+                        ELSE 0 END)), 6) AS entropy
+        FROM counts
+    """,
+)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary blobs via mapInPandas: partition-
     preserving batch iterator (no shuffle), Arrow both directions,
-    output schema typed (array<double> features). This is the exact
-    plumbing an image/audio featurizer needs at 100 TB — swap
-    byte_features for a real decoder and nothing else changes.
-    Cross-checked against the Python reference in tests."""
+    output schema typed. This is the exact plumbing an image/audio
+    featurizer needs at 100 TB — swap byte_features for a real decoder
+    and nothing else changes. Cross-checked against the Python
+    reference in tests AND an exact DuckDB oracle (the byte histogram
+    replays on the hex rendering of the same parquet column; entropy
+    terms sum in bin order on both engines, so the doubles are
+    bit-identical)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
     )
@@ -133,7 +169,25 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-@register("mm_frame_sample", sql=None)  # Arrow-batch Python path => rows-only
+@register(
+    "mm_frame_sample",
+    sql=f"""
+        WITH b AS (
+            SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+                   octet_length(CAST(text AS BLOB)) // {FRAME_BYTES}
+                       AS n_frames
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(idx AS INTEGER) AS frame_idx,
+               CAST({FRAME_BYTES} AS INTEGER) AS frame_bytes,
+               md5(substr(h, CAST(idx * {2 * FRAME_BYTES} + 1 AS INT),
+                          {2 * FRAME_BYTES})) AS frame_md5
+        FROM (SELECT doc_id, h,
+                     unnest(range(0, n_frames, {FRAME_STRIDE})) AS idx
+              FROM b)
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over opaque video blobs via mapInPandas — the
     1->N expansion shape of video preprocessing (sample every k-th
@@ -144,7 +198,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning are unchanged). Output is fanout-bounded: 1/STRIDE of
     the frames, each row carrying bytes + checksum, never the decoded
     pixels — at 100 TB you ship references and small features out of
-    the Python stage, not raw frames."""
+    the Python stage, not raw frames.
+
+    The checksum is md5 over the frame's UPPERCASE-HEX rendering (not
+    the raw bytes): byte-equivalent as a frame fingerprint, and it
+    makes the operator exactly oracle-replayable — DuckDB's md5 hashes
+    VARCHAR only, and a byte slice of a multi-byte UTF-8 blob need not
+    be valid VARCHAR, but its hex rendering always is."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
     )
@@ -166,7 +226,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["frame_bytes"].append(len(frame))
-                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                    out["frame_md5"].append(
+                        hashlib.md5(frame.hex().upper().encode()).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
     return d.mapInPandas(sample, FRAME_SCHEMA)
@@ -176,29 +238,41 @@ ARROW_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.IntegerType()),
-        T.StructField("crc32", T.LongType()),
+        T.StructField("sha256", T.StringType()),
     ]
 )
 
 
-@register("mm_arrow_batch", sql=None)  # Arrow-native Python path => rows-only
+@register(
+    "mm_arrow_batch",
+    sql="""
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents
+    """,
+)
 def mm_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blob metadata via mapInArrow — the zero-pandas Arrow-native
     batch path: RecordBatches cross the Python boundary and are
-    processed column-at-a-time with pyarrow.compute + zlib.crc32,
-    skipping pandas Series materialization entirely. For binary-heavy
-    multimodal columns this halves peak Python memory vs mapInPandas
-    (no object-dtype boxing of blobs) — the right boundary for a
-    decoder that already speaks buffers. Partition-preserving, no
-    shuffle; cross-checked against a Python reference in tests."""
+    processed column-at-a-time (pyarrow.compute for the lengths,
+    hashlib over the raw buffers), skipping pandas Series
+    materialization entirely. For binary-heavy multimodal columns this
+    halves peak Python memory vs mapInPandas (no object-dtype boxing
+    of blobs) — the right boundary for a decoder that already speaks
+    buffers. Partition-preserving, no shuffle; cross-checked against a
+    Python reference in tests AND an exact DuckDB oracle (sha256 of
+    the utf-8 bytes replays as DuckDB's sha256 over the same VARCHAR
+    column)."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
     )
 
     def meta(batches):
-        import zlib
+        import hashlib
 
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         for batch in batches:
             doc_id = batch.column("doc_id")
@@ -206,14 +280,16 @@ def mm_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pa.RecordBatch.from_arrays(
                 [
                     doc_id,
+                    pc.cast(pc.binary_length(blobs), pa.int32()),
                     pa.array(
-                        [len(b.as_py()) for b in blobs], type=pa.int32()
-                    ),
-                    pa.array(
-                        [zlib.crc32(b.as_py()) for b in blobs], type=pa.int64()
+                        [
+                            hashlib.sha256(b.as_py()).hexdigest()
+                            for b in blobs
+                        ],
+                        type=pa.string(),
                     ),
                 ],
-                names=["doc_id", "n_bytes", "crc32"],
+                names=["doc_id", "n_bytes", "sha256"],
             )
 
     return d.mapInArrow(meta, ARROW_META_SCHEMA)

@@ -141,18 +141,13 @@ def catalog_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
 RANGE_FILES = 4
 
 
-@register("sink_sorted_layout", sql=None)  # file boundaries are sampled => rows-only
-def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range-clustered file layout (the z-order-lite every lakehouse
-    compaction job runs): repartitionByRange on event time +
-    sortWithinPartitions before the write produces files whose ts
-    ranges are DISJOINT, so any time-range query prunes to the one
-    file that overlaps (parquet row-group min/max stats do the rest).
-    Output is the per-file manifest (rank, min_ts, max_ts, n_rows) —
-    disjointness is asserted in tests. Rows-only: RangePartitioning
-    samples boundaries, so exact file membership is not
-    oracle-replicable, but the disjointness INVARIANT is what matters
-    at 100 TB."""
+def _range_layout_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the range-clustered layout and read back the per-file
+    manifest (file_rank, min_ts, max_ts, n_rows). File MEMBERSHIP
+    depends on RangePartitioning's sampled boundaries, so the manifest
+    itself is not oracle-replicable — the registered operator
+    aggregates it to the invariants that are (see sink_sorted_layout);
+    tests assert per-file disjointness on this relation directly."""
     ev = table(spark, sf_dir, "events").select("event_id", "ts", "value")
     out = tempfile.mkdtemp(prefix="thsa_rangesink_") + "/events_ranged"
     (
@@ -174,6 +169,52 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_file.withColumn("file_rank", F.row_number().over(w))
         .select("file_rank", "min_ts", "max_ts", "n_rows")
+    )
+
+
+@register(
+    "sink_sorted_layout",
+    sql="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               min(ts) AS min_ts,
+               max(ts) AS max_ts,
+               CAST(0 AS BIGINT) AS overlapping_files
+        FROM events
+    """,
+)
+def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered file layout (the z-order-lite every lakehouse
+    compaction job runs): repartitionByRange on event time +
+    sortWithinPartitions before the write produces files whose ts
+    ranges are DISJOINT, so any time-range query prunes to the one
+    file that overlaps (parquet row-group min/max stats do the rest).
+
+    Returns the read-back verification summary, which IS exactly
+    oracle-replayable even though file membership is sampled: total
+    rows and global ts bounds must equal the source table's (nothing
+    lost or duplicated in the write), and the count of consecutive-
+    file range overlaps must be zero (RangePartitioning keeps equal
+    keys together, so disjointness is a guarantee, not luck).  The
+    overlap count is computed over the per-file manifest — a bounded,
+    files-sized relation, the package's documented exception class for
+    an unpartitioned window."""
+    m = _range_layout_manifest(spark, sf_dir)
+    nxt = F.lead("min_ts").over(Window.orderBy("file_rank"))
+    flagged = m.select(
+        "n_rows",
+        "min_ts",
+        "max_ts",
+        F.when(nxt < F.col("max_ts"), 1).otherwise(0).alias("overlap"),
+    )
+    return flagged.agg(
+        F.coalesce(F.sum("n_rows").cast("long"), F.lit(0).cast("long")).alias(
+            "n_rows"
+        ),
+        F.min("min_ts").alias("min_ts"),
+        F.max("max_ts").alias("max_ts"),
+        F.coalesce(F.sum("overlap").cast("long"), F.lit(0).cast("long")).alias(
+            "overlapping_files"
+        ),
     )
 
 
