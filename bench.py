@@ -105,7 +105,14 @@ def main() -> None:
     # durable twin of the full line: the driver's BENCH artifact keeps
     # only the stdout tail, which truncates the per-query map head at
     # 260+ queries — the checked-in detail file carries the whole map
-    if not only:  # full sweeps only; subset runs must not clobber it
+    # full sweeps only, and only at the canonical fixture/core config:
+    # subset runs and off-fixture sweeps (x5 stress, core-scaling)
+    # must not clobber the checked-in per-query map
+    canonical = (
+        os.path.normpath(sf_dir) == "/root/testdata/sf0.1"
+        and os.environ.get("SPARK_GRAFT_CPUS", "32") == "32"
+    )
+    if not only and canonical:
         detail = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )

@@ -47,6 +47,8 @@ def main() -> None:
     m = re.search(r"_DRIVER_SAMPLE_PREFIX = \(\n(?:[^\n]*\n)*?\)\n", src)
     if not m:
         raise SystemExit("prefix tuple not found in registry.py")
+    plan_path = os.path.join(ROOT, "tools", "sample_rotation_plan.json")
+    old_plan = open(plan_path).read() if os.path.exists(plan_path) else None
     body = "_DRIVER_SAMPLE_PREFIX = (\n"
     body += (
         f"    # round-{next_round} block"
@@ -58,7 +60,6 @@ def main() -> None:
     body += ")\n"
     open(reg_path, "w").write(src[: m.start()] + body + src[m.end() :])
 
-    plan_path = os.path.join(ROOT, "tools", "sample_rotation_plan.json")
     with open(plan_path, "w") as f:
         json.dump(build_plan(queue, next_round), f, indent=1)
 
@@ -86,7 +87,17 @@ def main() -> None:
         text=True,
     )
     if check.returncode != 0:
-        raise SystemExit(f"verification failed:\n{check.stderr}")
+        # roll the working tree back: a failed verification must not
+        # leave the broken prefix (or a half-regenerated plan) behind
+        open(reg_path, "w").write(src)
+        if old_plan is None:
+            os.remove(plan_path)
+        else:
+            open(plan_path, "w").write(old_plan)
+        raise SystemExit(
+            f"verification failed (registry.py and plan restored):\n"
+            f"{check.stderr}"
+        )
     print(check.stdout.strip())
     print(
         f"applied r{next_round} prefix ({len(prefix)} keys; {len(queue)}"

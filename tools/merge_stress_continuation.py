@@ -41,11 +41,20 @@ def main() -> None:
         args = args[1:]
     if artifact is None:
         import glob
+        import os
+        import re
 
-        cands = sorted(glob.glob("SCALING_STRESS_r*.json"))
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cands = glob.glob(os.path.join(root, "SCALING_STRESS_r*.json"))
         if not cands:
             raise SystemExit("no SCALING_STRESS_r*.json found")
-        artifact = cands[-1]
+        # newest ROUND, not lexicographically-last filename (r9 < r10)
+        artifact = max(
+            cands,
+            key=lambda p: int(
+                re.search(r"_r(\d+)\.json$", p).group(1)
+            ),
+        )
     base, x5, keys = args[0], args[1], args[2:]
     a, b = load(base), load(x5)
     rows = {}

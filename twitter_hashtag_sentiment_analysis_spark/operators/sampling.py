@@ -704,10 +704,12 @@ _MIX_CURATED = ("src0", "src1", "src2", "src3", "src4")
         SELECT source, avail_chars, weight, target_chars,
                CAST(least(avail_chars, target_chars) AS BIGINT)
                    AS allocated_chars,
-               round(least(avail_chars, target_chars) * 1.0
-                     / target_chars, 6) AS fill_rate,
-               round(least(avail_chars, target_chars) * 1.0
-                     / avail_chars, 6) AS accept_rate,
+               CASE WHEN target_chars > 0
+                    THEN round(least(avail_chars, target_chars) * 1.0
+                               / target_chars, 6) END AS fill_rate,
+               CASE WHEN avail_chars > 0
+                    THEN round(least(avail_chars, target_chars) * 1.0
+                               / avail_chars, 6) END AS accept_rate,
                CAST(greatest(target_chars - avail_chars, 0) AS BIGINT)
                    AS unmet_chars
         FROM shared
@@ -749,8 +751,15 @@ def corpus_mix_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         "target_chars",
         alloc.cast("long").alias("allocated_chars"),
-        F.round(alloc / F.col("target_chars"), 6).alias("fill_rate"),
-        F.round(alloc / F.col("avail_chars"), 6).alias("accept_rate"),
+        # agreed-NULL gate (same discipline as stat_ab_ttest): a
+        # zero-char source or a floor()=0 target must yield NULL on
+        # both engines, not Spark non-ANSI NULL vs DuckDB inf/NaN
+        F.when(
+            F.col("target_chars") > 0, F.round(alloc / F.col("target_chars"), 6)
+        ).alias("fill_rate"),
+        F.when(
+            F.col("avail_chars") > 0, F.round(alloc / F.col("avail_chars"), 6)
+        ).alias("accept_rate"),
         F.greatest(F.col("target_chars") - F.col("avail_chars"), F.lit(0))
         .cast("long")
         .alias("unmet_chars"),

@@ -64,9 +64,29 @@ def _run_to_memory(sdf, name_prefix: str, output_mode: str = "append") -> str:
 
 
 # stream-source dirs already materialized this process, keyed by
-# (sf_dir, table) — the FileStreamSource needs a directory, and round 1
-# paid the copy on EVERY query call; once per process is enough
-_stream_dir_cache: dict[tuple[str, str], str] = {}
+# (sf_dir, fixture signature, table) — the FileStreamSource needs a
+# directory, and round 1 paid the copy on EVERY query call; once per
+# process is enough. The signature (source parquet size+mtime) is part
+# of the KEY, so a fixture regenerated at the same path during this
+# process's lifetime misses the cache instead of replaying stale input
+# — the same invalidation the durable drop-dir digest provides across
+# processes.
+_stream_dir_cache: dict[tuple[str, str, str], str] = {}
+
+
+def _fixture_sig(sf_dir: str, name: str) -> str:
+    """Size+mtime signature of one fixture parquet (file or dir)."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(src)
+        if not os.path.isdir(src):
+            return f"{st.st_size}:{st.st_mtime_ns}"
+        names = sorted(os.listdir(src))
+        return ",".join(
+            f"{n}:{os.stat(os.path.join(src, n)).st_size}" for n in names
+        )
+    except OSError:
+        return "missing"
 
 
 def _watermarkable(df: DataFrame) -> DataFrame:
@@ -86,7 +106,7 @@ def _stream_copy(spark: SparkSession, sf_dir: str, name: str) -> tuple[str, Data
     """Materialize a batch table once as a stream-source directory;
     return (dir, batch_df) — the batch df carries the schema."""
     df = _watermarkable(table(spark, sf_dir, name))
-    key = (sf_dir, name)
+    key = (sf_dir, _fixture_sig(sf_dir, name), name)
     path = _stream_dir_cache.get(key)
     if path is None:
         path = os.path.join(tempfile.mkdtemp(prefix=f"thsa_{name}stream_"), name)
@@ -548,7 +568,7 @@ def _multibatch_stream(spark: SparkSession, sf_dir: str, name: str):
     incremental semantics (foreachBatch merges, update-mode re-emits)
     are actually exercised, not vacuously true on a single batch."""
     df = _watermarkable(table(spark, sf_dir, name))
-    key = (sf_dir, name)
+    key = (sf_dir, _fixture_sig(sf_dir, name), name)
     path = _multibatch_dir_cache.get(key)
     if path is None:
         path = os.path.join(tempfile.mkdtemp(prefix=f"thsa_mb_{name}_"), name)
@@ -860,7 +880,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle is the plain projection. At 100 TB the state store holds
     only the keys seen within the watermark horizon, not the corpus."""
     _, ev = _stream_copy(spark, sf_dir, "events")
-    key = (sf_dir, "events_twice")
+    key = (sf_dir, _fixture_sig(sf_dir, "events"), "events_twice")
     fpath = _stream_dir_cache.get(key)
     cols = ("event_id", "ts", "user_id", "event_type", "value", "props")
     if fpath is None:
