@@ -884,3 +884,65 @@ def join_skew_hotcold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# customer-partitioned-by-nation dirs, written once per process per
+# sf_dir (same lifecycle as scans._part_dir_cache)
+_dpp_dir_cache: dict[str, str] = {}
+
+
+@register(
+    "join_partition_pruning_dynamic",
+    sql="""
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               round(sum(c.c_acctbal), 2) AS sum_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = 2
+        GROUP BY n.n_name
+    """,
+)
+def join_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact side is laid out as
+    Hive-style partition dirs on the JOIN KEY, the dimension side
+    carries a selective filter, and the partitions to read are only
+    known at RUNTIME — Catalyst reuses the dimension's broadcast
+    exchange as an IN-subquery partition filter
+    (`dynamicpruningexpression(c_nationkey IN dynamicpruning#N)` in
+    PartitionFilters, plan-asserted in tests/test_plans.py), so the
+    scan opens 5 of 25 directories without any static predicate on
+    the fact table. `scan_partition_pruned` is the STATIC half of
+    this story (literal filter on the partition column); this is the
+    dynamic half — the one that matters for star joins at 100 TB,
+    where the fact table is date/tenant-partitioned and every
+    dashboard query filters it only THROUGH a dimension. Costs
+    nothing extra: the pruning subquery reuses the broadcast the join
+    needs anyway (`reuseBroadcastOnly`, Spark's default). The demo
+    fact is `customer` partitioned by nationkey (the fixture's
+    largest FK-keyed relation with a bounded partition count); the
+    oracle joins the unpartitioned originals."""
+    path = _dpp_dir_cache.get(sf_dir)
+    if path is None:
+        import os
+        import tempfile
+
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="thsa_dpp_"), "customer_by_nation"
+        )
+        (
+            table(spark, sf_dir, "customer")
+            .write.mode("overwrite")
+            .partitionBy("c_nationkey")
+            .parquet(path)
+        )
+        _dpp_dir_cache[sf_dir] = path
+    c = spark.read.parquet(path)
+    n = table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
