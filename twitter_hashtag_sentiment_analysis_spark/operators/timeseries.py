@@ -1263,3 +1263,110 @@ def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stale_hours"),
     )
+
+
+#: Holt's linear-trend smoothing, depth-bounded like ts_ewma. ALPHA
+#: (level gain) and GAMMA (trend gain) are exact binary fractions so
+#: every step of the unrolled chain is a clean IEEE double op on both
+#: engines; depth 8 leaves < 1% of the level mass in the truncated
+#: tail at alpha 0.5.
+HOLT_DEPTH = 8
+HOLT_ALPHA = 0.5
+HOLT_GAMMA = 0.25
+
+
+def _holt_sql_steps() -> str:
+    """The unrolled Holt chain as lateral-alias SQL — the TEXTUAL twin
+    of the Column chain built in ts_holt_linear, same association
+    order, so every intermediate double is bit-identical."""
+    a, g = HOLT_ALPHA, HOLT_GAMMA
+    k = HOLT_DEPTH - 1
+    steps = [f"x{k} AS l{k}", f"0.0 AS b{k}"]
+    for i in range(k - 1, -1, -1):
+        p = i + 1
+        steps.append(f"{a} * x{i} + {1 - a} * (l{p} + b{p}) AS l{i}")
+        steps.append(f"{g} * (l{i} - l{p}) + {1 - g} * b{p} AS b{i}")
+    return ",\n                   ".join(steps)
+
+
+@register(
+    "ts_holt_linear",
+    sql=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   round(avg(value), 6) AS obs
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, bucket, obs,
+                   {", ".join(f"lag(obs, {i}) OVER w AS x{i}" for i in range(1, HOLT_DEPTH))},
+                   obs AS x0
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+        ),
+        chain AS (
+            SELECT event_type, bucket, obs,
+                   {_holt_sql_steps()}
+            FROM lagged WHERE x{HOLT_DEPTH - 1} IS NOT NULL
+        )
+        SELECT event_type, bucket, obs,
+               floor(l0 * 1000000 + 0.5) / 1000000 AS level,
+               floor(b0 * 1000000 + 0.5) / 1000000 AS trend,
+               floor((l0 + b0) * 1000000 + 0.5) / 1000000 AS forecast
+        FROM chain
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing over the
+    hourly mean series — the forecasting upgrade of `ts_ewma` for
+    series with drift: a plain EWMA lags a trending series by
+    (1-a)/a steps forever, while Holt carries an explicit trend state
+    b_t that closes that gap, which is why capacity dashboards
+    forecast with Holt and not EWMA. Per step:
+    l_t = a*x_t + (1-a)*(l_{{t-1}} + b_{{t-1}}),
+    b_t = g*(l_t - l_{{t-1}}) + (1-g)*b_{{t-1}}; one-step-ahead
+    forecast = l_t + b_t.
+
+    Same scale discipline as `ts_ewma`: the textbook recurrence is an
+    unbounded serial scan per key, which no parallel engine runs —
+    instead the state is RESTARTED K=8 steps back (l := x_{{t-K+1}},
+    b := 0) and the K-step chain is unrolled over window lags, making
+    the whole thing a single per-key sort + a fixed-size expression:
+    embarrassingly parallel across keys, zero extra shuffles, and at
+    100 TB it runs on a bucketed store with no shuffle at all. The
+    alpha-weights of the truncated tail decay geometrically, so the
+    restart bias is bounded and the depth is the accuracy knob.
+    Cross-engine determinism by construction: pre-rounded anchors,
+    binary-fraction gains, and ONE code path (`_holt_sql_steps`)
+    emitting the identical association order both engines evaluate —
+    every intermediate double is bit-identical, no ln/exp involved.
+    Rows without full depth are excluded (the restart needs K
+    anchors); first forecastable row per key is row K."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.avg("value"), 6).alias("obs"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    k = HOLT_DEPTH - 1
+    lagged = hourly.select(
+        "event_type",
+        "bucket",
+        "obs",
+        *[F.lag("obs", i).over(w).alias(f"x{i}") for i in range(1, HOLT_DEPTH)],
+        F.col("obs").alias("x0"),
+    ).filter(F.col(f"x{k}").isNotNull())
+    a, g = HOLT_ALPHA, HOLT_GAMMA
+    l, b = F.col(f"x{k}"), F.lit(0.0)
+    for i in range(k - 1, -1, -1):
+        l_new = F.lit(a) * F.col(f"x{i}") + F.lit(1 - a) * (l + b)
+        b = F.lit(g) * (l_new - l) + F.lit(1 - g) * b
+        l = l_new
+    rnd = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return lagged.select(
+        "event_type",
+        "bucket",
+        "obs",
+        rnd(l).alias("level"),
+        rnd(b).alias("trend"),
+        rnd(l + b).alias("forecast"),
+    )

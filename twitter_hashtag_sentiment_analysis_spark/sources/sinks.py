@@ -353,3 +353,141 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(files_after).cast("long").alias("files_after"),
         )
     )
+
+
+#: Z-order layout geometry: each clustering key is quantized to
+#: ZORDER_BITS-bit cells (rank-free quantization against the key's max,
+#: integer math only), the two cell ids are Morton-interleaved into a
+#: 2*ZORDER_BITS-bit z-value, and files are cut on the top
+#: ZORDER_BUCKET_BITS bits of z (=> 2^ZORDER_BUCKET_BITS files).
+ZORDER_BITS = 8
+ZORDER_BUCKET_BITS = 4
+
+
+def _z_interleave_sql(pc: str, sc: str) -> str:
+    """Morton interleave as SQL text — the textual twin of the Column
+    chain in sink_zorder_layout (integer-exact on both engines)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({pc} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({sc} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def _zorder_cols():
+    """Morton z-value as a Column chain (Spark side).
+
+    Value-twin of `_z_interleave_sql`: integer bit ops only, so the
+    two engines agree exactly."""
+    pc, sc = F.col("pcell"), F.col("scell")
+    z = None
+    for i in range(ZORDER_BITS):
+        hi = F.shiftleft(F.shiftright(pc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        lo = F.shiftleft(F.shiftright(sc, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = hi + lo if z is None else z + hi + lo
+    return z
+
+
+# z-ordered lineitem dirs written this process, keyed by sf_dir
+_zorder_cache: dict[str, str] = {}
+
+
+@register(
+    "sink_zorder_layout",
+    sql=f"""
+        WITH stats AS (
+            SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms
+            FROM lineitem
+        ),
+        cells AS (
+            SELECT l_partkey, l_suppkey,
+                   (l_partkey * {1 << ZORDER_BITS}) // (mp + 1) AS pcell,
+                   (l_suppkey * {1 << ZORDER_BITS}) // (ms + 1) AS scell
+            FROM lineitem CROSS JOIN stats
+        ),
+        zed AS (
+            SELECT l_partkey, l_suppkey,
+                   ({_z_interleave_sql("pcell", "scell")})
+                       >> {2 * ZORDER_BITS - ZORDER_BUCKET_BITS} AS zbucket
+            FROM cells
+        )
+        SELECT CAST(zbucket AS BIGINT) AS zbucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(l_partkey) AS BIGINT) AS min_p,
+               CAST(max(l_partkey) AS BIGINT) AS max_p,
+               CAST(min(l_suppkey) AS BIGINT) AS min_s,
+               CAST(max(l_suppkey) AS BIGINT) AS max_s
+        FROM zed
+        GROUP BY zbucket
+    """,
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered file layout — the multi-column data-skipping
+    sibling of `sink_sorted_layout` (which clusters on ONE key):
+    lineitem rows are laid out by the Morton interleave of their
+    (l_partkey, l_suppkey) cells, so files are RECTANGLES in the
+    2-D key space and a selective filter on EITHER key prunes most
+    files via parquet min/max stats — a single-key sort gives perfect
+    pruning on the sort key and none on the other, which is why every
+    lakehouse OPTIMIZE implements exactly this interleave for
+    point-lookup-heavy fact tables.
+
+    Everything is integer arithmetic, so unlike the range-sampled
+    sorted layout the file MEMBERSHIP itself is deterministic and the
+    registered output is the full per-file manifest, exact-oracled:
+    keys quantize to {ZORDER_BITS}-bit cells against the key max
+    (integer scale-divide — rank-free, one broadcast scalar; at
+    100 TB you would swap in approx-quantile cell edges to absorb key
+    skew, which changes only the cell expression), cells interleave
+    into a z-value via one shared bit-chain generator
+    (`_z_interleave_sql`), and files cut on the top
+    {ZORDER_BUCKET_BITS} z-bits => {1 << ZORDER_BUCKET_BITS} Hive
+    dirs, written sortWithinPartitions(z) so row groups inside each
+    file stay z-local too. The operator writes the layout once per
+    process, reads it BACK from the partition dirs, and emits each
+    z-file's row count and 2-D bounding box — the pruning contract a
+    reader relies on; the oracle recomputes the identical manifest
+    straight from the source table, so a PASS proves the written
+    layout partitions the data exactly as the z-math says (nothing
+    lost, nothing misfiled)."""
+    key = sf_dir
+    path = _zorder_cache.get(key)
+    nbits = 1 << ZORDER_BITS
+    if path is None:
+        li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+        stats = li.agg(
+            F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+        )
+        cells = li.crossJoin(F.broadcast(stats)).select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(f"(l_partkey * {nbits}) div (mp + 1)").alias("pcell"),
+            F.expr(f"(l_suppkey * {nbits}) div (ms + 1)").alias("scell"),
+        )
+        zed = cells.select(
+            "l_partkey",
+            "l_suppkey",
+            _zorder_cols().alias("zval"),
+        ).withColumn(
+            "zbucket",
+            F.shiftright("zval", 2 * ZORDER_BITS - ZORDER_BUCKET_BITS).cast(
+                "long"
+            ),
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="thsa_zorder_"), "li_z")
+        (
+            zed.repartition("zbucket")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .partitionBy("zbucket")
+            .parquet(path)
+        )
+        _zorder_cache[key] = path
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("zbucket").cast("long").alias("zbucket")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("l_partkey").cast("long").alias("min_p"),
+        F.max("l_partkey").cast("long").alias("max_p"),
+        F.min("l_suppkey").cast("long").alias("min_s"),
+        F.max("l_suppkey").cast("long").alias("max_s"),
+    )
