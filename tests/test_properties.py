@@ -312,3 +312,42 @@ def test_holt_linear_tracks_trend_better_than_ewma_on_ramp(spark):
     # EWMA on the same ramp lags by ~(1-a)/a = 1 step; Holt must do
     # strictly better than half that lag
     assert abs(forecast - true_next) < 0.5
+
+
+def test_txn_log_commit_is_put_if_absent(tmp_path):
+    """Two writers racing to commit the same version: exactly one must
+    win (os.link put-if-absent), and the loser's temp file must not
+    survive — the isolation contract the snapshot reader relies on."""
+    import pytest
+
+    from twitter_hashtag_sentiment_analysis_spark.sources.sinks import (
+        _txn_commit,
+        _txn_live_files,
+    )
+
+    log = tmp_path / "log"
+    log.mkdir()
+    _txn_commit(str(log), 0, [{"op": "add", "file": "a.parquet"}])
+    with pytest.raises(FileExistsError):
+        _txn_commit(str(log), 0, [{"op": "add", "file": "b.parquet"}])
+    # winner's actions are intact, no temp litter
+    assert _txn_live_files(str(log), 0) == ["a.parquet"]
+    assert [p.name for p in log.iterdir()] == ["00000000.json"]
+
+
+def test_txn_time_travel_versions_are_isolated(spark, sf_dir):
+    """v0 must keep its pre-cut totals after v1 lands (append
+    isolation) and v2 must equal v1's rows with fewer files
+    (compaction is metadata-only for readers)."""
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = {
+        r["version"]: r
+        for r in load_all()["catalog_txn_time_travel"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert rows[0]["n_rows"] < rows[1]["n_rows"]
+    assert rows[1]["n_rows"] == rows[2]["n_rows"]
+    assert rows[1]["sum_price"] == rows[2]["sum_price"]
+    assert rows[2]["n_files"] < rows[1]["n_files"]

@@ -491,3 +491,151 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").cast("long").alias("min_s"),
         F.max("l_suppkey").cast("long").alias("max_s"),
     )
+
+
+#: Transaction-log snapshot cut: orders strictly before this date form
+#: commit v0; the rest arrive as the v1 append batch; v2 compacts.
+TXN_CUT = "1999-01-01"
+
+# table dirs with a committed _txn_log, keyed by sf_dir
+_txn_cache: dict[str, str] = {}
+
+
+def _txn_commit(log_dir: str, version: int, actions: list[dict]) -> None:
+    """Put-if-absent commit: write the actions file under a temp name,
+    then LINK it to the versioned name — os.link fails with EEXIST if
+    any other writer committed this version first (the same atomic
+    rename-contract Delta's LogStore requires of object stores), so
+    two racing writers can never both own version N; the loser must
+    re-read the log and retry on top of the winner."""
+    import json as _json
+
+    final = os.path.join(log_dir, f"{version:08d}.json")
+    tmp = os.path.join(log_dir, f".tmp-{version:08d}-{os.getpid()}")
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    try:
+        os.link(tmp, final)  # atomic put-if-absent on POSIX
+    finally:
+        os.unlink(tmp)
+
+
+def _txn_live_files(log_dir: str, as_of: int) -> list[str]:
+    """Replay the log up to (and including) `as_of`: live = adds minus
+    removes. This IS time travel — a snapshot is a pure function of
+    the log prefix, old data files are never mutated."""
+    import json as _json
+
+    live: set[str] = set()
+    for v in range(as_of + 1):
+        path = os.path.join(log_dir, f"{v:08d}.json")
+        with open(path) as f:
+            for line in f:
+                a = _json.loads(line)
+                if a["op"] == "add":
+                    live.add(a["file"])
+                else:
+                    live.discard(a["file"])
+    return sorted(live)
+
+
+def _txn_write_files(df: DataFrame, table_dir: str, n: int, tag: str) -> list[dict]:
+    """Write `df` as exactly n parquet files under table_dir/<tag>/ and
+    return their add-actions (paths relative to table_dir)."""
+    sub = os.path.join(table_dir, tag)
+    # repartition, not coalesce: coalesce cannot RAISE the partition
+    # count, so a single-partition input would silently emit 1 file
+    # and break the deterministic n_files contract
+    df.repartition(n).write.mode("overwrite").parquet(sub)
+    return [
+        {"op": "add", "file": os.path.join(tag, f)}
+        for f in sorted(os.listdir(sub))
+        if f.endswith(".parquet")
+    ]
+
+
+@register(
+    "catalog_txn_time_travel",
+    sql=f"""
+        WITH base AS (
+            SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s
+            FROM orders WHERE o_orderdate < TIMESTAMP '{TXN_CUT}'
+        ),
+        full_t AS (
+            SELECT count(*) AS n, round(sum(o_totalprice), 2) AS s
+            FROM orders
+        )
+        SELECT CAST(0 AS BIGINT) AS version, CAST(4 AS BIGINT) AS n_files,
+               CAST(base.n AS BIGINT) AS n_rows, base.s AS sum_price
+        FROM base
+        UNION ALL
+        SELECT 1, 6, full_t.n, full_t.s FROM full_t
+        UNION ALL
+        SELECT 2, 2, full_t.n, full_t.s FROM full_t
+    """,
+)
+def catalog_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A minimal lakehouse TRANSACTION LOG over plain parquet — the
+    mechanism behind Delta/Iceberg reduced to its load-bearing core,
+    built Spark-first: data files are immutable parquet written by
+    ordinary Spark jobs; a table VERSION is a log entry (newline-JSON
+    add/remove actions) committed with put-if-absent atomicity
+    (os.link — the rename-contract object-store LogStores provide);
+    a SNAPSHOT is the pure replay of a log prefix, so time travel is
+    free and readers never see a half-committed version (they read
+    only files referenced by fully-committed log entries).
+
+    Three commits exercised: v0 = initial load (4 files, history
+    before {TXN_CUT}); v1 = APPEND of the late batch (2 more files —
+    old files untouched, the cheap-ingest path); v2 = COMPACTION
+    (remove all 6, add 2 rewritten files — a metadata-only swap for
+    readers, the small-files remedy `sink_compact_small_files` does
+    without transactional cover). The registered output reads every
+    version THROUGH the log (no directory listing of data files —
+    listing is the anti-pattern; the log is the source of truth) and
+    emits per-version (n_files, n_rows, sum): the oracle replays the
+    same three states from the source table, so a PASS proves append
+    isolation (v0 unchanged by v1), snapshot correctness, and that
+    compaction changed layout but not one row. At 100 TB the log
+    stays KB-sized while data files number millions — exactly why
+    every lakehouse separates the two; checkpointing the log and
+    compare-and-swap on a real object store are the only parts this
+    mini-core stubs."""
+    path = _txn_cache.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="thsa_txn_")
+        log_dir = os.path.join(path, "_txn_log")
+        os.makedirs(log_dir)
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        base = o.filter(F.col("o_orderdate") < TXN_CUT)
+        late = o.filter(F.col("o_orderdate") >= TXN_CUT)
+        _txn_commit(log_dir, 0, _txn_write_files(base, path, 4, "batch0"))
+        _txn_commit(log_dir, 1, _txn_write_files(late, path, 2, "batch1"))
+        # compaction: rewrite CURRENT snapshot (read via the log!),
+        # commit remove(old)+add(new) as ONE version
+        live = _txn_live_files(log_dir, 1)
+        cur = spark.read.parquet(*[os.path.join(path, f) for f in live])
+        adds = _txn_write_files(cur, path, 2, "compact2")
+        removes = [{"op": "remove", "file": f} for f in live]
+        _txn_commit(log_dir, 2, removes + adds)
+        _txn_cache[sf_dir] = path
+    log_dir = os.path.join(path, "_txn_log")
+    outs = []
+    for v in range(3):
+        files = _txn_live_files(log_dir, v)
+        snap = spark.read.parquet(*[os.path.join(path, f) for f in files])
+        outs.append(
+            snap.agg(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(len(files)).cast("long").alias("n_files"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            ).select("version", "n_files", "n_rows", "sum_price")
+        )
+    out = outs[0]
+    for rest in outs[1:]:
+        out = out.unionByName(rest)
+    return out
