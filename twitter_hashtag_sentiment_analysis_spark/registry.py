@@ -90,6 +90,7 @@ _loaded = False
 _DRIVER_SAMPLE_PREFIX = (
     # round-7 block (tools/sample_rotation_plan.json; regenerate with
     # `python tools/apply_next_prefix.py` at round start)
+    "sql_mv_incremental",
     "ts_lag_correlation",
     "ts_cusum_changepoint",
     "event_funnel_latency",
@@ -139,7 +140,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "corpus_token_budget",
     "sample_weighted_reservoir",
     "corpus_mix_allocate",
-    "sim_ann_lsh",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
