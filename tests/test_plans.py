@@ -789,3 +789,26 @@ def test_zorder_bucket_scan_prunes_directories(spark, sf_dir):
     )
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "zbucket" in pf[0], plan
+
+
+def test_ks_prefix_sum_windows_are_bucket_partitioned(spark, sf_dir):
+    """stat_ks_test must run the distributed prefix-sum: the per-price
+    cumulative window partitions by (segment, bucket) — never by
+    segment alone, which would serialize ~all distinct prices into 5
+    window tasks."""
+    from twitter_hashtag_sentiment_analysis_spark.plans import explain_str
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    df = load_all()["stat_ks_test"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    per_price = [s for s in specs if "cents" in s]
+    assert per_price and all("bucket" in s for s in per_price), specs
+
+
+def test_collocation_topk_avoids_full_sort(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.plans import plan_of
+
+    plan = plan_of(spark, sf_dir, "text_collocation_pmi")
+    assert "TakeOrderedAndProject" in plan, plan

@@ -836,3 +836,149 @@ def test_interval_overlap_pre_epoch_timestamps(spark, tmp_path):
         .collect()
     }
     assert got == {(1, 10): 300.0, (1, 11): 300.0}, got
+
+
+def test_sub_not_in_nulls_ansi_law(spark, sf_dir):
+    """One NULL in the NOT IN subquery empties the result — the ANSI
+    three-valued-logic law the operator exists to pin."""
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    row = load_all()["sub_not_in_nulls"].fn(spark, sf_dir).collect()[0]
+    assert row.n_with_null_inner == 0
+    assert row.n_null_filtered > 0
+
+
+def test_benford_digits_partition_the_orders(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["stat_benford"].fn(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert sum(r.n_obs for r in rows) == table(spark, sf_dir, "orders").count()
+    assert all(r.chi2_term >= 0.0 for r in rows)
+    shares = sum(r.expected_share for r in rows)
+    assert abs(shares - 1.0) < 1e-9  # all nine digits present
+
+
+def test_ks_statistic_is_a_probability_distance(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["stat_ks_test"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.n_in > 0 and r.n_out > 0
+
+
+def test_autocorr_is_a_correlation(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["ts_autocorr"].fn(spark, sf_dir).collect()
+    assert sorted(r.lag_k for r in rows) == list(range(1, 8))
+    for r in rows:
+        assert -1.0 <= r.acf <= 1.0
+        assert r.n_pairs > 0
+
+
+def test_bfs_hops_are_frontier_consistent(spark, sf_dir):
+    """Seed at hop 0; every hop-k node (k>0) has an in-edge from some
+    hop-(k-1) node — the BFS invariant."""
+    from pyspark.sql import functions as F
+
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["graph_bfs_hops"].fn(spark, sf_dir).collect()
+    hops = {r.word: r.hops for r in rows}
+    assert min(hops.values()) == 0
+    zero = [w for w, h in hops.items() if h == 0]
+    assert len(zero) == 1
+    toks = [
+        r.toks
+        for r in table(spark, sf_dir, "documents")
+        .select(F.split("text", " ").alias("toks"))
+        .collect()
+    ]
+    edges = {(t[i], t[i + 1]) for t in toks for i in range(len(t) - 1)}
+    preds = {}
+    for s, d in edges:
+        preds.setdefault(d, set()).add(s)
+    for w, h in hops.items():
+        if h > 0:
+            assert any(hops.get(p) == h - 1 for p in preds.get(w, ())), w
+
+
+def test_aes_roundtrip_holds_per_row(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["fn_aes_roundtrip"].fn(spark, sf_dir).collect()
+    assert rows and all(r.roundtrip_ok for r in rows)
+    assert all(r.ct_len % 16 == 0 for r in rows)
+
+
+def test_set_except_distinct_vs_all_semantics(spark, sf_dir):
+    """set_except (distinct) deduplicates; set_except_all keeps
+    multiplicity — the round-7 fix that separated the twins."""
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    r = load_all()
+    distinct_rows = r["set_except"].fn(spark, sf_dir).collect()
+    all_rows = r["set_except_all"].fn(spark, sf_dir).collect()
+    keys = [x.o_custkey for x in distinct_rows]
+    assert len(keys) == len(set(keys))
+    assert set(keys) <= {x.o_custkey for x in all_rows} | set(keys)
+    assert len(all_rows) >= len(keys)
+
+
+def test_peak_concurrency_is_bounded_by_sessions(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["event_peak_concurrency"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.peak_concurrency <= r.n_sessions
+
+
+def test_lttb_keeps_endpoints_and_one_point_per_bucket(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.operators.timeseries import (
+        LTTB_BUCKETS,
+    )
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["ts_downsample_lttb"].fn(spark, sf_dir).collect()
+    days = sorted(r.day_idx for r in rows)
+    assert len(rows) == len(set(days))  # one point per selected day
+    assert len(rows) <= LTTB_BUCKETS
+    buckets = [r.bucket for r in rows]
+    # interior buckets contribute exactly one point each
+    interior = [b for b in buckets if 1 <= b <= LTTB_BUCKETS - 2]
+    assert len(interior) == len(set(interior))
+
+
+def test_grouping_id_is_the_bit_vector(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["agg_grouping_id"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.gid == r.g_pri * 2 + r.g_st
+    assert sum(1 for r in rows if r.gid == 3) == 1  # exactly one grand total
+
+
+def test_rate_source_replays_the_range(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["stream_rate_source"].fn(spark, sf_dir).collect()
+    assert len(rows) == 16
+    assert sum(r.n for r in rows) == 5000
+    assert sum(r.sum_value for r in rows) == 5000 * 4999 // 2
+
+
+def test_format_line_shape(spark, sf_dir):
+    import re as _re
+
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["fn_format"].fn(spark, sf_dir).collect()
+    pat = _re.compile(r"^\d{6}\|.+\|[0-9a-f]+$")
+    assert rows and all(pat.match(r.fmt_line) for r in rows)
+    assert all(len(r.padded_key) == 10 for r in rows)

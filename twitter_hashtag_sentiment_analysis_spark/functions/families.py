@@ -790,3 +790,85 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.tp").alias("total_rt"),
         F.col("xp").alias("xp_priority"),
     )
+
+
+@register(
+    "fn_aes_roundtrip",
+    sql="""
+        SELECT doc_id,
+               CAST(TRUE AS BOOLEAN) AS roundtrip_ok,
+               CAST((floor(n_chars / 16) + 1) * 16 AS BIGINT) AS ct_len
+        FROM documents
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt/aes_decrypt in ECB
+    + PKCS mode — the only mode combination that is DETERMINISTIC (GCM
+    and CBC draw a random IV per call, fine for production, fatal for
+    an oracle), which also makes ECB the mode a test fixture can pin;
+    the docstring is explicit that real deployments want the default
+    GCM. The engine encrypts each document, decrypts it back, and
+    reports (a) the roundtrip law decrypt(encrypt(x)) = x per row and
+    (b) the REAL ciphertext length measured from the binary. DuckDB
+    has no AES, so the oracle replays the two laws instead: roundtrip
+    truth, and PKCS#7 length = (floor(bytes/16) + 1) * 16 — exact for
+    this all-ASCII fixture where bytes = n_chars (measured). A
+    formula-vs-measurement comparison, not formula-vs-formula: if the
+    engine padded or encoded differently, ct_len would mismatch.
+    Per-row narrow JVM expressions, zero shuffles at any scale."""
+    d = table(spark, sf_dir, "documents")
+    ct = F.expr(
+        "aes_encrypt(text, '0123456789abcdef', 'ECB', 'PKCS')"
+    )
+    enc = d.select("doc_id", "text", ct.alias("ct"))
+    dec = F.expr(
+        "CAST(aes_decrypt(ct, '0123456789abcdef', 'ECB', 'PKCS') AS STRING)"
+    )
+    return enc.select(
+        "doc_id",
+        (dec == F.col("text")).alias("roundtrip_ok"),
+        F.length("ct").cast("long").alias("ct_len"),
+    )
+
+
+@register(
+    "fn_format",
+    sql="""
+        SELECT s_suppkey,
+               printf('%06d|%s|%x', s_suppkey, s_name, s_nationkey)
+                   AS fmt_line,
+               lpad(CAST(s_suppkey AS VARCHAR), 10, '0') AS padded_key,
+               rpad(s_name, 24, '.') AS padded_name,
+               translate(s_name, '#', '_') AS cleaned,
+               repeat('-', CAST(s_nationkey % 5 AS INT)) AS sep,
+               concat_ws(':', s_name, CAST(s_nationkey AS VARCHAR))
+                   AS joined
+        FROM supplier
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-formatting family: C-style printf templating
+    (``format_string`` in Spark, ``printf`` in DuckDB — the SAME
+    conversion spec %06d|%s|%x is evaluated by java.util.Formatter vs
+    C printf and must agree byte-for-byte; the spec sticks to
+    integer/string conversions because FLOAT specs (%.2f) tie-round
+    differently across runtimes — the fn_decimal lesson applied to
+    formatting), plus lpad/rpad, translate, repeat, and concat_ws —
+    the ID-minting and log-line surface every export pipeline uses.
+    All per-row codegen expressions: zero shuffles at any scale."""
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.format_string(
+            "%06d|%s|%x", "s_suppkey", "s_name", "s_nationkey"
+        ).alias("fmt_line"),
+        F.lpad(F.col("s_suppkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("s_name", 24, ".").alias("padded_name"),
+        F.translate("s_name", "#", "_").alias("cleaned"),
+        F.repeat(F.lit("-"), (F.col("s_nationkey") % 5).cast("int")).alias(
+            "sep"
+        ),
+        F.concat_ws(
+            ":", F.col("s_name"), F.col("s_nationkey").cast("string")
+        ).alias("joined"),
+    )

@@ -1255,3 +1255,257 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_cust_pri_pairs"),
         F.count("*").cast("long").alias("n_orders"),
     )
+
+
+@register(
+    "stat_ks_test",
+    sql="""
+        WITH priced AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        seg_cnt AS (
+            SELECT segment, cents, CAST(count(*) AS BIGINT) AS c
+            FROM priced GROUP BY 1, 2
+        ),
+        price_tot AS (
+            SELECT cents, CAST(count(*) AS BIGINT) AS tot
+            FROM priced GROUP BY 1
+        ),
+        grid AS (
+            SELECT s.segment, p.cents,
+                   coalesce(sc.c, 0) AS in_c, p.tot - coalesce(sc.c, 0) AS out_c
+            FROM (SELECT DISTINCT segment FROM priced) s
+            CROSS JOIN price_tot p
+            LEFT JOIN seg_cnt sc ON sc.segment = s.segment AND sc.cents = p.cents
+        ),
+        tot AS (
+            SELECT segment, CAST(sum(in_c) AS BIGINT) AS n_in,
+                   CAST(sum(out_c) AS BIGINT) AS n_out
+            FROM grid GROUP BY 1
+        ),
+        cdf AS (
+            SELECT g.segment,
+                   sum(g.in_c) OVER w AS cum_in,
+                   sum(g.out_c) OVER w AS cum_out,
+                   t.n_in, t.n_out
+            FROM grid g JOIN tot t ON g.segment = t.segment
+            WINDOW w AS (PARTITION BY g.segment ORDER BY g.cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT segment, n_in, n_out,
+               max(abs(CAST(cum_in AS DOUBLE) / CAST(n_in AS DOUBLE)
+                       - CAST(cum_out AS DOUBLE) / CAST(n_out AS DOUBLE)))
+                   AS ks_d
+        FROM cdf GROUP BY segment, n_in, n_out
+    """,
+)
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance per market segment: for
+    each segment, D = sup |F_segment(x) - F_rest(x)| over order totals
+    — the nonparametric "is this cohort's spend distributed
+    differently" readout that t-tests miss (it sees shape, not just
+    mean). Exact, not binned: the supremum over all x is attained at a
+    data point, so evaluating both empirical CDFs on the union grid of
+    observed values IS the exact statistic.
+
+    Determinism: prices become integer cents via floor(x*100 + 0.5)
+    (CAST double->BIGINT truncates in Spark but rounds in DuckDB —
+    floor first makes both exact); every CDF value is a ratio of
+    integer cumulative counts, so the doubles are identical IEEE
+    quotients on both engines and D is emitted UNROUNDED.
+
+    Scale shape: the grid is segments (5, enumerable) x distinct
+    prices — linear with a constant, never orders x orders. The
+    cumulative counts need a prefix scan; ``PARTITION BY segment``
+    alone would put ~all distinct prices in 5 window tasks, so the
+    Spark side runs the classic distributed prefix-sum instead:
+    per-(segment, price-bucket) subtotals, a tiny bucket-level
+    cumulative window (segments x ~buckets rows), then a parallel
+    within-bucket window offset by the bucket prefix — the same
+    decomposition sql_scripting's global rank got in round 7. The
+    oracle keeps the single-window formulation; identical results."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    priced = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), cents.alias("cents")
+    )
+    seg_cnt = priced.groupBy("segment", "cents").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    price_tot = priced.groupBy("cents").agg(
+        F.count("*").cast("long").alias("tot")
+    )
+    segments = priced.select("segment").distinct()
+    grid = (
+        segments.crossJoin(price_tot)
+        .join(seg_cnt, ["segment", "cents"], "left")
+        .select(
+            "segment",
+            "cents",
+            F.coalesce("c", F.lit(0)).alias("in_c"),
+            (F.col("tot") - F.coalesce("c", F.lit(0))).alias("out_c"),
+        )
+    )
+    tot = grid.groupBy("segment").agg(
+        F.sum("in_c").cast("long").alias("n_in"),
+        F.sum("out_c").cast("long").alias("n_out"),
+    )
+    # Distributed prefix sum: $50k price buckets give a bucket relation
+    # of segments x O(10) rows for the serial cumulative step; the
+    # per-price cumulative window below parallelizes per bucket.
+    bucket = (F.col("cents") / F.lit(5_000_000)).cast("long")
+    g = grid.withColumn("bucket", bucket)
+    bucket_tot = g.groupBy("segment", "bucket").agg(
+        F.sum("in_c").alias("b_in"), F.sum("out_c").alias("b_out")
+    )
+    w_b = (
+        Window.partitionBy("segment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.select(
+        "segment",
+        "bucket",
+        F.coalesce(F.sum("b_in").over(w_b), F.lit(0)).alias("off_in"),
+        F.coalesce(F.sum("b_out").over(w_b), F.lit(0)).alias("off_out"),
+    )
+    w_in = (
+        Window.partitionBy("segment", "bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = (
+        g.join(offsets, ["segment", "bucket"])
+        .select(
+            "segment",
+            (F.sum("in_c").over(w_in) + F.col("off_in")).alias("cum_in"),
+            (F.sum("out_c").over(w_in) + F.col("off_out")).alias("cum_out"),
+        )
+        .join(tot, "segment")
+    )
+    d = F.abs(
+        F.col("cum_in").cast("double") / F.col("n_in").cast("double")
+        - F.col("cum_out").cast("double") / F.col("n_out").cast("double")
+    )
+    return cdf.groupBy("segment", "n_in", "n_out").agg(
+        F.max(d).alias("ks_d")
+    )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), embedded as the
+# SAME literals on both engines (library log10 is not guaranteed
+# correctly rounded, a literal is)
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_CASE = (
+    "CAST(CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD.items())
+    + " END AS DOUBLE)"
+)
+
+
+@register(
+    "stat_benford",
+    sql=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders
+        ),
+        cnt AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits
+            GROUP BY digit
+        ),
+        tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM cnt)
+        SELECT digit, n_obs,
+               {_BENFORD_CASE} AS expected_share,
+               (CAST(n_obs AS DOUBLE)
+                - ({_BENFORD_CASE}) * CAST(n AS DOUBLE))
+               * (CAST(n_obs AS DOUBLE)
+                  - ({_BENFORD_CASE}) * CAST(n AS DOUBLE))
+               / (({_BENFORD_CASE}) * CAST(n AS DOUBLE)) AS chi2_term
+        FROM cnt CROSS JOIN tot
+    """,
+)
+def stat_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the forensic
+    data-quality screen for invented or truncated monetary values
+    (synthetic uniform-ish fixtures FAIL Benford loudly, which is
+    itself the point: the operator reports the divergence, it does not
+    assert conformance). First digit extracted via
+    floor -> BIGINT -> string -> substr: pure integer/string ops that
+    cannot ulp-flip, unlike the log10-based digit formula. Expected
+    shares are literal doubles (identical text on both engines —
+    library log10 differs in the last ulp across libm
+    implementations); each digit's chi-square term is
+    (obs - exp)^2/exp from integer counts and those literals, emitted
+    UNROUNDED as one 9-row relation (no cross-engine float-sum-order
+    hazard: the sum over digits is left to the reader, per-digit terms
+    are the evidence). One map-side-combined 9-key aggregate: a single
+    scan at any corpus size."""
+    digit = (
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    cnt = (
+        table(spark, sf_dir, "orders")
+        .select(digit)
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    tot = cnt.agg(F.sum("n_obs").cast("long").alias("n"))
+    share = F.expr(_BENFORD_CASE)
+    exp_n = share * F.col("n").cast("double")
+    dev = F.col("n_obs").cast("double") - exp_n
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        share.alias("expected_share"),
+        (dev * dev / exp_n).alias("chi2_term"),
+    )
+
+
+GROUPING_ID_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT)
+               AS gid,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+"""
+
+
+@register("agg_grouping_id", sql=GROUPING_ID_SQL)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUPING()`` / ``GROUPING_ID()`` markers on GROUPING SETS —
+    the disambiguation surface agg_gsets leaves implicit: a NULL in a
+    rollup row is ambiguous (was the key NULL, or aggregated away?),
+    and the grouping bit vector is the ANSI answer every BI layer
+    consumes. Emits the combined bit vector (priority = high bit,
+    status = low bit — verified identical bit order on both engines
+    by running the same ANSI text) plus the per-column grouping bits.
+    One Expand + one hash aggregate: the grouping-sets plan costs one
+    pass regardless of how many sets, at any scale. SAME SQL text on
+    both engines (the analytics.PORTABLE_SQL discipline)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(GROUPING_ID_SQL)

@@ -2335,3 +2335,94 @@ def sql_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_raw") / F.col("n_orders"), 2).alias("avg_price"),
         F.round("max_raw", 2).alias("max_price"),
     )
+
+
+BFS_ROUNDS = 4
+
+
+def _bfs_oracle_sql() -> str:
+    """Unrolled-iteration DuckDB twin of graph_bfs_hops, generated
+    from the same BFS_ROUNDS constant as the Spark loop (the
+    _pagerank_oracle_sql recipe: fixed rounds => replayable CTEs;
+    min-hop ints have no float drift at all, so no rounding)."""
+    base = """
+        toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        bi AS (
+            SELECT ts[CAST(i AS INT)] AS src, ts[CAST(i + 1 AS INT)] AS dst
+            FROM toks, unnest(range(1, len(ts))) AS u(i)
+            WHERE len(ts) >= 2 AND ts[CAST(i AS INT)] <> ''
+              AND ts[CAST(i + 1 AS INT)] <> ''
+        ),
+        e AS (SELECT DISTINCT src, dst FROM bi),
+        l0 AS (SELECT min(src) AS word, 0 AS hop FROM e)"""
+    its = []
+    for i in range(1, BFS_ROUNDS + 1):
+        its.append(f"""
+        s{i} AS (
+            SELECT e.dst AS word, {i} AS hop
+            FROM e JOIN (SELECT word FROM l{i - 1} WHERE hop = {i - 1}) f
+                ON e.src = f.word
+        ),
+        l{i} AS (
+            SELECT word, CAST(min(hop) AS INT) AS hop
+            FROM (SELECT * FROM l{i - 1} UNION ALL SELECT * FROM s{i})
+            GROUP BY word
+        )""")
+    return (
+        "WITH" + base + "," + ",".join(its)
+        + f"\n        SELECT word, hop AS hops FROM l{BFS_ROUNDS}"
+    )
+
+
+@register("graph_bfs_hops", sql=_bfs_oracle_sql())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search over the word co-occurrence graph
+    (same edge relation as graph_pagerank): minimum hop count from a
+    deterministic seed (the lexicographically smallest source token —
+    computed in-query, no fixture literal) within BFS_ROUNDS hops —
+    the GraphFrames-shortest-paths capability as pure DataFrame
+    dataflow. Each round expands ONLY the previous frontier (rows at
+    hop = round-1), joins it to the edge list, and folds the new
+    reachset in with a min-hop aggregate; lineage is truncated per
+    round via localCheckpoint exactly like the pagerank/CC loops so
+    round N's plan never replays rounds 1..N-1.
+
+    Scale shape: frontier-only expansion means each round's join is
+    |frontier| x avg-degree, not |reachset| x degree; edges partition
+    by src and the min-hop aggregate shuffles on the node key, so a
+    1000-executor run is BFS_ROUNDS x (one co-partitioned join + one
+    key shuffle) on a vocabulary-sized graph. Fixed rounds (no
+    convergence collect) keep the loop driver-free and let DuckDB
+    replay it as unrolled CTEs — integer hops, exact oracle."""
+    d = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    bigrams = F.expr(
+        "IF(size(toks) >= 2, "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS src, element_at(toks, i+1) AS dst)), "
+        "CAST(array() AS ARRAY<STRUCT<src: STRING, dst: STRING>>))"
+    )
+    edges = (
+        d.select(F.explode(bigrams).alias("e"))
+        .select("e.src", "e.dst")
+        .filter((F.col("src") != "") & (F.col("dst") != ""))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.agg(F.min("src").alias("word")).select(
+        "word", F.lit(0).alias("hop")
+    )
+    for i in range(1, BFS_ROUNDS + 1):
+        frontier = labels.filter(F.col("hop") == i - 1).select("word")
+        step = (
+            edges.join(frontier, edges.src == frontier.word)
+            .select(F.col("dst").alias("word"), F.lit(i).alias("hop"))
+        )
+        labels = (
+            labels.unionAll(step)
+            .groupBy("word")
+            .agg(F.min("hop").cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("word", F.col("hop").alias("hops"))

@@ -402,3 +402,44 @@ def scan_glob_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "scan_metadata_columns",
+    sql="""
+        SELECT 'documents.parquet' AS file_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS min_idx,
+               CAST(count(*) - 1 AS BIGINT) AS max_idx,
+               CAST(count(*) AS BIGINT) AS n_idx_eq_id
+        FROM documents
+    """,
+)
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` struct on file sources — provenance
+    columns (file_name, row_index) every audit/debug pipeline leans on
+    ("which file did this bad row come from?"). The query reads
+    documents with ``_metadata.file_name`` and ``_metadata.row_index``
+    and emits a per-file census: row count, index range, and how many
+    physical row indices coincide with doc_id. The oracle goes through
+    the driver's table views (it cannot pass read_parquet options), so
+    it replays the MEASURED fixture property that documents are
+    written id-dense in id order: indices must be exactly 0..n-1 and
+    coincide with doc_id on every row — if Spark's scan metadata
+    numbered or ordered rows any other way, every column here would
+    mismatch. Metadata columns are generated at scan time from reader
+    state — zero extra I/O, no shuffle beyond the per-file
+    aggregate."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_idx"),
+    )
+    return d.groupBy("file_name").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("row_idx").cast("long").alias("min_idx"),
+        F.max("row_idx").cast("long").alias("max_idx"),
+        F.sum(F.when(F.col("row_idx") == F.col("doc_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_idx_eq_id"),
+    )

@@ -73,13 +73,20 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set_except",
     sql="""
         SELECT o_custkey FROM orders WHERE o_totalprice > 300000
-        EXCEPT ALL
+        EXCEPT
         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag difference (EXCEPT ALL): multiplicity-aware subtraction."""
-    return _high_value(spark, sf_dir).exceptAll(_urgent(spark, sf_dir))
+    """Set difference (EXCEPT, distinct semantics): keys present on the
+    left and absent on the right, one copy each — Spark's
+    ``subtract``, planned as a distinct + left-anti hash join on the
+    row hash. The multiset twin (``EXCEPT ALL``) is
+    ``set_except_all`` below; until round 7 this key duplicated that
+    one (same exceptAll call, same oracle), so the distinct variant
+    was registered nowhere — fixed by making this the DISTINCT
+    semantics it always claimed."""
+    return _high_value(spark, sf_dir).subtract(_urgent(spark, sf_dir))
 
 
 @register(

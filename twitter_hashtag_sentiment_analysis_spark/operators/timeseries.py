@@ -1370,3 +1370,345 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(b).alias("trend"),
         rnd(l + b).alias("forecast"),
     )
+
+
+@register(
+    "ts_autocorr",
+    sql="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01',
+                                  date_trunc('day', o_orderdate)) AS BIGINT)
+                       AS day_idx,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1
+        ),
+        lags AS (SELECT unnest(range(1, 8)) AS k),
+        pairs AS (
+            SELECT l.k,
+                   CAST(a.rev AS DECIMAL(18,0)) AS x,
+                   CAST(b.rev AS DECIMAL(18,0)) AS y
+            FROM lags l
+            JOIN daily a ON true
+            JOIN daily b ON b.day_idx = a.day_idx + l.k
+        ),
+        m AS (
+            SELECT CAST(k AS INT) AS lag_k,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM pairs GROUP BY k
+        )
+        SELECT lag_k, n_pairs,
+               (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS acf
+        FROM m
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags
+    1..7 — the seasonality detector run before choosing a forecast
+    model (a weekly cycle shows as a lag-7 peak). Pearson r per lag
+    from EXPLICIT integer moment sums, the stat_regr_trend recipe:
+    daily revenue is exact integer cents (floor(x*100+0.5), the same
+    cross-engine-safe cast as stat_ks_test), each moment is summed as
+    DECIMAL(18,0)xDECIMAL(18,0) products — exact at any corpus scale
+    where BIGINT products would overflow (daily cents^2 ~ 1e18 at
+    sf0.1 already) — and r is assembled in double arithmetic from the
+    exact sums with the IDENTICAL expression on both engines, so the
+    result is bit-stable and emitted UNROUNDED.
+
+    Scale shape: the fact table collapses to one row per day in a
+    single map-side-combined aggregate; the 7-lag pair relation is an
+    equi-join on day_idx + k over that day-sized relation (the range
+    join is expanded to 7 equi keys, never a theta scan); the final
+    aggregate has 7 groups. Everything downstream of the first
+    aggregate is calendar-sized, not fact-sized."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = (
+        o.select(
+            F.datediff(
+                F.date_trunc("day", "o_orderdate"),
+                F.lit("1995-01-01").cast("timestamp"),
+            )
+            .cast("long")
+            .alias("day_idx"),
+            cents.alias("cents"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("b.day_idx") == F.col("a.day_idx") + F.col("k"))
+        .select(
+            "k",
+            F.col("a.rev").cast("decimal(18,0)").alias("x"),
+            F.col("b.rev").cast("decimal(18,0)").alias("y"),
+        )
+    )
+    m = pairs.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = nd * dbl("sxy") - dbl("sx") * dbl("sy")
+    den = F.sqrt(nd * dbl("sxx") - dbl("sx") * dbl("sx")) * F.sqrt(
+        nd * dbl("syy") - dbl("sy") * dbl("sy")
+    )
+    return m.select(
+        F.col("k").cast("int").alias("lag_k"),
+        "n_pairs",
+        (num / den).alias("acf"),
+    )
+
+
+@register(
+    "event_peak_concurrency",
+    sql="""
+        WITH sessions AS (
+            SELECT user_id,
+                   epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+                   epoch_us(min(ts)) // 86400000000 AS day_idx
+            FROM events
+            GROUP BY user_id, epoch_us(ts) // 86400000000
+        ),
+        bounds AS (
+            SELECT day_idx, start_us AS t_us, 1 AS delta FROM sessions
+            UNION ALL
+            SELECT day_idx, end_us AS t_us, -1 AS delta FROM sessions
+        ),
+        swept AS (
+            SELECT day_idx,
+                   CAST(sum(delta) OVER (PARTITION BY day_idx
+                                         ORDER BY t_us, delta DESC)
+                        AS BIGINT) AS conc
+            FROM bounds
+        )
+        SELECT s.day_idx AS day_idx,
+               CAST(n.n_sessions AS BIGINT) AS n_sessions,
+               CAST(max(s.conc) AS BIGINT) AS peak_concurrency
+        FROM swept s
+        JOIN (SELECT day_idx, count(*) AS n_sessions FROM sessions
+              GROUP BY day_idx) n
+            ON s.day_idx = n.day_idx
+        GROUP BY s.day_idx, n.n_sessions
+    """,
+)
+def event_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning
+    readout (license seats, connection pools, live viewers): sessions
+    are each user's [first event, last event] span within a calendar
+    day (so spans never cross the partition boundary BY CONSTRUCTION),
+    swept as +1/-1 boundary events with a cumulative sum; the day's
+    maximum prefix value is its peak concurrency.
+
+    Determinism at ties: the sweep orders by (time, delta DESC) so
+    all starts at an instant precede all ends (inclusive-overlap
+    semantics), and the cumulative sum uses the ANSI DEFAULT frame
+    (RANGE UNBOUNDED PRECEDING .. CURRENT ROW): every peer row at an
+    equal (time, delta) gets the identical group-end sum, so the
+    per-day max cannot depend on engine-internal tie order — the
+    reason this uses RANGE where the repo's other running sums pin
+    ROWS + a unique key. Time compares in integer micros, no float
+    time arithmetic.
+
+    Scale shape: one user-day aggregate (map-side combined), a
+    boundary union (zero-shuffle concat), and a day-partitioned
+    window — thousands of independent partitions, each bounded by
+    that day's sessions; never a global single-task sort."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", epoch_us("ts").alias("t_us")
+    )
+    # integer day index via true integer division (DIV) — float division
+    # could round up across a midnight boundary in the last ulp
+    sessions = (
+        ev.withColumn("day_idx", F.expr("t_us DIV 86400000000"))
+        .groupBy("user_id", "day_idx")
+        .agg(
+            F.min("t_us").alias("start_us"),
+            F.max("t_us").alias("end_us"),
+        )
+    )
+    bounds = sessions.select(
+        "day_idx", F.col("start_us").alias("t_us"), F.lit(1).alias("delta")
+    ).unionAll(
+        sessions.select(
+            "day_idx", F.col("end_us").alias("t_us"), F.lit(-1).alias("delta")
+        )
+    )
+    w = Window.partitionBy("day_idx").orderBy(
+        F.col("t_us").asc(), F.col("delta").desc()
+    )
+    swept = bounds.select(
+        "day_idx", F.sum("delta").over(w).cast("long").alias("conc")
+    )
+    n = sessions.groupBy("day_idx").agg(F.count("*").alias("n_sessions"))
+    return (
+        swept.join(n, "day_idx")
+        .groupBy("day_idx", "n_sessions")
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+        .select(
+            "day_idx",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            "peak_concurrency",
+        )
+    )
+
+
+LTTB_BUCKETS = 60
+
+
+@register(
+    "ts_downsample_lttb",
+    sql=f"""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01',
+                                  date_trunc('day', o_orderdate)) AS BIGINT)
+                       AS day_idx,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1
+        ),
+        numbered AS (
+            SELECT day_idx, rev,
+                   row_number() OVER (ORDER BY day_idx) AS rn,
+                   count(*) OVER () AS n
+            FROM daily
+        ),
+        pts AS (
+            SELECT day_idx, rev, rn, n,
+                   CAST((rn - 1) * {LTTB_BUCKETS} // n AS BIGINT) AS bucket
+            FROM numbered
+        ),
+        bstats AS (
+            SELECT bucket,
+                   CAST(sum(day_idx) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS mx,
+                   CAST(sum(rev) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS my
+            FROM pts GROUP BY bucket
+        ),
+        interior AS (
+            SELECT p.day_idx, p.rev, p.bucket,
+                   abs((l.mx - r.mx) * (CAST(p.rev AS DOUBLE) - l.my)
+                       - (l.mx - CAST(p.day_idx AS DOUBLE))
+                         * (r.my - l.my)) AS area
+            FROM pts p
+            JOIN bstats l ON l.bucket = p.bucket - 1
+            JOIN bstats r ON r.bucket = p.bucket + 1
+        ),
+        chosen AS (
+            SELECT day_idx, rev, bucket FROM (
+                SELECT day_idx, rev, bucket,
+                       row_number() OVER (PARTITION BY bucket
+                                          ORDER BY area DESC, day_idx)
+                           AS pick
+                FROM interior
+            ) WHERE pick = 1
+        ),
+        edges AS (
+            SELECT day_idx, rev, bucket FROM pts
+            WHERE rn = 1 OR rn = n
+        )
+        SELECT day_idx, rev, CAST(bucket AS BIGINT) AS bucket
+        FROM (SELECT * FROM chosen UNION ALL SELECT * FROM edges)
+    """,
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of the daily-revenue
+    series to LTTB_BUCKETS points — the dashboard/preview decimation
+    that preserves visual extremes where naive bucket-averaging
+    flattens them. This is the PARALLEL "LTTB-mean" variant: true LTTB
+    anchors each triangle on the previously SELECTED point (a serial
+    chain); anchoring on the neighbor buckets' mean points instead
+    (Steinarsson's own precomputed-bucket simplification) makes every
+    bucket's argmax independent, so the whole pass is two windows +
+    two small joins — documented as the variant, not sold as the
+    chain. First/last points are kept verbatim (standard LTTB).
+
+    Determinism: bucket assignment is integer arithmetic on
+    row_number over unique day_idx; anchor means are exact-int sums
+    over counts (single IEEE division); triangle areas are one fixed
+    double expression; argmax ties break on day_idx. Exact oracle,
+    emitted unrounded. Scale: day-sized relation throughout; the
+    per-bucket argmax is a WindowGroupLimit-shaped bounded window."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    daily = (
+        o.select(
+            F.datediff(
+                F.date_trunc("day", "o_orderdate"),
+                F.lit("1995-01-01").cast("timestamp"),
+            )
+            .cast("long")
+            .alias("day_idx"),
+            cents.alias("cents"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    w_rn = Window.orderBy("day_idx")
+    numbered = daily.select(
+        "day_idx",
+        "rev",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    pts = numbered.withColumn(
+        "bucket", F.expr(f"CAST((rn - 1) * {LTTB_BUCKETS} DIV n AS BIGINT)")
+    )
+    bstats = pts.groupBy("bucket").agg(
+        (F.sum("day_idx").cast("double") / F.count("*").cast("double")).alias(
+            "mx"
+        ),
+        (F.sum("rev").cast("double") / F.count("*").cast("double")).alias("my"),
+    )
+    lft = bstats.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("mx").alias("lmx"),
+        F.col("my").alias("lmy"),
+    )
+    rgt = bstats.select(
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("mx").alias("rmx"),
+        F.col("my").alias("rmy"),
+    )
+    area = F.abs(
+        (F.col("lmx") - F.col("rmx"))
+        * (F.col("rev").cast("double") - F.col("lmy"))
+        - (F.col("lmx") - F.col("day_idx").cast("double"))
+        * (F.col("rmy") - F.col("lmy"))
+    )
+    interior = (
+        pts.join(F.broadcast(lft), "bucket")
+        .join(F.broadcast(rgt), "bucket")
+        .select("day_idx", "rev", "bucket", area.alias("area"))
+    )
+    w_pick = Window.partitionBy("bucket").orderBy(
+        F.desc("area"), F.col("day_idx")
+    )
+    chosen = (
+        interior.withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select("day_idx", "rev", "bucket")
+    )
+    edges = pts.filter(
+        (F.col("rn") == 1) | (F.col("rn") == F.col("n"))
+    ).select("day_idx", "rev", "bucket")
+    return chosen.unionAll(edges).select(
+        "day_idx", "rev", F.col("bucket").cast("long").alias("bucket")
+    )

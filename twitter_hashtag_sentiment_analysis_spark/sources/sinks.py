@@ -639,3 +639,67 @@ def catalog_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rest in outs[1:]:
         out = out.unionByName(rest)
     return out
+
+
+# blob drop dirs already materialized this process, keyed by sf_dir
+_blobdir_cache: dict[str, str] = {}
+
+
+@register(
+    "scan_binary_files",
+    sql="""
+        SELECT doc_id,
+               CAST(n_chars + 1 AS BIGINT) AS n_bytes,
+               md5(text || chr(10)) AS content_md5
+        FROM documents
+        WHERE doc_id % 10 = 0
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — how an image/audio corpus actually
+    enters Spark: a directory tree of opaque files read as
+    (path, modificationTime, length, content) rows, here verified
+    end-to-end. Fixture blobs are materialized ONCE per process by a
+    distributed one-file-per-document text write (partitionBy(doc_id);
+    executors write in parallel, the driver never holds a blob) over a
+    deterministic 1-in-10 document slice — the slice caps the
+    FileOutputCommitter's one-commit-per-file fixture cost (measured
+    77 s for 5,000 single-row dirs at sf0.1; the write is fixture
+    GENERATION, a real blob corpus already exists on disk), while the
+    scan under test still reads hundreds of real files — then
+    re-read via binaryFile with recursiveFileLookup + pathGlobFilter,
+    the doc id recovered from the partition path, and each blob
+    reduced to (byte length, md5). The oracle recomputes both from the
+    source table — the text sink appends one newline, so bytes =
+    n_chars + 1 and md5 is over text || chr(10) (all-ASCII fixture,
+    measured: chars = bytes) — proving content-integrity of the full
+    write -> filesystem -> binary-scan loop, the same check an image
+    pipeline runs after rehosting a crawl.
+
+    Scale shape: binaryFile lists and reads files in parallel across
+    executors with pathGlobFilter pushed to the listing (never reads
+    non-matching files); md5/length are per-row JVM expressions; no
+    shuffle anywhere. The known production caveat is small-files
+    pressure on the driver's file index at 1e8+ blobs — the
+    sink_compact_small_files operator is this repo's answer."""
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    blob_dir = _blobdir_cache.get(sf_dir)
+    if blob_dir is None:
+        blob_dir = os.path.join(tempfile.mkdtemp(prefix="thsa_blobs_"), "docs")
+        docs.select("doc_id", F.col("text").alias("value")).write.partitionBy(
+            "doc_id"
+        ).mode("overwrite").text(blob_dir)
+        _blobdir_cache[sf_dir] = blob_dir
+    binf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(blob_dir)
+    )
+    return binf.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -1154,3 +1154,46 @@ def stream_curation_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = curation_pipeline(stream)
     name = _run_to_memory(agg, "curate", output_mode="complete")
     return spark.table(name)
+
+
+@register(
+    "stream_rate_source",
+    sql="""
+        WITH vals AS (SELECT unnest(range(0, 5000)) AS value)
+        SELECT CAST(value % 16 AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(value) AS BIGINT) AS sum_value,
+               CAST(max(value) AS BIGINT) AS max_value
+        FROM vals GROUP BY 1
+    """,
+)
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in ``rate-micro-batch`` source — Spark's deterministic
+    load generator (the tool a streaming deployment uses to soak-test
+    state stores and sink throughput before real traffic): with
+    ``startTimestamp`` pinned and ``rowsPerBatch`` fixed, every batch's
+    (value, timestamp) set is REPRODUCIBLE, unlike the wall-clock
+    ``rate`` source. One availableNow drain yields exactly one batch of
+    5,000 monotonic values; the pipeline hash-buckets them and
+    aggregates per bucket, and the oracle replays the whole run as a
+    range() relation — a generator source needs no fixture table at
+    all. Unused ``sf_dir`` is the registry-signature constant: the
+    source IS the data."""
+    _ = sf_dir
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 5000)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    agg = src.groupBy((F.col("value") % 16).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value").cast("long").alias("sum_value"),
+        F.max("value").cast("long").alias("max_value"),
+    )
+    name = _run_to_memory(agg, "ratesrc", output_mode="complete")
+    return spark.table(name).select(
+        F.col("bucket").cast("long").alias("bucket"), "n", "sum_value", "max_value"
+    )
