@@ -982,3 +982,60 @@ def test_format_line_shape(spark, sf_dir):
     pat = _re.compile(r"^\d{6}\|.+\|[0-9a-f]+$")
     assert rows and all(pat.match(r.fmt_line) for r in rows)
     assert all(len(r.padded_key) == 10 for r in rows)
+
+
+def test_bitmap_distinct_matches_count_distinct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    got = {
+        (r.o_orderpriority, r.n_customers)
+        for r in load_all()["agg_bitmap_distinct"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        (r.o_orderpriority, r.nd)
+        for r in table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("nd"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_duplication_census_accounting(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["quality_duplication_census"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs == r.n_distinct + r.n_redundant
+        assert r.max_copies >= 1
+        assert r.duplication_factor >= 1.0
+
+
+def test_audience_overlap_jaccard_bounds(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["event_audience_overlap"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b  # ordered pairs, no mirrors
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_both <= min(r.n_a, r.n_b)
+
+
+def test_python_batch_writer_round_trips(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    got = load_all()["sink_python_batch_writer"].fn(spark, sf_dir)
+    want = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .count()
+    )
+    assert got.count() == want

@@ -1509,3 +1509,39 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (the analytics.PORTABLE_SQL discipline)."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(GROUPING_ID_SQL)
+
+
+@register(
+    "agg_bitmap_distinct",
+    sql="""
+        SELECT o_orderpriority,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via the bitmap aggregate family
+    (bitmap_bit_position / bitmap_construct_agg / bitmap_or_agg /
+    bitmap_count, Spark 3.5+) — the scalable alternative to
+    count(DISTINCT): the classic rewrite shuffles every distinct
+    (group, key) pair; the bitmap path collapses each 32k-key bucket
+    to ONE 4 KB bitmap on the map side, so the shuffle carries
+    group x bucket bitmaps instead of group x distinct-keys rows —
+    at 100 TB with hot groups holding 1e8 customers that is a ~1000x
+    shuffle-volume cut with NO approximation (unlike the HLL pair,
+    which is why this key can carry an exact oracle while
+    agg_approx_distinct cannot). Two-level aggregate: (group, bucket)
+    bitmaps OR-merged per group, popcounts summed — the nesting Spark
+    rejects in one level, expressed as the two hash aggregates it
+    actually plans."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+        F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+    )
+    per_bucket = o.groupBy("o_orderpriority", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_customers")
+    )

@@ -259,3 +259,48 @@ def stat_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 price_min, price_max
         ) AS (col_name, n_nulls, n_distinct, min_val, max_val)""",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+@register(
+    "quality_duplication_census",
+    sql="""
+        WITH g AS (
+            SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS copies
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(sum(copies) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(copies) - count(*) AS BIGINT) AS n_redundant,
+               CAST(sum(copies) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS duplication_factor,
+               CAST(max(copies) AS BIGINT) AS max_copies
+        FROM g GROUP BY source
+    """,
+)
+def quality_duplication_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication census — the FIRST report run on a
+    new crawl slice before any dedup spend: how many docs, how many
+    distinct contents, how much is redundant, the duplication factor
+    (docs per distinct content), and the hottest clone count. This is
+    the number that decides whether the corpus needs the cheap sha
+    collapse (factor near the 30-50% crawl norm) or the full near-dup
+    machinery, and per SOURCE because duplication is never uniform —
+    one mirror-heavy domain routinely carries most of the redundancy.
+    Two map-side-combined hash aggregates ((source, md5) then source);
+    the content hash means the wide text column never shuffles —
+    bytes-on-the-wire is hash-sized at any corpus scale. The ratio is
+    one integer-quotient double, emitted UNROUNDED."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count("*").cast("long").alias("copies")
+    )
+    return g.groupBy("source").agg(
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_distinct"),
+        (F.sum("copies") - F.count("*")).cast("long").alias("n_redundant"),
+        (
+            F.sum("copies").cast("double") / F.count("*").cast("double")
+        ).alias("duplication_factor"),
+        F.max("copies").cast("long").alias("max_copies"),
+    )

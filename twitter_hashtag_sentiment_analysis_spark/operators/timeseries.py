@@ -1712,3 +1712,81 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chosen.unionAll(edges).select(
         "day_idx", "rev", F.col("bucket").cast("long").alias("bucket")
     )
+
+
+@register(
+    "event_audience_overlap",
+    sql="""
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ),
+        sizes AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+            FROM ut GROUP BY 1
+        ),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT i.type_a, i.type_b, i.n_both,
+               sa.n_users AS n_a, sb.n_users AS n_b,
+               CAST(i.n_both AS DOUBLE)
+               / CAST(sa.n_users + sb.n_users - i.n_both AS DOUBLE)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.type_a = sa.event_type
+        JOIN sizes sb ON i.type_b = sb.event_type
+    """,
+)
+def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between the user
+    sets of every event-type pair — the cross-sell / cannibalization
+    readout ("do clickers also purchase?"), and the batch twin of the
+    segment-overlap reports every CDP ships. The pair join is on
+    user_id over the DISTINCT (user, type) relation with an ordered
+    type inequality: per user the fanout is (their distinct types
+    choose 2) <= C(T,2) where T is the ENUMERABLE event-type count —
+    linear in users with a constant, never users x users (the same
+    argument that bounds the dedup band joins). Jaccard =
+    |A∩B| / (|A|+|B|-|A∩B|) is one integer-quotient double, emitted
+    UNROUNDED. Shuffles: one distinct, one equi-join on user, one
+    pair-key aggregate, two broadcast-sized size joins."""
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )

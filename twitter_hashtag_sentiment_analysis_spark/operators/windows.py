@@ -512,3 +512,30 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.expr("percentile(value, 0.5)").over(w).alias("rolling_median"),
     )
+
+
+WINDOW_CLAUSE_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq,
+           round(sum(o_totalprice) OVER w, 2) AS running_spend,
+           round(avg(o_totalprice) OVER w, 6) AS running_avg,
+           CAST(count(*) OVER w AS BIGINT) AS n_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("sql_window_clause", sql=WINDOW_CLAUSE_SQL)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named ``WINDOW`` clause (SQL:2003): one spec declared once,
+    referenced by four window functions — the deduplication surface
+    that keeps real reporting SQL maintainable (change the ordering in
+    ONE place) and, in the plan, guarantees all four functions share a
+    single Window operator over a single sort instead of risking four
+    textually-divergent specs. SAME SQL text on both engines (the
+    analytics.PORTABLE_SQL discipline); the unique (o_orderdate,
+    o_orderkey) tie-break + ROWS frame keep running sums deterministic
+    cross-engine. One shuffle on o_custkey serves everything."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(WINDOW_CLAUSE_SQL)

@@ -35,6 +35,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import table
 from ..registry import register
 
 #: Deterministic generator constants — mirrored literally in the oracle
@@ -531,3 +532,133 @@ def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("event_id long, event_type string, value double").json(
         committed
     )
+
+
+# one output dir per fixture dir for the BATCH writer, wiped per run
+_pybatch_dir_cache: dict[str, str] = {}
+
+
+@register(
+    "sink_python_batch_writer",
+    sql="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def sink_python_batch_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source BATCH WRITER — completes the
+    connector matrix (batch reader `source_python_datasource`, stream
+    reader `stream_python_source`, stream writer
+    `sink_python_stream_writer`, and now `df.write.format(...)`): a
+    plain Python class receives each partition's rows on the
+    EXECUTORS (`write(iterator)`), emits one JSON-lines part with a
+    WriterCommitMessage, and the driver-side `commit(messages)` seals
+    the job with a manifest; `abort` removes uncommitted parts — the
+    same two-phase commit protocol as the streaming twin, minus the
+    batchId dimension. Verified as a round trip: a filtered orders
+    projection goes out through the connector, is read back THROUGH
+    the manifest (only committed parts), and must hash-match the
+    plain SQL projection — catching lost partitions, double writes,
+    and JSON number corruption (IEEE doubles round-trip exactly).
+    Scale: parts are written where partitions live; the driver
+    handles only commit messages."""
+    import glob as _glob
+    import json as _json
+
+    out_dir = _pybatch_dir_cache.get(sf_dir)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="thsa_pybatchw_")
+        _pybatch_dir_cache[sf_dir] = out_dir
+    for leftover in _glob.glob(os.path.join(out_dir, "*")):
+        os.remove(leftover)
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class PartMsg(WriterCommitMessage):
+        def __init__(self, path: str, n: int):
+            self.path = path
+            self.n = n
+
+    class JsonlBatchWriter(DataSourceWriter):
+        def __init__(self, outdir: str):
+            self.outdir = outdir
+
+        def write(self, iterator):  # executor-side, one call per partition
+            import json
+            import os
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            att = ctx.taskAttemptId() if ctx is not None else 0
+            path = os.path.join(self.outdir, f"part-{pid}-{att}.jsonl")
+            n = 0
+            with open(path, "w") as f:
+                for row in iterator:
+                    f.write(
+                        json.dumps(
+                            {
+                                "o_orderkey": row.o_orderkey,
+                                "o_orderpriority": row.o_orderpriority,
+                                "o_totalprice": row.o_totalprice,
+                            }
+                        )
+                        + "\n"
+                    )
+                    n += 1
+            return PartMsg(path, n)
+
+        def commit(self, messages):  # driver-side seal
+            import json
+            import os
+
+            manifest = {
+                "parts": [
+                    {"path": m.path, "n": m.n}
+                    for m in messages
+                    if m is not None
+                ]
+            }
+            with open(os.path.join(self.outdir, "_manifest.json"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlBatchSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_batch_sink"
+
+        def writer(self, schema, overwrite):
+            return JsonlBatchWriter(self.options["outdir"])
+
+    spark.dataSource.register(JsonlBatchSinkDataSource)
+
+    out = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+    out.write.format("jsonl_batch_sink").option("outdir", out_dir).mode(
+        "append"
+    ).save()
+
+    mpath = os.path.join(out_dir, "_manifest.json")
+    if not os.path.exists(mpath):
+        raise RuntimeError(f"batch writer committed no manifest in {out_dir}")
+    with open(mpath) as f:
+        committed = [p["path"] for p in _json.load(f)["parts"]]
+    if not committed:
+        raise RuntimeError(f"batch writer committed no parts in {out_dir}")
+    return spark.read.schema(
+        "o_orderkey long, o_orderpriority string, o_totalprice double"
+    ).json(committed)
