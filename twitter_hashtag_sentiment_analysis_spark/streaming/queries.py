@@ -1197,3 +1197,111 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("bucket").cast("long").alias("bucket"), "n", "sum_value", "max_value"
     )
+
+
+# sentinel-augmented events drop dirs, cached like _stream_copy
+_sentinel_dir_cache: dict[tuple[str, str, str], str] = {}
+
+
+def _events_stream_with_sentinel(spark: SparkSession, sf_dir: str):
+    """Events stream plus ONE far-future sentinel row (event_type
+    'wm_flush', ts = max + 10 h): the sentinel flows through the
+    watermark node (advancing the watermark past every real event) but
+    is filtered out of the query domain, so the availableNow drain's
+    no-data finalization batch can emit watermark-gated state — outer
+    join nulls, final session windows — that would otherwise stay
+    parked in the store when the last real event sets the watermark
+    short of the tail. The standard production analog is the periodic
+    heartbeat record a Kafka producer emits for exactly this reason."""
+    df = _watermarkable(table(spark, sf_dir, "events"))
+    key = (sf_dir, _fixture_sig(sf_dir, "events"), "events_sentinel")
+    path = _sentinel_dir_cache.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="thsa_sentinel_"), "ev")
+        sentinel = df.orderBy(F.desc("ts")).limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("wm_flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        df.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).unionAll(sentinel).write.mode("overwrite").parquet(path)
+        _sentinel_dir_cache[key] = path
+    schema = df.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+@register(
+    "stream_outer_join_watermark",
+    sql="""
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+               p.user_id,
+               CASE WHEN c.event_id IS NULL THEN 0 ELSE 1 END AS matched
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts < p.ts
+        WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the attribution join that also
+    reports the purchases with NO preceding click, which is a
+    different stateful machine than the inner form
+    (`stream_stream_join`): a null-extended row can only be emitted
+    once the watermark PROVES no matching click can still arrive, so
+    unmatched purchases sit in the state store until eviction time.
+    That exposes the classic outer-join-finalization trap: with the
+    watermark pinned at max(event_time) - delay, the last window of
+    purchases would never flush in a bounded drain. The operator
+    closes it the way production pipelines do — a far-future
+    heartbeat row (see _events_stream_with_sentinel) advances the
+    watermark past every real event and the no-data finalization
+    micro-batch emits the remaining nulls — making the availableNow
+    result EXACTLY the batch left join, which is the oracle.
+    State stays O(events per hour) via the time-range condition on
+    both watermarked sides."""
+    ev = _events_stream_with_sentinel(spark, sf_dir)
+    purchases = (
+        ev.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            "event_type",
+        )
+        .withWatermark("p_ts", "2 hours")
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+    clicks = (
+        ev.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            "event_type",
+        )
+        .withWatermark("c_ts", "2 hours")
+        .filter(F.col("event_type") == "click")
+        .drop("event_type")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.when(F.col("click_id").isNull(), 0).otherwise(1).alias("matched"),
+    )
+    name = _run_to_memory(joined, "ssojoin")
+    return spark.table(name)
