@@ -36,7 +36,10 @@ def canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}" if abs(v) < 1e15 else repr(v)
+        # Full precision: %.6g masked the last digits of round(x, 4)
+        # outputs with |x| >= 100, hiding exactly the class of mismatch
+        # the driver's hash flags (r7 verdict finding #5).
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)

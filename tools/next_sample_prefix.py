@@ -46,7 +46,12 @@ def pending_queue(root: str) -> tuple[list[str], int]:
             rows = json.load(f)
         for key, row in rows.items():
             if isinstance(row, dict):
-                latest_green[key] = row.get("err") is None
+                # Green requires the value hash (r7 shipped three rows
+                # with err=null but hash_match=false; err-only made the
+                # queue skip them).
+                latest_green[key] = row.get("err") is None and bool(
+                    row.get("hash_match", row.get("rows_match", False))
+                )
     reg = load_all()
     oracle = [k for k, q in reg.items() if q.sql is not None]
     pending = [k for k in oracle if not latest_green.get(k, False)]

@@ -88,58 +88,58 @@ _loaded = False
 # Every key stays present — only ``dict`` insertion order changes, and
 # all consumers (tests, bench, entry shim) address the registry by key.
 _DRIVER_SAMPLE_PREFIX = (
-    # round-7 block (tools/sample_rotation_plan.json; regenerate with
+    # round-8 block (tools/sample_rotation_plan.json; regenerate with
     # `python tools/apply_next_prefix.py` at round start)
     "sql_mv_incremental",
-    "ts_lag_correlation",
-    "ts_cusum_changepoint",
-    "event_funnel_latency",
-    "event_paths_top",
-    "ts_seasonal_baseline",
-    "ts_fill_forward",
-    "win_running_distinct",
-    "win_pareto_share",
-    "win_rolling_median",
-    "set_except_all",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "customer_rfm",
-    "agg_basket_lift",
-    "merge_upsert",
-    "dedup_keep_latest",
-    "scd2_intervals",
-    "snapshot_diff",
-    "dq_checks",
-    "quality_outlier_iqr",
-    "stat_column_profile",
-    "fn_bitwise",
-    "fn_regex",
-    "fn_map",
-    "fn_url",
-    "fn_struct",
-    "fn_datetime_extra",
     "fn_decimal",
-    "fn_try_errors",
-    "fn_variant",
-    "fn_posexplode",
-    "fn_interval_arith",
-    "fn_array_hof",
-    "fn_binary_base64",
-    "fn_collation",
-    "fn_xml",
-    "udtf_chunk_text",
-    "udtf_polymorphic_csv",
-    "dedup_simhash",
-    "dedup_containment",
-    "dedup_substring_corpus",
-    "dedup_cluster_keep_best",
-    "dedup_minhash_recall_audit",
-    "dedup_exact_normalized",
     "sample_downweight_dups",
-    "sample_poisson_repeat",
-    "corpus_token_budget",
-    "sample_weighted_reservoir",
-    "corpus_mix_allocate",
+    "stream_rate_source",
+    "stream_outer_join_watermark",
+    "sql_window_clause",
+    "ts_holt_linear",
+    "ts_autocorr",
+    "event_peak_concurrency",
+    "ts_downsample_lttb",
+    "event_audience_overlap",
+    "graph_bfs_hops",
+    "quality_duplication_census",
+    "fn_aes_roundtrip",
+    "fn_format",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_ivf_trained",
+    "sim_hard_negatives",
+    "embed_pq_quantize",
+    "embed_gram_matrix",
+    "sim_mmr_rerank",
+    "text_source_terms",
+    "text_readability",
+    "text_zipf",
+    "quality_gopher_rules",
+    "text_bpe_tokens",
+    "text_decontaminate_bloom",
+    "text_langid_confusion",
+    "text_lm_doc_nll",
+    "text_distribution_drift",
+    "quality_dsir_importance",
+    "text_collocation_pmi",
+    "mm_features",
+    "mm_frame_sample",
+    "mm_arrow_batch",
+    "mm_phash_neardup",
+    "source_stream_file",
+    "sink_bucketed",
+    "catalog_ctas",
+    "sink_sorted_layout",
+    "scan_parquet_bloom",
+    "sink_compact_small_files",
+    "sink_zorder_layout",
+    "catalog_txn_time_travel",
+    "scan_binary_files",
+    "source_python_datasource",
+    "source_python_pushdown",
+    "sink_python_stream_writer",
+    "sink_python_batch_writer",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
