@@ -513,3 +513,61 @@ def test_curation_pipe_invariant_to_microbatch_boundaries(spark, sf_dir):
         for r in spark.table(name).collect()
     }
     assert chunked == got
+
+
+def test_outer_join_watermark_matches_batch_left_join(spark, sf_dir):
+    """The r7 red: Catalyst pushed the per-side event_type filter below
+    EventTimeWatermark, dropping the wm_flush sentinel before the
+    watermark operator — the tail ~2 h of unmatched purchases never
+    null-finalized (1975 vs 1981 rows at sf0.01). Pin the contract: the
+    availableNow drain equals the batch left join EXACTLY, including
+    the final-watermark-window purchases with matched=0, and no
+    sentinel row (purchase_id/user_id = -1) leaks to the output."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    got = sorted(
+        tuple(r)
+        for r in load_all()["stream_outer_join_watermark"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert all(row[0] >= 0 for row in got), "sentinel leaked into output"
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.when(F.col("click_id").isNull(), 0).otherwise(1).alias("matched"),
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+    # the regression fingerprint: unmatched purchases must include ones
+    # inside the final watermark-delay window (max ts - 2 h .. max ts)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    tail_unmatched = (
+        load_all()["stream_outer_join_watermark"]
+        .fn(spark, sf_dir)
+        .filter(F.col("matched") == 0)
+        .join(p, "purchase_id")
+        .filter(F.col("p_ts") > F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+        .count()
+    )
+    assert tail_unmatched > 0, "tail purchases still parked in state"

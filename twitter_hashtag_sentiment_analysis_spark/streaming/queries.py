@@ -1267,7 +1267,21 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch emits the remaining nulls — making the availableNow
     result EXACTLY the batch left join, which is the oracle.
     State stays O(events per hour) via the time-range condition on
-    both watermarked sides."""
+    both watermarked sides.
+
+    Sentinel-survival discipline (the r7 bug): a per-side filter that
+    EXCLUDES the sentinel (`event_type == 'purchase'`) is pushed by
+    Catalyst below the EventTimeWatermark node — the sentinel is
+    dropped before the watermark operator ever sees it, the watermark
+    stays at real-max − 2 h, and the last ~2 h of unmatched purchases
+    never null-finalize (observed: 1975 vs 1981 rows at sf0.01). So
+    each side's filter INCLUDES the sentinel type (pushdown is then
+    harmless — the sentinel still reaches the watermark node), and the
+    sentinel's own rows are removed AFTER the drain as a batch filter
+    on the memory sink (`purchase_id >= 0`), exactly the
+    stream_two_level_window discipline. The sentinel purchase cannot
+    leak a matched row: its user_id (−1) pairs only with the sentinel
+    click, whose identical ts fails the strict `c_ts < p_ts` bound."""
     ev = _events_stream_with_sentinel(spark, sf_dir)
     purchases = (
         ev.select(
@@ -1277,7 +1291,7 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .withWatermark("p_ts", "2 hours")
-        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("event_type").isin("purchase", "wm_flush"))
         .drop("event_type")
     )
     clicks = (
@@ -1288,7 +1302,7 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .withWatermark("c_ts", "2 hours")
-        .filter(F.col("event_type") == "click")
+        .filter(F.col("event_type").isin("click", "wm_flush"))
         .drop("event_type")
     )
     joined = purchases.join(
@@ -1304,4 +1318,6 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("click_id").isNull(), 0).otherwise(1).alias("matched"),
     )
     name = _run_to_memory(joined, "ssojoin")
-    return spark.table(name)
+    # sentinel removal AFTER the drain (batch plan — cannot push into
+    # the streaming plan and defeat the watermark advance)
+    return spark.table(name).filter(F.col("purchase_id") >= 0)
