@@ -323,14 +323,16 @@ def test_outlier_iqr_broadcasts_fences(spark, sf_dir):
 def test_downweight_dups_has_no_join_back(spark, sf_dir):
     """Cluster size is a COUNT window over the content hash, NOT a
     groupBy + join-back: the plan must carry exactly one Window and
-    zero joins (two exchanges total: hash window + source aggregate)."""
+    zero joins (three exchanges total: hash window + the exact
+    (source, csize) integer pre-aggregate + the tiny source-level
+    fold aggregate — the last over #sources x #csizes rows only)."""
     import re
 
     plan = plan_of(spark, sf_dir, "sample_downweight_dups")
     assert "Window" in plan, plan
     assert "Join" not in plan, plan
     # formatted plans list each operator once as "(n) Exchange"
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3, plan
 
 
 def test_rfm_scoring_is_broadcast_not_global_sort(spark, sf_dir):

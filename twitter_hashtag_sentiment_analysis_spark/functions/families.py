@@ -431,8 +431,14 @@ def fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
         WITH d AS (
             SELECT l_orderkey, l_linenumber,
-                   CAST(l_extendedprice AS DECIMAL(18,4)) AS price_d,
-                   CAST(l_discount AS DECIMAL(18,4)) AS disc_d
+                   CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS DECIMAL(14,0))
+                        * CAST(0.01 AS DECIMAL(3,2))
+                        AS DECIMAL(18,4)) AS price_d,
+                   CAST(CAST(CAST(round(l_discount * 10000) AS BIGINT)
+                             AS DECIMAL(14,0))
+                        * CAST(0.0001 AS DECIMAL(5,4))
+                        AS DECIMAL(18,4)) AS disc_d
             FROM lineitem WHERE l_orderkey < 2000
         )
         SELECT l_orderkey, l_linenumber, price_d,
@@ -450,13 +456,38 @@ def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     perturb a financial total the way float summation can; both
     engines produce bit-identical digits, which the oracle hash
     proves. Result scales are pinned with explicit casts because
-    Spark and DuckDB widen intermediate precision differently."""
+    Spark and DuckDB widen intermediate precision differently.
+
+    The decimals are BUILT from exact integers — round(x*100) cents /
+    round(x*10000) ten-thousandths (the fixture's money columns are
+    within 4e-9 of those grids), times an exact decimal unit — rather
+    than CAST(double AS DECIMAL): the direct cast rounds the scaled
+    double at the engine's half-mode and duckdb/Spark versions
+    legitimately disagree at the boundary (the r7 driver red's
+    suspect). Every op after construction is exact decimal
+    arithmetic, so the pipeline is engine- and order-proof."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    cent = F.lit("0.01").cast("decimal(3,2)")
+    tenk = F.lit("0.0001").cast("decimal(5,4)")
     d = li.select(
         "l_orderkey",
         "l_linenumber",
-        F.col("l_extendedprice").cast("decimal(18,4)").alias("price_d"),
-        F.col("l_discount").cast("decimal(18,4)").alias("disc_d"),
+        (
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .cast("decimal(14,0)")
+            * cent
+        )
+        .cast("decimal(18,4)")
+        .alias("price_d"),
+        (
+            F.round(F.col("l_discount") * 10000, 0)
+            .cast("long")
+            .cast("decimal(14,0)")
+            * tenk
+        )
+        .cast("decimal(18,4)")
+        .alias("disc_d"),
     )
     one = F.lit(1).cast("decimal(18,4)")
     return d.select(

@@ -2269,12 +2269,18 @@ MV_CUTOFF = "1999-01-01"
 @register(
     "sql_mv_incremental",
     sql="""
+        WITH c AS (
+            SELECT o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
         SELECT o_custkey,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round(sum(o_totalprice), 2) AS sum_price,
-               round(sum(o_totalprice) / count(*), 2) AS avg_price,
-               round(max(o_totalprice), 2) AS max_price
-        FROM orders
+               CAST(sum(cents) AS DOUBLE) / 100 AS sum_price,
+               CAST((2 * sum(cents) + count(*)) // (2 * count(*))
+                    AS DOUBLE) / 100 AS avg_price,
+               CAST(max(cents) AS DOUBLE) / 100 AS max_price
+        FROM c
         GROUP BY o_custkey
     """,
 )
@@ -2293,11 +2299,17 @@ def sql_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh is a union + re-aggregate on the key: count/sum/max are
     all decomposable (self-merging) aggregates, and avg is DERIVED
     from (sum, count) at render time, never stored — storing avg
-    would make the state non-mergeable, the classic MV bug. The final
-    rounding happens once, after the merge, so the refreshed view is
-    value-identical to the full recompute (the oracle IS the full
-    recompute — that equality is the whole correctness claim of
-    incremental maintenance).
+    would make the state non-mergeable, the classic MV bug.
+
+    The partial sum is carried as EXACT INTEGER CENTS (the fixture's
+    prices are money: every o_totalprice is within 4e-9 of k/100, so
+    round(x*100) recovers k losslessly). Integer sums are associative
+    — merge-of-partials is bit-identical to a single-pass recompute,
+    which is the operator's whole correctness claim; the r7 driver
+    red proved a DOUBLE partial sum is NOT (19/1500 avg_price rows
+    flipped one cent from float non-associativity). avg renders as
+    exact half-up cent rounding, (2*sum + n) DIV (2*n), the same
+    integer expression on both engines.
 
     Scale shape: both branches are partial-agg + one shuffle on the
     view key; the merge re-aggregates two key-partitioned relations.
@@ -2307,14 +2319,16 @@ def sql_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PushedFilters), which is what bounds refresh latency when
     history is 1000x the batch."""
     o = table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_totalprice", "o_orderdate"
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderdate",
     )
 
     def _partial(rel: DataFrame) -> DataFrame:
         return rel.groupBy("o_custkey").agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.sum("o_totalprice").alias("sum_raw"),
-            F.max("o_totalprice").alias("max_raw"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("cents").alias("max_cents"),
         )
 
     base = _partial(o.filter(F.col("o_orderdate") < MV_CUTOFF))
@@ -2324,16 +2338,21 @@ def sql_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.sum("n_orders").cast("long").alias("n_orders"),
-            F.sum("sum_raw").alias("sum_raw"),
-            F.max("max_raw").alias("max_raw"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.max("max_cents").alias("max_cents"),
         )
     )
     return merged.select(
         "o_custkey",
         "n_orders",
-        F.round("sum_raw", 2).alias("sum_price"),
-        F.round(F.col("sum_raw") / F.col("n_orders"), 2).alias("avg_price"),
-        F.round("max_raw", 2).alias("max_price"),
+        (F.col("sum_cents").cast("double") / 100).alias("sum_price"),
+        (
+            F.expr("(2 * sum_cents + n_orders) DIV (2 * n_orders)").cast(
+                "double"
+            )
+            / 100
+        ).alias("avg_price"),
+        (F.col("max_cents").cast("double") / 100).alias("max_price"),
     )
 
 

@@ -406,15 +406,33 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    count(*) OVER (PARTITION BY sha256(text)) AS csize
             FROM documents
+        ), pre AS (
+            SELECT source, CAST(csize AS BIGINT) AS csize,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(n_tokens) AS BIGINT) AS tok
+            FROM sized GROUP BY 1, 2
+        ), folded AS (
+            SELECT source,
+                   CAST(sum(cnt) AS BIGINT) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS raw_tokens,
+                   reduce(
+                       list_transform(
+                           list_sort(list([csize, cnt, tok])),
+                           g -> CAST(g[2] AS DOUBLE) / g[1]),
+                       (a, b) -> a + b) AS eff_docs_raw,
+                   reduce(
+                       list_transform(
+                           list_sort(list([csize, cnt, tok])),
+                           g -> CAST(g[3] AS DOUBLE) / g[1]),
+                       (a, b) -> a + b) AS eff_tok_raw
+            FROM pre GROUP BY 1
         )
-        SELECT source,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               round(sum(1.0 / csize), 4) AS effective_docs,
-               sum(n_tokens) AS raw_tokens,
-               round(sum(n_tokens * 1.0 / csize), 4) AS effective_tokens,
-               round(1.0 - sum(1.0 / csize) / count(*), 4) AS dup_discount
-        FROM sized
-        GROUP BY source
+        SELECT source, n_docs,
+               round(eff_docs_raw, 4) AS effective_docs,
+               raw_tokens,
+               round(eff_tok_raw, 4) AS effective_tokens,
+               round(1.0 - eff_docs_raw / n_docs, 4) AS dup_discount
+        FROM folded
     """,
 )
 def sample_downweight_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,7 +450,18 @@ def sample_downweight_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — one shuffle on sha2(text), no join-back — then one hash
     aggregate on source; partial aggregation applies map-side. Both
     shuffles are key-balanced (content hashes are uniform), so the
-    plan survives 1000 executors unchanged."""
+    plan survives 1000 executors unchanged.
+
+    Value-determinism (the r7 driver red): `sum(1.0/csize)` is an
+    order-dependent double aggregation — different partial-agg merge
+    orders flip round(x, 4) at a tie boundary. The fractional sums are
+    therefore computed from EXACT integers: first an (source, csize)
+    pre-aggregate (count/sum over longs — associative, order-proof),
+    then a fold over the csize-sorted group array (F.aggregate /
+    DuckDB reduce) so both engines add the identical doubles in the
+    identical sequence — bit-identical results by IEEE determinism.
+    The pre-aggregate is tiny (#sources x #distinct cluster sizes),
+    so the array per source is bounded regardless of corpus size."""
     d = table(spark, sf_dir, "documents").select(
         "source",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
@@ -440,15 +469,38 @@ def sample_downweight_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     csize = F.count("*").over(Window.partitionBy("h"))
     sized = d.withColumn("csize", csize).drop("h")
-    return sized.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.sum(F.lit(1.0) / F.col("csize")), 4).alias("effective_docs"),
-        F.sum("n_tokens").alias("raw_tokens"),
-        F.round(F.sum(F.col("n_tokens") / F.col("csize")), 4).alias(
-            "effective_tokens"
+    pre = sized.groupBy("source", "csize").agg(
+        F.count("*").alias("cnt"), F.sum("n_tokens").alias("tok")
+    )
+    folded = pre.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum("tok").alias("raw_tokens"),
+        F.sort_array(F.collect_list(F.struct("csize", "cnt", "tok"))).alias(
+            "groups"
         ),
+    ).select(
+        "source",
+        "n_docs",
+        "raw_tokens",
+        F.aggregate(
+            "groups",
+            F.lit(0.0),
+            lambda acc, g: acc + g.cnt.cast("double") / g.csize,
+        ).alias("eff_docs_raw"),
+        F.aggregate(
+            "groups",
+            F.lit(0.0),
+            lambda acc, g: acc + g.tok.cast("double") / g.csize,
+        ).alias("eff_tok_raw"),
+    )
+    return folded.select(
+        "source",
+        "n_docs",
+        F.round("eff_docs_raw", 4).alias("effective_docs"),
+        "raw_tokens",
+        F.round("eff_tok_raw", 4).alias("effective_tokens"),
         F.round(
-            F.lit(1.0) - F.sum(F.lit(1.0) / F.col("csize")) / F.count("*"), 4
+            F.lit(1.0) - F.col("eff_docs_raw") / F.col("n_docs"), 4
         ).alias("dup_discount"),
     )
 
