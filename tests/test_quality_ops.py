@@ -848,6 +848,28 @@ def test_sub_not_in_nulls_ansi_law(spark, sf_dir):
     assert row.n_null_filtered > 0
 
 
+def test_sub_any_all_rewrite_preconditions(spark, sf_dir):
+    """sub_any_all's max-aggregate rewrite of > ALL / <= ANY is only
+    equivalent to genuine quantifiers when both inner relations are
+    NON-EMPTY and NULL-FREE (ALL over an empty set is TRUE for every
+    row; a NULL makes the comparison UNKNOWN). Those are measured
+    fixture properties — assert them so a regenerated fixture that
+    violates them fails loudly instead of silently flipping the
+    oracle comparison."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+
+    o = table(spark, sf_dir, "orders")
+    for prio in ("1-URGENT", "5-LOW"):
+        inner = o.filter(
+            (F.col("o_orderpriority") == prio)
+            & (F.col("o_custkey") % 100 == 7)
+        )
+        assert inner.count() > 0, f"empty inner relation for {prio}"
+        assert (
+            inner.filter(F.col("o_totalprice").isNull()).count() == 0
+        ), f"NULL o_totalprice in inner relation for {prio}"
+
+
 def test_benford_digits_partition_the_orders(spark, sf_dir):
     from twitter_hashtag_sentiment_analysis_spark.io import table
     from twitter_hashtag_sentiment_analysis_spark.registry import load_all
@@ -926,7 +948,9 @@ def test_set_except_distinct_vs_all_semantics(spark, sf_dir):
     all_rows = r["set_except_all"].fn(spark, sf_dir).collect()
     keys = [x.o_custkey for x in distinct_rows]
     assert len(keys) == len(set(keys))
-    assert set(keys) <= {x.o_custkey for x in all_rows} | set(keys)
+    # a key absent from the right side survives exceptAll with full
+    # multiplicity, so every distinct EXCEPT key must appear here
+    assert set(keys) <= {x.o_custkey for x in all_rows}
     assert len(all_rows) >= len(keys)
 
 
