@@ -1314,3 +1314,359 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mmr_score"),
     ).orderBy("rk")
+
+
+# Matryoshka prefix length: the first half of the embedding. MRL-style
+# models pack coarse semantics into leading dims, so serving at D/2
+# halves index memory/bandwidth; this operator MEASURES what that
+# truncation costs on this corpus instead of assuming it.
+MRL_PREFIX = 32
+MRL_PROBE_HI = 20
+MRL_TOPK = 5
+
+
+def _sql_dot_n(a: str, b: str, n: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {n + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_norm_n(a: str, n: int) -> str:
+    return (
+        f"sqrt(list_sum(list_transform(range(1, {n + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+
+
+def _sql_cosine_n(a: str, b: str, n: int) -> str:
+    return f"({_sql_dot_n(a, b, n)} / ({_sql_norm_n(a, n)} * {_sql_norm_n(b, n)}))"
+
+
+@register(
+    "embed_matryoshka_truncate",
+    sql=f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        probes AS (
+            SELECT vec_id AS probe_id, embedding AS pe FROM e
+            WHERE vec_id < {MRL_PROBE_HI}
+        ),
+        scored AS (
+            SELECT p.probe_id, c.vec_id,
+                   {_sql_cosine_n('p.pe', 'c.embedding', DIM)} AS cos_full,
+                   {_sql_cosine_n('p.pe', 'c.embedding', MRL_PREFIX)} AS cos_half
+            FROM probes p JOIN e c ON c.vec_id != p.probe_id
+        ),
+        ranked AS (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(cos_full, 6) DESC, vec_id) AS rk_full,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY round(cos_half, 6) DESC, vec_id) AS rk_half
+            FROM scored
+        )
+        SELECT r.probe_id,
+               CAST(sum(CASE WHEN r.rk_full <= {MRL_TOPK}
+                              AND r.rk_half <= {MRL_TOPK}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS topk_overlap,
+               round({_sql_norm_n('p.pe', MRL_PREFIX)}
+                     / {_sql_norm_n('p.pe', DIM)}, 6) AS probe_norm_retention
+        FROM ranked r JOIN probes p ON p.probe_id = r.probe_id
+        GROUP BY r.probe_id, p.pe
+    """,
+)
+def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: score every probe's
+    neighbors by FULL-dimension cosine and by PREFIX-dimension cosine
+    (first MRL_PREFIX dims — truncate-and-renormalize is exactly what
+    prefix cosine computes), and report the top-k overlap per probe
+    plus the probe's norm retention (how much of its L2 mass the
+    prefix keeps). This is the measurement that decides whether an
+    embedding index can serve at half width (half the memory, half
+    the ANN bandwidth) — the standard MRL deployment question.
+
+    Scale shape: probe set broadcast against a linear scan (same plan
+    as sim_cosine_topk, the exact baseline); both rank windows
+    partition by probe. Prefix cosine reuses the same zip_with kernel
+    over a slice — no second pass over the array. Ranks compare
+    round(cos, 6) so the window order is the same bit-identical
+    quantity on both engines (the raw doubles ARE identical — same
+    left-to-right fold — rounding just pins the tie-break contract).
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < MRL_PROBE_HI).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    half = lambda c: F.slice(c, 1, MRL_PREFIX)  # noqa: E731
+    scored = (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "pe",
+            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias(
+                "cos_full"
+            ),
+            F.round(
+                _dot(half(F.col("pe")), half(F.col("embedding")))
+                / (_norm(half(F.col("pe"))) * _norm(half(F.col("embedding")))),
+                6,
+            ).alias("cos_half"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_full"), F.asc("vec_id")
+    )
+    wh = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_half"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "probe_id",
+        "pe",
+        F.row_number().over(wf).alias("rk_full"),
+        F.row_number().over(wh).alias("rk_half"),
+    )
+    return ranked.groupBy("probe_id").agg(
+        F.sum(
+            (
+                (F.col("rk_full") <= MRL_TOPK) & (F.col("rk_half") <= MRL_TOPK)
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("topk_overlap"),
+        F.round(
+            _norm(half(F.first("pe"))) / _norm(F.first("pe")), 6
+        ).alias("probe_norm_retention"),
+    )
+
+
+# Binary quantization: one sign bit per dimension, packed as two
+# 32-bit words (two BIGINT columns — a single 64-bit pack would need
+# the sign bit and the engines disagree on BIGINT overflow wrap).
+BQ_WORD_BITS = 32
+BQ_PROBE_HI = 20
+BQ_TOPK = 5
+
+
+def _bq_word_sql(col: str, word: int) -> str:
+    lo = word * BQ_WORD_BITS
+    return " + ".join(
+        f"(CASE WHEN {col}[{lo + j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(BQ_WORD_BITS)
+    )
+
+
+@register(
+    "embed_binary_quantize",
+    sql=f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   CAST({_bq_word_sql('embedding', 0)} AS BIGINT) AS w0,
+                   CAST({_bq_word_sql('embedding', 1)} AS BIGINT) AS w1
+            FROM embeddings
+        ),
+        probes AS (
+            SELECT vec_id AS probe_id, embedding AS pe,
+                   w0 AS p0, w1 AS p1
+            FROM sig WHERE vec_id < {BQ_PROBE_HI}
+        ),
+        scored AS (
+            SELECT p.probe_id, c.vec_id,
+                   CAST(bit_count(xor(p.p0, c.w0))
+                        + bit_count(xor(p.p1, c.w1)) AS BIGINT) AS hamming,
+                   round({_sql_cosine('p.pe', 'c.embedding')}, 6) AS cos_sim
+            FROM probes p JOIN sig c ON c.vec_id != p.probe_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                       ORDER BY hamming, vec_id) AS rk
+            FROM scored
+        )
+        SELECT probe_id, vec_id, hamming, cos_sim, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {BQ_TOPK}
+    """,
+)
+def embed_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) embedding quantization + Hamming retrieval:
+    every vector compresses to 64 bits (two 32-bit words), a 32x size
+    cut over float32, and candidate retrieval becomes two XOR +
+    popcount instructions per comparison — the memory/bandwidth plan
+    binary-embedding serving runs at corpus scale. Per probe the
+    operator returns the Hamming top-k together with each hit's TRUE
+    cosine, which is exactly the quality audit (how well does 1-bit
+    Hamming order approximate float cosine?) a deployment measures
+    before switching the index.
+
+    Exactness: the signature is pure sign arithmetic and Hamming is
+    integer, so the ranking is integer-deterministic on both engines
+    (ties broken by vec_id); the cosine column is the shared
+    left-to-right fold. Scale shape: signatures computed in one
+    projection (no shuffle), probe set broadcast, one window per
+    probe partition — the same linear plan as sim_cosine_topk but
+    moving 8-byte signatures instead of 256-byte arrays."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def word(col: Column, w: int) -> Column:
+        lo = w * BQ_WORD_BITS
+        bits = [
+            F.when(
+                F.element_at(col, lo + j + 1) >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            for j in range(BQ_WORD_BITS)
+        ]
+        return sum(bits[1:], bits[0]).cast("long")
+
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        word(F.col("embedding"), 0).alias("w0"),
+        word(F.col("embedding"), 1).alias("w1"),
+    )
+    probes = sig.filter(F.col("vec_id") < BQ_PROBE_HI).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("w0").alias("p0"),
+        F.col("w1").alias("p1"),
+    )
+    scored = sig.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        "vec_id",
+        (
+            F.bit_count(F.col("p0").bitwiseXOR(F.col("w0")))
+            + F.bit_count(F.col("p1").bitwiseXOR(F.col("w1")))
+        )
+        .cast("long")
+        .alias("hamming"),
+        F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= BQ_TOPK
+    )
+
+
+KNN_GRAPH_K = 3
+
+
+@register(
+    "sim_knn_graph_mutual",
+    sql=f"""
+        WITH banded AS (
+            SELECT vec_id, embedding, unnest([{_NEARDUP_BANDS_SQL}]) AS band
+            FROM embeddings
+        ),
+        bands AS (
+            SELECT vec_id, embedding,
+                   band.band_idx AS band_idx, band.band_val AS band_val
+            FROM banded
+        ),
+        kept AS (
+            SELECT band_idx, band_val FROM bands
+            GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {NEARDUP_BUCKET_CAP}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+                            a.embedding AS ea, b.embedding AS eb
+            FROM bands a
+            JOIN kept k ON a.band_idx = k.band_idx AND a.band_val = k.band_val
+            JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                        AND a.vec_id != b.vec_id
+        ),
+        scored AS (
+            SELECT src, dst,
+                   round({_sql_cosine('ea', 'eb')}, 6) AS cos_sim
+            FROM cand
+        ),
+        topk AS (
+            SELECT src, dst, cos_sim FROM (
+                SELECT *, row_number() OVER (PARTITION BY src
+                           ORDER BY cos_sim DESC, dst) AS rk
+                FROM scored
+            ) WHERE rk <= {KNN_GRAPH_K}
+        )
+        SELECT a.src, a.dst, a.cos_sim
+        FROM topk a JOIN topk b ON a.src = b.dst AND a.dst = b.src
+        WHERE a.src < a.dst
+    """,
+)
+def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over the embedding corpus — the edge set
+    where BOTH endpoints rank each other in their cosine top-k. The
+    mutual filter is the standard way to turn noisy kNN lists into a
+    high-precision similarity graph (hub vectors collect thousands of
+    one-directional in-edges; mutuality kills them), and the graph is
+    the input to clustering / semantic-dedup passes downstream
+    (cf. dedup_connected_components over this edge set).
+
+    Scale shape: candidates come from the SAME deterministic sign-LSH
+    bands as sim_cosine_neardup (bucket cap bounds the pair budget
+    linearly) — never all-pairs; per-source top-k is one window over
+    the candidate partition; the mutual filter is a self-equi-join of
+    the top-k relation on (src,dst)=(dst,src), which is k*n rows —
+    tiny. Output edges are canonical (src < dst)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def band_val(b: int) -> Column:
+        bits = [
+            (
+                F.element_at("embedding", b * NEARDUP_BAND_BITS + j + 1) >= 0
+            ).cast("int")
+            * F.lit(1 << j)
+            for j in range(NEARDUP_BAND_BITS)
+        ]
+        return sum(bits[1:], bits[0])
+
+    bands = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        band_val(b).alias("band_val"),
+                    )
+                    for b in range(NEARDUP_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "band.band_idx", "band.band_val")
+    bucket_n = F.count("*").over(
+        Window.partitionBy("band_idx", "band_val")
+    )
+    kept = bands.withColumn("bn", bucket_n).filter(
+        (F.col("bn") >= 2) & (F.col("bn") <= NEARDUP_BUCKET_CAP)
+    )
+    pairs = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .distinct()
+    )
+    scored = (
+        pairs.join(e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea")), "src")
+        .join(e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    topk = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KNN_GRAPH_K
+    ).select("src", "dst", "cos_sim")
+    rev = topk.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return topk.join(rev, ["src", "dst"]).filter(
+        F.col("src") < F.col("dst")
+    ).select("src", "dst", "cos_sim")

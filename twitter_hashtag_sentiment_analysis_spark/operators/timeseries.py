@@ -1399,6 +1399,7 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
             FROM pairs GROUP BY k
         )
+        SELECT lag_k, n_pairs, round(acf_raw, 12) AS acf FROM (
         SELECT lag_k, n_pairs,
                (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
@@ -1406,8 +1407,8 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                   * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-                   AS acf
-        FROM m
+                   AS acf_raw
+        FROM m )
     """,
 )
 def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1420,8 +1421,13 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,0)xDECIMAL(18,0) products — exact at any corpus scale
     where BIGINT products would overflow (daily cents^2 ~ 1e18 at
     sf0.1 already) — and r is assembled in double arithmetic from the
-    exact sums with the IDENTICAL expression on both engines, so the
-    result is bit-stable and emitted UNROUNDED.
+    exact sums with the IDENTICAL expression on both engines. The one
+    remaining cross-engine seam is the DECIMAL -> DOUBLE cast of the
+    product moments (~1e20, beyond 2^53, so the cast must round and
+    the engines differ by 1 ulp — observed by the round-8 full-repr
+    sweep, invisible at %.6g); acf is therefore emitted at round(.,
+    12), which is ~1e5 x coarser than the ulp wobble and far finer
+    than any analytical use of an ACF.
 
     Scale shape: the fact table collapses to one row per day in a
     single map-side-combined aggregate; the 7-lag pair relation is an
@@ -1473,7 +1479,7 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("k").cast("int").alias("lag_k"),
         "n_pairs",
-        (num / den).alias("acf"),
+        F.round(num / den, 12).alias("acf"),
     )
 
 
