@@ -1545,3 +1545,104 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_customers")
     )
+
+
+@register(
+    "stat_mann_whitney",
+    sql="""
+        WITH pool AS (
+            SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+                       AS grp,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ),
+        ranked AS (
+            SELECT grp,
+                   rank() OVER (ORDER BY cents) AS rk_min,
+                   count(*) OVER (PARTITION BY cents) AS tie_n
+            FROM pool
+        ),
+        s AS (
+            SELECT
+                CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1,
+                CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n2,
+                CAST(sum(CASE WHEN grp = 1
+                              THEN 2 * rk_min + tie_n - 1 ELSE 0 END)
+                     AS BIGINT) AS r1_doubled
+            FROM ranked
+        )
+        SELECT n1, n2,
+               CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+               round((CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / 2
+                      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+                     / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+                            / 12), 6) AS z_approx
+        FROM s
+    """,
+)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do URGENT orders carry
+    systematically different totals than LOW-priority orders? The
+    rank-based alternative to stat_ab_ttest's Welch t — distribution-
+    free, outlier-robust, the right test for revenue-like skewed
+    metrics.
+
+    Exactness: values are exact integer cents, and the tie-averaged
+    rank is carried DOUBLED as an integer (2*avg_rank = 2*rank_min +
+    tie_count - 1, integers all the way), so the rank sum, U
+    statistic, and both engines' comparisons are integer-exact; only
+    the final z renders through one fixed double expression (normal
+    approximation WITHOUT the tie variance correction — documented
+    simplification, fine at these tie densities). Scale shape: one
+    global rank over the filtered pool. Ranking a corpus-sized pool
+    would range-partition the sort (as sql_scripting does); the
+    two-priority slice here is a bounded fraction of orders."""
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    pool = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(2)
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked = pool.select(
+        "grp",
+        F.rank().over(Window.orderBy("cents")).alias("rk_min"),
+        F.count("*").over(Window.partitionBy("cents")).alias("tie_n"),
+    )
+    s = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(
+            F.when(
+                F.col("grp") == 1,
+                2 * F.col("rk_min") + F.col("tie_n") - 1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("r1_doubled"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u1 = (
+        F.col("r1_doubled") - F.col("n1") * (F.col("n1") + 1)
+    ).cast("double") / 2
+    return s.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round(
+            (u1 - n1d * n2d / 2)
+            / F.sqrt(n1d * n2d * (n1d + n2d + 1) / 12),
+            6,
+        ).alias("z_approx"),
+    )

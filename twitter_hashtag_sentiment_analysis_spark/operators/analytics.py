@@ -2445,3 +2445,81 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels.select("word", F.col("hop").alias("hops"))
+
+
+@register(
+    "q_customer_ltv_decile",
+    sql="""
+        WITH ltv AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT o_custkey, cents, n_orders,
+                   ntile(10) OVER (ORDER BY cents DESC, o_custkey)
+                       AS decile
+            FROM ltv
+        ),
+        tot AS (SELECT sum(cents) AS total_cents FROM ltv)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(n_orders) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS DOUBLE) / 100 AS revenue,
+               round(CAST(sum(cents) AS DOUBLE) / CAST(total_cents AS DOUBLE),
+                     6) AS revenue_share
+        FROM tiled, tot
+        GROUP BY decile, total_cents
+    """,
+)
+def q_customer_ltv_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value decile report — the concentration view
+    behind every 'top 10% of customers drive X% of revenue' claim:
+    customers ranked by exact lifetime revenue (integer cents), split
+    into NTILE(10) deciles with (cents DESC, custkey) as the total
+    order, per-decile customer/order counts, revenue, and revenue
+    share.
+
+    Exactness: revenue sums are integer cents (associative — the
+    sql_mv_incremental lesson applied at birth); the share renders
+    through ONE double division of two exact integers, identical on
+    both engines. Scale shape: the fact table collapses to customer
+    grain in one map-side-combined aggregate; NTILE runs over that
+    collapsed relation — at true 100 TB scale the same query
+    range-partitions the rank the way sql_scripting's global rank
+    does, which AQE handles with the identical result because the
+    (cents, custkey) order is total."""
+    o = table(spark, sf_dir, "orders")
+    ltv = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    tiled = ltv.select(
+        "o_custkey",
+        "cents",
+        "n_orders",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("cents"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("decile"),
+    )
+    tot = ltv.agg(F.sum("cents").alias("total_cents"))
+    return (
+        tiled.crossJoin(F.broadcast(tot))
+        .groupBy("decile", "total_cents")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            (F.sum("cents").cast("double") / 100).alias("revenue"),
+            F.round(
+                F.sum("cents").cast("double")
+                / F.col("total_cents").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .drop("total_cents")
+    )

@@ -816,3 +816,81 @@ def corpus_mix_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unmet_chars"),
     )
+
+
+#: Epoch scheduler inputs: the training run's total token budget and
+#: the per-source repeat ceiling (4 epochs, the empirical point where
+#: repetition stops paying — Muennighoff et al. 2023's "scaling data-
+#: constrained language models" finding), in milli-epochs.
+EPOCH_BUDGET_TOKENS = 5_000_000
+EPOCH_CAP_MILLI = 4_000
+
+
+@register(
+    "corpus_epoch_schedule",
+    sql=f"""
+        WITH src AS (
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT count(*) AS n_sources FROM src),
+        plan AS (
+            SELECT source, tokens,
+                   CAST({EPOCH_BUDGET_TOKENS} // n_sources AS BIGINT)
+                       AS target_tokens,
+                   CAST(least(({EPOCH_BUDGET_TOKENS} // n_sources)
+                              * 1000 // tokens,
+                              {EPOCH_CAP_MILLI}) AS BIGINT)
+                       AS epochs_milli
+            FROM src, tot
+        )
+        SELECT source, tokens, target_tokens, epochs_milli,
+               CAST(tokens * epochs_milli // 1000 AS BIGINT)
+                   AS scheduled_tokens,
+               epochs_milli = {EPOCH_CAP_MILLI} AS capped
+        FROM plan
+    """,
+)
+def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch scheduler for a data-constrained training run: given a
+    total token budget split uniformly across sources, compute how
+    many epochs (repeats) of each source fill its allocation, capped
+    at 4 epochs — past which repeated data stops improving loss
+    (the data-constrained scaling result), so a capped source simply
+    under-fills and the budget gap surfaces in scheduled_tokens
+    rather than being silently over-repeated.
+
+    All arithmetic is integer (milli-epochs via DIV), so the schedule
+    is byte-identical on both engines and — more importantly — on
+    every executor of a 1000-node run: the scheduler output is a
+    BROADCASTABLE contract, computed from one map-side-combined
+    aggregate over the corpus (per-source token counts) and a handful
+    of scalar ops on the #sources-row relation."""
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    tot = src.agg(F.count("*").alias("n_sources"))
+    plan = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr(f"CAST({EPOCH_BUDGET_TOKENS} DIV n_sources AS BIGINT)").alias(
+            "target_tokens"
+        ),
+        F.expr(
+            f"CAST(least(({EPOCH_BUDGET_TOKENS} DIV n_sources) * 1000"
+            f" DIV tokens, {EPOCH_CAP_MILLI}) AS BIGINT)"
+        ).alias("epochs_milli"),
+    )
+    return plan.select(
+        "source",
+        "tokens",
+        "target_tokens",
+        "epochs_milli",
+        F.expr("CAST(tokens * epochs_milli DIV 1000 AS BIGINT)").alias(
+            "scheduled_tokens"
+        ),
+        (F.col("epochs_milli") == EPOCH_CAP_MILLI).alias("capped"),
+    )

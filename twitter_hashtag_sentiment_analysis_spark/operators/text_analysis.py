@@ -1663,3 +1663,146 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_lift"), "w1", "w2")
         .limit(50)
     )
+
+
+#: CCNet-style bucketing: documents ranked by a corpus-trained
+#: commonness score, split head / middle / tail at the 1/3 and 2/3
+#: cumulative thresholds. Score = average corpus frequency of the
+#: document's bigrams, carried as exact integer milli-units
+#: ((sum_c2 * 1000) DIV n_bigrams) so thresholds and bucket
+#: membership are integer-deterministic on both engines.
+CCNET_SCALE = 1000
+
+
+@register(
+    "text_ccnet_bucket",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                   string_split(text, ' ') AS ts
+            FROM documents WHERE text <> ''
+        ),
+        bigrams AS (
+            SELECT doc_id, n_tokens, ts[i] AS w1, ts[i + 1] AS w2
+            FROM toks, LATERAL unnest(range(1, len(ts))) AS u(i)
+        ),
+        bi AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY 1, 2),
+        per_doc AS (
+            SELECT b.doc_id,
+                   CAST(max(b.n_tokens) AS BIGINT) AS n_tokens,
+                   CAST((sum(bi.c2) * {CCNET_SCALE}) // count(*) AS BIGINT)
+                       AS score_milli
+            FROM bigrams b JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+            GROUP BY b.doc_id
+        ),
+        n AS (SELECT count(*) AS n_docs FROM per_doc),
+        dist AS (
+            SELECT score_milli, count(*) AS cnt FROM per_doc GROUP BY 1
+        ),
+        cum AS (
+            SELECT score_milli,
+                   sum(cnt) OVER (ORDER BY score_milli DESC) AS cum_ge
+            FROM dist
+        ),
+        thresholds AS (
+            SELECT max(CASE WHEN cum_ge >= CAST(ceil(n_docs / 3.0) AS BIGINT)
+                            THEN score_milli END) AS t1,
+                   max(CASE WHEN cum_ge >= CAST(ceil(2 * n_docs / 3.0) AS BIGINT)
+                            THEN score_milli END) AS t2
+            FROM cum, n
+        )
+        SELECT CASE WHEN score_milli >= t1 THEN 'head'
+                    WHEN score_milli >= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(min(score_milli) AS BIGINT) AS min_score_milli,
+               CAST(max(score_milli) AS BIGINT) AS max_score_milli
+        FROM per_doc, thresholds
+        GROUP BY 1
+    """,
+)
+def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: every document gets a
+    corpus-trained commonness score (mean corpus frequency of its
+    bigrams — the frequency leg of the perplexity family; low = rare
+    or gibberish, high = boilerplate-common), and the corpus splits at
+    the 1/3 and 2/3 cumulative thresholds. CCNet keeps head+middle
+    for LM training and routes tail to inspection; this operator
+    emits the per-bucket census that decision reads.
+
+    Scale discipline: there is NO global sort of the corpus. Scores
+    quantize to exact integer milli-units, the threshold scan runs
+    over the collapsed DISTINCT-SCORE relation (bounded by the score
+    grid, not the corpus), and bucket assignment is a broadcast of
+    two integers compared map-side. Ties at a threshold land whole —
+    both engines agree exactly because every comparison is integer.
+    Documents with no bigrams (< 2 tokens) are out of scope, as in
+    text_perplexity_proxy."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("ts"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    bigram_expr = F.expr(
+        "IF(size(ts) >= 2, "
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2)), "
+        "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>))"
+    )
+    bg = toks.select(
+        "doc_id", "n_tokens", F.explode(bigram_expr).alias("b")
+    ).select("doc_id", "n_tokens", "b.w1", "b.w2")
+    bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    per_doc = (
+        bg.join(bi, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.expr(f"CAST(sum(c2) * {CCNET_SCALE} DIV count(*) AS BIGINT)")
+            .alias("score_milli"),
+        )
+    )
+    dist = per_doc.groupBy("score_milli").agg(F.count("*").alias("cnt"))
+    cum = dist.select(
+        "score_milli",
+        F.sum("cnt")
+        .over(Window.orderBy(F.desc("score_milli")))
+        .alias("cum_ge"),
+    )
+    n = per_doc.agg(F.count("*").alias("n_docs"))
+    thresholds = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.when(
+                F.col("cum_ge")
+                >= F.ceil(F.col("n_docs") / 3.0).cast("long"),
+                F.col("score_milli"),
+            )
+        ).alias("t1"),
+        F.max(
+            F.when(
+                F.col("cum_ge")
+                >= F.ceil(2 * F.col("n_docs") / 3.0).cast("long"),
+                F.col("score_milli"),
+            )
+        ).alias("t2"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(thresholds))
+        .select(
+            F.when(F.col("score_milli") >= F.col("t1"), "head")
+            .when(F.col("score_milli") >= F.col("t2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_tokens",
+            "score_milli",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("score_milli").cast("long").alias("min_score_milli"),
+            F.max("score_milli").cast("long").alias("max_score_milli"),
+        )
+    )

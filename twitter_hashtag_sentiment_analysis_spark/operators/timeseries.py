@@ -1796,3 +1796,106 @@ def event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "event_user_lifecycle",
+    sql="""
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(date_trunc('week', ts) AS DATE)) // 7
+                        AS BIGINT) AS wk
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, wk,
+                   min(wk) OVER (PARTITION BY user_id) AS first_wk,
+                   lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+                   lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+            FROM uw
+        )
+        SELECT wk,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN wk > first_wk
+                              AND (prev_wk IS NULL OR prev_wk < wk - 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+               CAST(sum(CASE WHEN next_wk IS NULL OR next_wk > wk + 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
+        FROM flagged
+        GROUP BY wk
+    """,
+)
+def event_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly user-lifecycle accounting — the growth dashboard's core
+    decomposition: every active user in week W is exactly one of NEW
+    (first week ever), RETAINED (also active in W-1), or RESURRECTED
+    (seen before, but not in W-1); n_churning counts this week's
+    actives who do NOT return in W+1. new + retained + resurrected =
+    active by construction — the invariant the pinned test asserts.
+
+    Scale shape: the fact table collapses to DISTINCT (user, week)
+    first (bounded by users x calendar weeks, far below event grain);
+    the three window functions share ONE user-partitioned sort, and
+    the final aggregate groups by week. Weeks index from the fixed
+    epoch 2024-01-01 via date_trunc('week', …) — ISO Monday weeks on
+    both engines — divided by 7 into an integer; everything downstream
+    is integer counts."""
+    e = table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        (
+            F.datediff(
+                F.date_trunc("week", "ts").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("wk"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    wall = Window.partitionBy("user_id")
+    flagged = uw.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(wall).alias("first_wk"),
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    return flagged.groupBy("wk").agg(
+        F.count("*").cast("long").alias("n_active"),
+        F.sum((F.col("wk") == F.col("first_wk")).cast("int"))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("wk") > F.col("first_wk"))
+                & (
+                    F.col("prev_wk").isNull()
+                    | (F.col("prev_wk") < F.col("wk") - 1)
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_resurrected"),
+        F.sum(
+            F.when(
+                F.col("next_wk").isNull()
+                | (F.col("next_wk") > F.col("wk") + 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_churning"),
+    )

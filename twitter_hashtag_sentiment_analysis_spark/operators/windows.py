@@ -539,3 +539,78 @@ def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine. One shuffle on o_custkey serves everything."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(WINDOW_CLAUSE_SQL)
+
+
+@register(
+    "win_gaps_islands",
+    sql="""
+        WITH months AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(date_part('year', o_orderdate) * 12
+                        + date_part('month', o_orderdate) - 1 AS BIGINT)
+                       AS m
+            FROM orders
+        ),
+        grp AS (
+            SELECT o_custkey, m,
+                   m - dense_rank() OVER (PARTITION BY o_custkey ORDER BY m)
+                       AS island_key
+            FROM months
+        ),
+        islands AS (
+            SELECT o_custkey, island_key,
+                   CAST(count(*) AS BIGINT) AS island_len,
+                   CAST(min(m) AS BIGINT) AS start_m
+            FROM grp GROUP BY 1, 2
+        )
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_islands,
+               CAST(max(island_len) AS BIGINT) AS longest_streak_months,
+               CAST(sum(island_len) AS BIGINT) AS active_months,
+               CAST(min(start_m) AS BIGINT) AS first_month_idx
+        FROM islands
+        GROUP BY o_custkey
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each customer's active order-months
+    into maximal runs of CONSECUTIVE months (islands), reporting run
+    count, longest streak, total active months, and first activity.
+    The classic window identity does all the work without a self-join
+    or recursion: within a customer, month_index − dense_rank(month)
+    is CONSTANT exactly across a consecutive run and distinct between
+    runs, so one window + one aggregate finds every island. This is
+    the subscription/engagement-streak primitive (months billed
+    consecutively, weeks trained without a break, …).
+
+    Scale shape: the DISTINCT collapses the fact table to (customer,
+    month) grain first — calendar-bounded per customer; the window
+    partitions by customer (no global sort) and both aggregates share
+    that partitioning, so the whole operator is one shuffle on
+    o_custkey after the distinct's. Integer month indices and counts
+    end-to-end — nothing to round, hash-stable by construction."""
+    o = table(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        )
+        .cast("long")
+        .alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    grp = months.select(
+        "o_custkey",
+        "m",
+        (F.col("m") - F.dense_rank().over(w)).alias("island_key"),
+    )
+    islands = grp.groupBy("o_custkey", "island_key").agg(
+        F.count("*").cast("long").alias("island_len"),
+        F.min("m").cast("long").alias("start_m"),
+    )
+    return islands.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.max("island_len").cast("long").alias("longest_streak_months"),
+        F.sum("island_len").cast("long").alias("active_months"),
+        F.min("start_m").cast("long").alias("first_month_idx"),
+    )

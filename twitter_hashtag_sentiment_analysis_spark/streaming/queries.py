@@ -1321,3 +1321,92 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel removal AFTER the drain (batch plan — cannot push into
     # the streaming plan and defeat the watermark advance)
     return spark.table(name).filter(F.col("purchase_id") >= 0)
+
+
+@register(
+    "stream_full_outer_join_watermark",
+    sql="""
+        WITH p AS (
+            SELECT event_id AS purchase_id, user_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+            SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.purchase_id, c.click_id,
+               coalesce(p.user_id, c.c_user) AS user_id,
+               CASE WHEN p.purchase_id IS NULL THEN 'click_only'
+                    WHEN c.click_id IS NULL THEN 'purchase_only'
+                    ELSE 'matched' END AS side
+        FROM p FULL JOIN c
+          ON c.c_user = p.user_id
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+         AND c.c_ts < p.p_ts
+    """,
+)
+def stream_full_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join (Spark 3.1+): the attribution
+    join that reports BOTH unmatched sides — purchases with no
+    preceding click AND clicks that preceded no purchase — which is
+    the complete reconciliation a billing/attribution audit needs
+    (left outer answers only one direction). Both sides' null-extended
+    rows are watermark-gated: a row can only be emitted as unmatched
+    once the watermark proves no counterpart can still arrive, so
+    BOTH state stores face the tail-finalization trap the left-outer
+    operator documents. The same wm_flush sentinel discipline applies,
+    doubled: each side's pre-join filter keeps the sentinel type (so
+    Catalyst pushing the filter below EventTimeWatermark cannot drop
+    it), and BOTH sentinel rows — each emitted as an unmatched row of
+    its own side (their identical timestamps fail the strict
+    c_ts < p_ts bound, so they can never match each other) — are
+    removed after the drain with a batch filter on the memory sink.
+    Result: the availableNow drain equals the batch FULL JOIN, which
+    is the oracle. State stays O(events per hour) via the time-range
+    condition on both watermarked sides."""
+    ev = _events_stream_with_sentinel(spark, sf_dir)
+    purchases = (
+        ev.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            "event_type",
+        )
+        .withWatermark("p_ts", "2 hours")
+        .filter(F.col("event_type").isin("purchase", "wm_flush"))
+        .drop("event_type")
+    )
+    clicks = (
+        ev.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            "event_type",
+        )
+        .withWatermark("c_ts", "2 hours")
+        .filter(F.col("event_type").isin("click", "wm_flush"))
+        .drop("event_type")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+        F.when(F.col("purchase_id").isNull(), "click_only")
+        .when(F.col("click_id").isNull(), "purchase_only")
+        .otherwise("matched")
+        .alias("side"),
+    )
+    name = _run_to_memory(joined, "ssfojoin")
+    # sentinel removal AFTER the drain (batch plan — cannot push into
+    # the streaming plan); each sentinel surfaces as an unmatched row
+    # of its own side with id -1
+    return spark.table(name).filter(
+        (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
+        & (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
+    )
