@@ -894,3 +894,77 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("epochs_milli") == EPOCH_CAP_MILLI).alias("capped"),
     )
+
+
+#: Epochs materialized by the deterministic training-order shuffle.
+SHUFFLE_EPOCHS = 2
+
+
+@register(
+    "sample_epoch_shuffle",
+    sql=f"""
+        WITH assigned AS (
+            SELECT e.epoch, d.doc_id,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                       AS n_tokens,
+                   substr(md5(CAST(e.epoch AS VARCHAR) || ':'
+                              || CAST(d.doc_id AS VARCHAR)), 1, 2)
+                       AS chunk
+            FROM documents d,
+                 (SELECT unnest(range({SHUFFLE_EPOCHS})) AS epoch) e
+        )
+        SELECT CAST(epoch AS BIGINT) AS epoch, chunk,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+               CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(max(doc_id) AS BIGINT) AS max_doc_id
+        FROM assigned
+        GROUP BY 1, 2
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: each epoch
+    assigns every document to one of 256 chunks by md5(epoch:doc_id)
+    hex prefix — a different pseudorandom permutation per epoch with
+    NO RNG state, so any worker (or a re-run, or a resumed job) can
+    recompute exactly which chunk serves which document at which
+    epoch. This is how large training runs shuffle 100 TB: a global
+    sort per epoch is unpayable, but hash-chunking is a narrow map,
+    and reading chunks in order while shuffling only within the
+    (memory-sized) chunk gives the standard two-level approximate
+    shuffle. Output is the per-(epoch, chunk) manifest a loader
+    consumes: doc/token counts per chunk plus id bounds.
+
+    Everything is integer/string-exact (hex chunk labels, token
+    counts), and chunk membership of a doc changes across epochs with
+    P=255/256 — the reshuffling property the pinned test asserts.
+    Scale shape: the epoch explode is a constant fan-out; one
+    map-side-combined aggregate on (epoch, chunk); no sort, no window,
+    no skew (md5 is uniform)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    epochs = spark.range(SHUFFLE_EPOCHS).select(F.col("id").alias("epoch"))
+    assigned = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        "n_tokens",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("epoch").cast("string"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ).alias("chunk"),
+    )
+    return assigned.groupBy("epoch", "chunk").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("chunk_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )

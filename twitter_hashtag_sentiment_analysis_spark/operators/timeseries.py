@@ -1899,3 +1899,89 @@ def event_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_churning"),
     )
+
+
+#: Conversion-latency histogram bucket width: 10 minutes in micros.
+LAT_BUCKET_US = 600 * 1_000_000
+
+
+@register(
+    "event_conversion_latency_histogram",
+    sql=f"""
+        WITH nearest AS (
+            SELECT p.event_id AS purchase_id,
+                   max(epoch_us(c.ts)) AS best_click_us,
+                   epoch_us(p.ts) AS p_us
+            FROM events p
+            JOIN events c
+              ON c.event_type = 'click'
+             AND c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, epoch_us(p.ts)
+        )
+        SELECT CAST((p_us - best_click_us) // {LAT_BUCKET_US} AS BIGINT)
+                   AS bucket_10min,
+               CAST(count(*) AS BIGINT) AS n_conversions,
+               CAST(min(p_us - best_click_us) AS BIGINT) AS min_lat_us,
+               CAST(max(p_us - best_click_us) AS BIGINT) AS max_lat_us
+        FROM nearest
+        GROUP BY 1
+    """,
+)
+def event_conversion_latency_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Click-to-purchase latency distribution: for every attributed
+    purchase (>=1 click in the preceding hour by the same user), the
+    latency to the NEAREST preceding click, histogrammed in 10-minute
+    buckets — the distribution view that complements
+    event_funnel_latency's scalar summary (an attribution window is
+    tuned by looking at where the latency mass actually sits).
+
+    Exactness: latencies are integer MICROSECONDS (epoch_us on both
+    engines — second-granularity datediff truncates floors
+    differently around sub-second offsets, so the micros form is the
+    cross-engine-safe one); bucketing is integer floor-division.
+    Scale shape: the purchase-click candidate join is the same
+    time-range equi-join on user_id the stream joins run (state
+    bounded by the 1 h window), the nearest-click reduction is a
+    map-side-combinable max, and the histogram is a second tiny
+    aggregate on bucket ids."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros(F.to_utc_timestamp("ts", "UTC")).alias("p_us"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros(F.to_utc_timestamp("ts", "UTC")).alias("c_us"),
+        F.col("ts").alias("c_ts"),
+    )
+    nearest = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts")),
+        )
+        .groupBy("purchase_id", "p_us")
+        .agg(F.max("c_us").alias("best_click_us"))
+    )
+    lat = F.col("p_us") - F.col("best_click_us")
+    return (
+        nearest.select(
+            F.expr(f"CAST((p_us - best_click_us) DIV {LAT_BUCKET_US} AS BIGINT)")
+            .alias("bucket_10min"),
+            lat.alias("lat_us"),
+        )
+        .groupBy("bucket_10min")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.min("lat_us").cast("long").alias("min_lat_us"),
+            F.max("lat_us").cast("long").alias("max_lat_us"),
+        )
+    )

@@ -96,6 +96,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_rate_source",
     "stream_outer_join_watermark",
     "stream_full_outer_join_watermark",
+    "stream_semi_join",
     "sql_window_clause",
     "q_customer_ltv_decile",
     "ts_holt_linear",
@@ -139,7 +140,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "catalog_txn_time_travel",
     "scan_binary_files",
     "source_python_datasource",
-    "source_python_pushdown",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions

@@ -1410,3 +1410,72 @@ def stream_full_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
         & (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
     )
+
+
+@register(
+    "stream_semi_join",
+    sql="""
+        SELECT p.event_id AS purchase_id, p.user_id,
+               CAST(round(p.value * 100) AS BIGINT) AS value_cents
+        FROM events p
+        WHERE p.event_type = 'purchase'
+          AND EXISTS (
+              SELECT 1 FROM events c
+              WHERE c.event_type = 'click'
+                AND c.user_id = p.user_id
+                AND c.ts >= p.ts - INTERVAL 1 HOUR
+                AND c.ts < p.ts
+          )
+    """,
+)
+def stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join (Spark 3.1+): purchases that HAD a
+    preceding click, emitted WITHOUT click columns — the existence
+    filter form of attribution (billing wants 'qualified purchases',
+    not the click payload, and semi state can drop a left row the
+    moment its first match arrives instead of buffering every match).
+    Completes the stream-join family: inner (stream_stream_join), left
+    outer (stream_outer_join_watermark), full outer
+    (stream_full_outer_join_watermark), semi (this).
+
+    Same sentinel discipline as the outer forms — each side's pre-join
+    filter keeps the wm_flush type so the watermark advances past every
+    real event and click-side state fully evicts in the drain; the
+    sentinel purchase can never match (user −1's only counterpart
+    fails the strict c_ts < p_ts bound), so it is dropped by semi
+    semantics themselves, and the post-drain filter is pure belt-and-
+    braces. Oracle: the ANSI EXISTS form. Exactly-once output per
+    qualified purchase — semi joins never duplicate the left side no
+    matter how many clicks match."""
+    ev = _events_stream_with_sentinel(spark, sf_dir)
+    purchases = (
+        ev.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+            "event_type",
+        )
+        .withWatermark("p_ts", "2 hours")
+        .filter(F.col("event_type").isin("purchase", "wm_flush"))
+        .drop("event_type")
+    )
+    clicks = (
+        ev.select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            "event_type",
+        )
+        .withWatermark("c_ts", "2 hours")
+        .filter(F.col("event_type").isin("click", "wm_flush"))
+        .drop("event_type")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftSemi",
+    ).select("purchase_id", "user_id", "value_cents")
+    name = _run_to_memory(joined, "sssemi")
+    return spark.table(name).filter(F.col("purchase_id") >= 0)
