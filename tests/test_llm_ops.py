@@ -744,3 +744,49 @@ def test_binary_quantize_hamming_orders_like_cosine(spark, sf_dir):
     assert all(0 <= r["hamming"] <= 64 for r in rows)
     hit_mean = sum(r["cos_sim"] for r in rows) / len(rows)
     assert hit_mean > 0.1, hit_mean
+
+
+def test_epoch_shuffle_is_a_manifest_and_reshuffles(spark, sf_dir):
+    """Each epoch's chunks partition the corpus exactly (doc and token
+    totals match), and the two epochs assign most documents to
+    DIFFERENT chunks (P[same chunk] = 1/256)."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.operators.sampling import (
+        SHUFFLE_EPOCHS,
+    )
+
+    rows = load_all()["sample_epoch_shuffle"].fn(spark, sf_dir).collect()
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    total_tokens = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0]["t"]
+    for ep in range(SHUFFLE_EPOCHS):
+        ep_rows = [r for r in rows if r["epoch"] == ep]
+        assert sum(r["n_docs"] for r in ep_rows) == n_docs
+        assert sum(r["chunk_tokens"] for r in ep_rows) == total_tokens
+    # reshuffle property measured directly on the assignment function
+    same = (
+        d.select(
+            F.substring(F.md5(F.concat_ws(":", F.lit("0"), F.col("doc_id").cast("string"))), 1, 2).alias("c0"),
+            F.substring(F.md5(F.concat_ws(":", F.lit("1"), F.col("doc_id").cast("string"))), 1, 2).alias("c1"),
+        )
+        .filter(F.col("c0") == F.col("c1"))
+        .count()
+    )
+    assert same < n_docs * 0.05  # expect ~n/256
+
+
+def test_conversion_latency_buckets_bounded_by_window(spark, sf_dir):
+    """Latencies live inside the 1 h attribution window: buckets 0..5,
+    micros in [0, 3600e6); conversion count equals the semi-join's
+    qualified-purchase count (same predicate, two operators)."""
+    rows = load_all()["event_conversion_latency_histogram"].fn(
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bucket_10min"] <= 5
+        assert 0 <= r["min_lat_us"] <= r["max_lat_us"] < 3_600_000_000
+    semi = load_all()["stream_semi_join"].fn(spark, sf_dir).count()
+    assert sum(r["n_conversions"] for r in rows) == semi
