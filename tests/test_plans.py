@@ -814,3 +814,54 @@ def test_collocation_topk_avoids_full_sort(spark, sf_dir):
 
     plan = plan_of(spark, sf_dir, "text_collocation_pmi")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ccnet_bucket_never_sorts_the_corpus(spark, sf_dir):
+    """text_ccnet_bucket's threshold scan must run over the collapsed
+    distinct-score relation: no global (empty-partitioning) Sort over
+    a corpus-grain relation. The only unpartitioned window is the
+    cumulative count over DISTINCT score_milli values, and bucket
+    assignment joins two broadcast scalars."""
+    plan = plan_of(spark, sf_dir, "text_ccnet_bucket")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the thresholds reach the docs side as a broadcast, never a shuffle
+    assert "SortMergeJoin" not in plan.split("Window")[0], plan
+
+
+def test_gaps_islands_single_customer_shuffle(spark, sf_dir):
+    """The window and both aggregates share the o_custkey partitioning:
+    exactly two exchanges total (the distinct's, then the customer
+    key's), no join."""
+    plan = plan_of(spark, sf_dir, "win_gaps_islands")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_knn_graph_has_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sim_knn_graph_mutual")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lifecycle_windows_share_one_sort(spark, sf_dir):
+    """min/lag/lead all partition by user_id: the plan carries exactly
+    one Window subtree chain over one user-key exchange."""
+    plan = plan_of(spark, sf_dir, "event_user_lifecycle")
+    assert "Join" not in plan, plan
+    # one exchange for the distinct, one for the user-partitioned sort,
+    # one for the final week aggregate
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
+def test_binary_quantize_broadcasts_probes(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "embed_binary_quantize")
+    assert "BroadcastNestedLoopJoin" in plan, plan  # theta self-pair on !=
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_epoch_shuffle_is_one_aggregate(spark, sf_dir):
+    """Narrow map + one (epoch, chunk) hash aggregate: exactly one
+    exchange, partial aggregation map-side."""
+    plan = plan_of(spark, sf_dir, "sample_epoch_shuffle")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
