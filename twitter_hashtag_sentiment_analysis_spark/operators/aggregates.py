@@ -1646,3 +1646,65 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_approx"),
     )
+
+
+@register(
+    "agg_string_agg",
+    sql="""
+        WITH ltv AS (
+            SELECT o_orderpriority, o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        top5 AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_orderpriority
+                    ORDER BY cents DESC, o_custkey) AS rk
+                FROM ltv
+            ) WHERE rk <= 5
+        )
+        SELECT o_orderpriority,
+               string_agg(CAST(o_custkey AS VARCHAR), ','
+                          ORDER BY cents DESC, o_custkey) AS top_customers,
+               CAST(sum(cents) AS BIGINT) AS top5_cents
+        FROM top5
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (ANSI LISTAGG ... WITHIN GROUP /
+    string_agg): the top-5 customers per order priority rendered as
+    one ordered CSV cell — the report-footer / label-column surface
+    ANSI engines expose and Spark 4 added as `listagg`. Determinism
+    is the whole game for an ordered string aggregate: the WITHIN
+    GROUP order (cents DESC, custkey) is total, so the concatenated
+    string is byte-identical on both engines; revenue is exact
+    integer cents.
+
+    Scale shape: per-priority top-5 compiles to WindowGroupLimit (the
+    map-side cap — 5 rows per priority survive the shuffle no matter
+    the customer count); the listagg then aggregates a 25-row
+    relation. Aggregating unbounded groups into strings is the
+    anti-pattern this operator deliberately avoids — cap first, then
+    concatenate."""
+    o = table(spark, sf_dir, "orders")
+    ltv = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cents"), F.asc("o_custkey")
+    )
+    top5 = ltv.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
+    return top5.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(CAST(o_custkey AS STRING), ',')"
+            " WITHIN GROUP (ORDER BY cents DESC, o_custkey)"
+        ).alias("top_customers"),
+        F.sum("cents").cast("long").alias("top5_cents"),
+    )

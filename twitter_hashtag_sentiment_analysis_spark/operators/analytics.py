@@ -2523,3 +2523,133 @@ def q_customer_ltv_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total_cents")
     )
+
+
+LINKPRED_TOPK = 20
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    sql=f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS ts FROM documents
+        ),
+        raw AS (
+            SELECT ts[i] AS src, ts[i + 1] AS dst
+            FROM toks, LATERAL unnest(range(1, len(ts))) AS u(i)
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw
+            WHERE src <> '' AND dst <> '' AND src <> dst
+        ),
+        adj AS (
+            SELECT a AS v, b AS n FROM und
+            UNION ALL
+            SELECT b AS v, a AS n FROM und
+        ),
+        deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+        wedge AS (
+            SELECT x.v AS a, y.v AS b,
+                   CAST(count(*) AS BIGINT) AS common
+            FROM adj x JOIN adj y ON x.n = y.n AND x.v < y.v
+            GROUP BY x.v, y.v
+        ),
+        cand AS (
+            SELECT w.a, w.b, w.common, da.d AS deg_a, db.d AS deg_b
+            FROM wedge w
+            JOIN deg da ON da.v = w.a
+            JOIN deg db ON db.v = w.b
+            WHERE NOT EXISTS (
+                SELECT 1 FROM und e WHERE e.a = w.a AND e.b = w.b
+            )
+        )
+        SELECT a, b, common, deg_a, deg_b,
+               round(CAST(common AS DOUBLE)
+                     / (deg_a + deg_b - common), 6) AS jaccard
+        FROM cand
+        ORDER BY jaccard DESC, a, b
+        LIMIT {LINKPRED_TOPK}
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction over the word co-occurrence graph (the
+    graph_pagerank/triangle edge set): for every NON-adjacent node
+    pair sharing >=1 neighbor, score J = |N(a) ∩ N(b)| / |N(a) ∪
+    N(b)| and emit the top-20 predicted links — the classic
+    neighborhood-overlap recommender (friend-of-friend suggestion,
+    related-term discovery) in its exact form.
+
+    Exactness: intersection and degree counts are integers; Jaccard
+    renders through one double division (union via inclusion-
+    exclusion: da + db - common), rounded, with (a, b) tie-breaks —
+    fully hash-stable. Scale shape: candidate pairs come from the
+    wedge join on the shared neighbor (same key as triangle
+    counting's, bounded by sum-of-degrees-squared, NOT all pairs; on
+    corpora with hub tokens the degree-orientation cap from
+    graph_triangle_count applies the same way); existing edges are
+    removed with an anti-join; the top-20 is TakeOrderedAndProject,
+    never a global sort."""
+    d = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    bigrams = F.expr(
+        "IF(size(toks) >= 2, "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS src, element_at(toks, i+1) AS dst)), "
+        "CAST(array() AS ARRAY<STRUCT<src: STRING, dst: STRING>>))"
+    )
+    und = (
+        d.select(F.explode(bigrams).alias("e"))
+        .filter(
+            (F.col("e.src") != "")
+            & (F.col("e.dst") != "")
+            & (F.col("e.src") != F.col("e.dst"))
+        )
+        .select(
+            F.least("e.src", "e.dst").alias("a"),
+            F.greatest("e.src", "e.dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count("*").cast("long").alias("d"))
+    x = adj.select(F.col("v").alias("wa"), F.col("n").alias("mid"))
+    y = adj.select(F.col("v").alias("wb"), F.col("n").alias("mid"))
+    wedge = (
+        x.join(y, "mid")
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    cand = wedge.join(
+        und,
+        (F.col("wa") == F.col("a")) & (F.col("wb") == F.col("b")),
+        "leftAnti",
+    )
+    scored = (
+        cand.join(
+            F.broadcast(deg.select(F.col("v").alias("wa"), F.col("d").alias("deg_a"))),
+            "wa",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("v").alias("wb"), F.col("d").alias("deg_b"))),
+            "wb",
+        )
+        .select(
+            F.col("wa").alias("a"),
+            F.col("wb").alias("b"),
+            "common",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard"), "a", "b").limit(LINKPRED_TOPK)

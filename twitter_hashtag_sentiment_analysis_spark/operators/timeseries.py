@@ -1985,3 +1985,85 @@ def event_conversion_latency_histogram(
             F.max("lat_us").cast("long").alias("max_lat_us"),
         )
     )
+
+
+#: Robust anomaly threshold: |x - median| > 3 * 1.4826 * MAD (the
+#: normal-consistent MAD scale factor).
+MAD_K = 1.4826
+MAD_SIGMA = 3.0
+
+
+@register(
+    "ts_anomaly_mad",
+    sql=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM orders GROUP BY 1
+        ),
+        med AS (
+            SELECT quantile_cont(CAST(rev_cents AS DOUBLE), 0.5) AS m
+            FROM daily
+        ),
+        dev AS (
+            SELECT quantile_cont(abs(CAST(d.rev_cents AS DOUBLE) - med.m),
+                                 0.5) AS mad
+            FROM daily d, med
+        )
+        SELECT d.day, d.rev_cents,
+               round((CAST(d.rev_cents AS DOUBLE) - med.m)
+                     / ({MAD_K} * dev.mad), 6) AS robust_z,
+               abs(CAST(d.rev_cents AS DOUBLE) - med.m)
+                   > {MAD_SIGMA} * {MAD_K} * dev.mad AS is_anomaly
+        FROM daily d, med, dev
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust anomaly detection over the daily-revenue
+    series — the outlier-proof alternative to ts_anomaly_zscore's
+    mean/stddev: one extreme day inflates a standard deviation enough
+    to mask its neighbors (masking), while the median and the median-
+    absolute-deviation have a 50% breakdown point, so the robust z
+    stays calibrated no matter how wild the anomalies are.
+
+    Exactness: daily revenue is exact integer cents; both medians are
+    exact interpolated percentiles over the CALENDAR-SIZED daily
+    relation (percentile/quantile_cont interpolate identically from
+    identical exact inputs), and the robust z renders through one
+    fixed double expression. Scale shape: the fact table collapses in
+    one map-side-combined aggregate; the two percentile passes and the
+    flag projection run over days, not orders — same regime as
+    ts_anomaly_zscore, two extra tiny passes for robustness."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    med = daily.agg(
+        F.expr("percentile(CAST(rev_cents AS DOUBLE), 0.5)").alias("m")
+    )
+    dev = daily.crossJoin(F.broadcast(med)).agg(
+        F.expr("percentile(abs(CAST(rev_cents AS DOUBLE) - m), 0.5)").alias(
+            "mad"
+        ),
+        F.first("m").alias("m"),
+    )
+    z = (F.col("rev_cents").cast("double") - F.col("m")) / (
+        MAD_K * F.col("mad")
+    )
+    return daily.crossJoin(F.broadcast(dev)).select(
+        "day",
+        "rev_cents",
+        F.round(z, 6).alias("robust_z"),
+        (
+            F.abs(F.col("rev_cents").cast("double") - F.col("m"))
+            > MAD_SIGMA * MAD_K * F.col("mad")
+        ).alias("is_anomaly"),
+    )
