@@ -1063,3 +1063,85 @@ def test_python_batch_writer_round_trips(spark, sf_dir):
         .count()
     )
     assert got.count() == want
+
+
+def test_mad_anomalies_are_a_subset_of_extremes(spark, sf_dir):
+    """Robust z is monotone in |rev - median|: every anomaly's
+    |robust_z| exceeds the 3.0 threshold and non-anomalies' do not."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.timeseries import (
+        MAD_SIGMA,
+    )
+
+    rows = load_all()["ts_anomaly_mad"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["is_anomaly"]:
+            assert abs(r["robust_z"]) > MAD_SIGMA - 1e-6
+        else:
+            assert abs(r["robust_z"]) <= MAD_SIGMA + 1e-6
+
+
+def test_link_prediction_excludes_existing_edges(spark, sf_dir):
+    """Predicted links must be non-edges with genuine overlap: jaccard
+    in (0, 1), common <= min(deg) and no predicted pair may be an
+    actual co-occurrence edge."""
+    import pyspark.sql.functions as SF
+
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+
+    rows = load_all()["graph_jaccard_link_prediction"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["common"] <= min(r["deg_a"], r["deg_b"])
+    d = table(spark, sf_dir, "documents").select(
+        SF.split("text", " ").alias("toks")
+    )
+    bigrams = SF.expr(
+        "IF(size(toks) >= 2, transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS s, element_at(toks, i+1) AS t)), "
+        "CAST(array() AS ARRAY<STRUCT<s: STRING, t: STRING>>))"
+    )
+    edges = {
+        (min(e["e"]["s"], e["e"]["t"]), max(e["e"]["s"], e["e"]["t"]))
+        for e in d.select(SF.explode(bigrams).alias("e")).collect()
+        if e["e"]["s"] and e["e"]["t"] and e["e"]["s"] != e["e"]["t"]
+    }
+    assert all((r["a"], r["b"]) not in edges for r in rows)
+
+
+def test_string_agg_is_ordered_and_capped(spark, sf_dir):
+    rows = load_all()["agg_string_agg"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per priority
+    for r in rows:
+        ids = r["top_customers"].split(",")
+        assert 1 <= len(ids) <= 5
+        assert len(set(ids)) == len(ids)
+
+
+def test_semi_join_stream_equals_exists(spark, sf_dir):
+    """The streaming LEFT SEMI drain equals the batch EXISTS filter,
+    one row per qualified purchase."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+
+    got = sorted(
+        tuple(r) for r in load_all()["stream_semi_join"].fn(spark, sf_dir).collect()
+    )
+    assert len({t[0] for t in got}) == len(got)  # exactly-once per purchase
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_semi_test")
+    want = sorted(
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   CAST(round(p.value * 100) AS BIGINT) AS value_cents
+            FROM ev_semi_test p
+            WHERE p.event_type = 'purchase' AND EXISTS (
+                SELECT 1 FROM ev_semi_test c
+                WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts)
+            """
+        ).collect()
+    )
+    assert got == want
