@@ -1708,3 +1708,135 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_customers"),
         F.sum("cents").cast("long").alias("top5_cents"),
     )
+
+
+#: Target-encoding smoothing strength (pseudo-observations pulled
+#: toward the global mean — the standard empirical-Bayes shrinkage).
+TENC_SMOOTH = 20
+
+
+@register(
+    "ml_target_encoding",
+    sql=f"""
+        WITH base AS (
+            SELECT o_orderpriority AS category,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        cat AS (
+            SELECT category,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s
+            FROM base GROUP BY category
+        ),
+        gstats AS (
+            SELECT CAST(sum(n) AS BIGINT) AS gn, CAST(sum(s) AS BIGINT) AS gs
+            FROM cat
+        )
+        SELECT category, n,
+               round(CAST(s AS DOUBLE) / n / 100, 4) AS raw_mean,
+               round((CAST(s AS DOUBLE)
+                      + {TENC_SMOOTH} * CAST(gs AS DOUBLE) / gn)
+                     / (n + {TENC_SMOOTH}) / 100, 4) AS encoded_mean,
+               round(CAST(gs AS DOUBLE) / gn / 100, 4) AS global_mean
+        FROM cat, gstats
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding — the categorical-feature transform
+    gradient-boosting pipelines apply before training: each category's
+    target mean, shrunk toward the global mean by TENC_SMOOTH pseudo-
+    observations (empirical-Bayes; rare categories get the prior,
+    frequent ones their own signal). Emitted per category with the raw
+    and encoded means so the shrinkage is auditable.
+
+    Exactness: all sums are integer cents (associative), counts are
+    integers, and each mean renders through one fixed double
+    expression from those exact integers — the sql_mv_incremental
+    discipline. Scale shape: ONE map-side-combined aggregate collapses
+    the fact table to category grain; the global mean derives from
+    the category relation (no second corpus pass); the encode itself
+    is a broadcastable |categories|-row lookup table — which is the
+    point: at training time the encoder ships to every executor as a
+    map-side join."""
+    o = table(spark, sf_dir, "orders")
+    cat = o.select(
+        F.col("o_orderpriority").alias("category"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    ).groupBy("category").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    glob = cat.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("s").cast("long").alias("gs"),
+    )
+    sd = F.col("s").cast("double")
+    gmean = F.col("gs").cast("double") / F.col("gn")
+    return cat.crossJoin(F.broadcast(glob)).select(
+        "category",
+        "n",
+        F.round(sd / F.col("n") / 100, 4).alias("raw_mean"),
+        F.round(
+            (sd + TENC_SMOOTH * gmean) / (F.col("n") + TENC_SMOOTH) / 100, 4
+        ).alias("encoded_mean"),
+        F.round(gmean / 100, 4).alias("global_mean"),
+    )
+
+
+@register(
+    "agg_percentile_disc",
+    sql="""
+        WITH ranked AS (
+            SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey)
+                       AS rn,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                    AS BIGINT) AS p50_cents,
+               CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
+                    AS BIGINT) AS p90_cents,
+               CAST(max(n) AS BIGINT) AS n
+        FROM ranked
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC semantics — the ordered-set aggregate that
+    returns an ACTUAL population member (the smallest value whose
+    cumulative share >= p), not an interpolated midpoint: required
+    whenever the percentile must be a real observation (an order that
+    exists, a latency that happened). Spark has no percentile_disc
+    function; the engine expresses the ANSI definition directly —
+    rank the group, select the element at ceil(p*n) — which doubles
+    as the exactness proof: element selection over integer cents with
+    a total (value, key) order is hash-stable by construction, with
+    none of the interpolation-arithmetic seams percentile_cont
+    carries.
+
+    Scale shape: one window partitioned by the group key (rank +
+    count share the sort), one hash aggregate; selection indices are
+    integer expressions. At 100 TB the window is per-group, never
+    global."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda idx: F.max(F.when(F.col("rn") == idx, F.col("cents")))  # noqa: E731
+    return ranked.groupBy("o_orderpriority").agg(
+        pick(F.expr("(n + 1) DIV 2")).cast("long").alias("p50_cents"),
+        pick(F.expr("(9 * n + 9) DIV 10")).cast("long").alias("p90_cents"),
+        F.max("n").cast("long").alias("n"),
+    )

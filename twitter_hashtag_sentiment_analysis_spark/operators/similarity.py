@@ -1549,11 +1549,12 @@ def embed_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_GRAPH_K = 3
 
-
-@register(
-    "sim_knn_graph_mutual",
-    sql=f"""
-        WITH banded AS (
+# Shared CTE chain: sign-LSH banded candidates -> per-source cosine
+# top-k -> mutual filter. Reused verbatim by the sim_knn_graph_mutual
+# oracle and by dedup_semantic_cc's recursive-CTE oracle, so the two
+# operators provably score the SAME graph.
+_KNN_MUTUAL_CTES = f"""
+        banded AS (
             SELECT vec_id, embedding, unnest([{_NEARDUP_BANDS_SQL}]) AS band
             FROM embeddings
         ),
@@ -1585,10 +1586,19 @@ KNN_GRAPH_K = 3
                            ORDER BY cos_sim DESC, dst) AS rk
                 FROM scored
             ) WHERE rk <= {KNN_GRAPH_K}
-        )
-        SELECT a.src, a.dst, a.cos_sim
-        FROM topk a JOIN topk b ON a.src = b.dst AND a.dst = b.src
-        WHERE a.src < a.dst
+        ),
+        mutual AS (
+            SELECT a.src, a.dst, a.cos_sim
+            FROM topk a JOIN topk b ON a.src = b.dst AND a.dst = b.src
+            WHERE a.src < a.dst
+        )"""
+
+
+@register(
+    "sim_knn_graph_mutual",
+    sql=f"""
+        WITH {_KNN_MUTUAL_CTES}
+        SELECT src, dst, cos_sim FROM mutual
     """,
 )
 def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1670,3 +1680,120 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.join(rev, ["src", "dst"]).filter(
         F.col("src") < F.col("dst")
     ).select("src", "dst", "cos_sim")
+
+
+#: Iteration cap for the semantic-CC label propagation (mutual-kNN
+#: clusters are short chains/cliques; the loop exits early on
+#: fixpoint — same contract as dedup.CC_MAX_ITERS).
+SEMCC_MAX_ITERS = 20
+
+
+@register(
+    "dedup_semantic_cc",
+    sql=f"""
+        WITH RECURSIVE {_KNN_MUTUAL_CTES},
+        uedges AS (
+            SELECT src AS s, dst AS t FROM mutual
+            UNION ALL
+            SELECT dst, src FROM mutual
+        ),
+        nodes AS (SELECT DISTINCT s AS v FROM uedges),
+        reach(root, node) AS (
+            SELECT v, v FROM nodes
+            UNION
+            SELECT r.root, e.t FROM reach r JOIN uedges e ON r.node = e.s
+        )
+        SELECT root AS vec_id,
+               CAST(min(node) AS BIGINT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS cluster_size
+        FROM reach GROUP BY root
+    """,
+)
+def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup decision: connected components
+    over the mutual-kNN graph — the end of the embedding-dedup
+    pipeline (sign-LSH candidates -> cosine top-k -> mutual filter ->
+    clusters). Each clustered vector gets its component's min vec_id
+    as cluster_id plus the component size; a curation pass keeps one
+    representative per cluster (cf. dedup_cluster_keep_best for the
+    text analog). Vectors with NO mutual edge are semantically unique
+    and not emitted — at corpus scale that is ~all of them, and
+    emitting singletons would make the output corpus-sized for no
+    information.
+
+    Spark side: min-label propagation to FIXPOINT over the same edge
+    relation the registered sim_knn_graph_mutual computes (the
+    function is literally called — one graph, two operators), with
+    per-round localCheckpoint lineage truncation and a bounded scalar
+    convergence check, the dedup_connected_components discipline. The
+    oracle recomputes the identical graph via the shared CTE chain
+    and closes it with a recursive reachability CTE — exact hash
+    equality proves both the clustering AND the graph agree."""
+    edges = sim_knn_graph_mutual(spark, sf_dir).select("src", "dst")
+    uedges = (
+        edges.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .withColumnRenamed("src", "s")
+        .withColumnRenamed("dst", "t")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        uedges.select(F.col("s").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(SEMCC_MAX_ITERS):
+        neighbor_min = (
+            uedges.join(labels, uedges.t == labels.v)
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        cand = labels.join(
+            neighbor_min, labels.v == neighbor_min.s, "left"
+        ).select(
+            "v",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer jumping: also adopt the label OF the label node
+        # (labels are node ids), which halves chain lengths per round —
+        # O(log diameter) convergence instead of O(diameter), the trick
+        # that makes long mutual-kNN chains (observed diameter > 20 at
+        # sf0.01) converge inside the cap at any scale
+        hop = labels.select(
+            F.col("v").alias("lv"), F.col("lbl").alias("lbl2")
+        )
+        new_labels = (
+            cand.join(hop, cand.lbl == hop.lv, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_semantic_cc: no fixpoint in {SEMCC_MAX_ITERS} rounds"
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("v").alias("vec_id"),
+        F.col("lbl").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )

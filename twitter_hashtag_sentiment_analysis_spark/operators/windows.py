@@ -614,3 +614,82 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("island_len").cast("long").alias("active_months"),
         F.min("start_m").cast("long").alias("first_month_idx"),
     )
+
+
+@register(
+    "win_reset_running_sum",
+    sql="""
+        WITH seg AS (
+            SELECT event_id, user_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   event_type,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS seg_id
+            FROM events
+        )
+        SELECT event_id, user_id, CAST(seg_id AS BIGINT) AS seg_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN cents ELSE 0 END)
+                    OVER (PARTITION BY user_id, seg_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT)
+                   AS spend_since_signup_cents
+        FROM seg
+    """,
+)
+def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resettable running sum — 'purchase spend since the user's most
+    recent signup': a cumulative metric whose accumulator RESETS at
+    marker events, the segmented-window primitive behind 'since last
+    deploy/deposit/login' dashboards. Two stacked windows express it
+    without a join or a UDF: a conditional running count of markers
+    assigns each row a segment id (the gaps-and-islands cousin), and
+    the value cumsum partitions by (user, segment), so crossing a
+    marker starts a fresh accumulator.
+
+    Exactness: cents are exact integers, the (ts, event_id) order is
+    total, and both windows are integer arithmetic — hash-stable.
+    Scale shape: both windows partition by user_id and share ONE sort
+    (the second adds seg_id, a prefix-compatible key), so the plan is
+    one exchange + one sort regardless of corpus size; no global
+    window anywhere."""
+    e = table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w_seg = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_type",
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        )
+        .over(w_seg)
+        .alias("seg_id"),
+    )
+    w_run = (
+        Window.partitionBy("user_id", "seg_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seg.select(
+        "event_id",
+        "user_id",
+        F.col("seg_id").cast("long").alias("seg_id"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(
+                0
+            )
+        )
+        .over(w_run)
+        .cast("long")
+        .alias("spend_since_signup_cents"),
+    )

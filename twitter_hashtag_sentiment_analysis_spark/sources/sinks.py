@@ -703,3 +703,73 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    sql="""
+        WITH monthly AS (
+            SELECT CAST(date_part('month', o_orderdate) AS INTEGER)
+                       AS order_month,
+                   o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE date_part('year', o_orderdate) = 1996
+        )
+        SELECT order_month,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS cents,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM monthly
+        GROUP BY order_month
+    """,
+)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic) —
+    the idempotent-backfill sink contract: an INSERT OVERWRITE of a
+    partitioned table replaces ONLY the partitions present in the
+    incoming batch and leaves every other partition untouched. Static
+    mode (the default) would TRUNCATE the whole table first — the
+    classic production data-loss foot-gun this operator exists to pin.
+
+    Demonstrated end-to-end: the 1996 orders land partitioned by
+    month; a second overwrite rewrites ONLY months 1-3 (with the same
+    rows, so the final state is idempotent); months 4-12 must survive
+    untouched. The registered output is the read-back per-partition
+    census, so the oracle check proves both writes landed correctly.
+    At 100 TB this is how daily backfills re-run safely: the job
+    overwrites yesterday's partition in place, never the table."""
+    base = tempfile.mkdtemp(prefix="thsa_dynover_")
+    out = os.path.join(base, "orders_by_month")
+    o = table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1996
+    )
+    monthly = o.select(
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        monthly.write.partitionBy("order_month").mode("overwrite").parquet(
+            out
+        )
+        # the backfill: overwrite ONLY months 1-3; dynamic mode must
+        # leave months 4-12 in place (static mode would delete them)
+        monthly.filter(F.col("order_month") <= 3).write.partitionBy(
+            "order_month"
+        ).mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.col("order_month").cast("int").alias("order_month")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+    )
