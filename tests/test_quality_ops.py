@@ -1145,3 +1145,92 @@ def test_semi_join_stream_equals_exists(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_semantic_cc_labels_are_component_minima(spark, sf_dir):
+    """Every cluster's id is its minimum member, sizes are consistent
+    (sum of per-cluster counts == rows), and every clustered vector
+    appears in the mutual-kNN edge set."""
+    from collections import Counter
+
+    reg = load_all()
+    rows = reg["dedup_semantic_cc"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["vec_id"] for m in members)
+        assert all(m["cluster_size"] == len(members) for m in members)
+    edges = reg["sim_knn_graph_mutual"].fn(spark, sf_dir).collect()
+    nodes = {e["src"] for e in edges} | {e["dst"] for e in edges}
+    assert {r["vec_id"] for r in rows} == nodes
+    # edges never cross clusters (it's a partition into components)
+    lbl = {r["vec_id"]: r["cluster_id"] for r in rows}
+    assert all(lbl[e["src"]] == lbl[e["dst"]] for e in edges)
+    _ = Counter  # imported for symmetry with sibling tests
+
+
+def test_reset_running_sum_resets_at_signup(spark, tmp_path):
+    """Planted sequence: purchases accumulate, a signup zeroes the
+    accumulator, later purchases start fresh."""
+    rows = [
+        _ev(1, 0, 1, "purchase", 10.0),
+        _ev(2, 1, 1, "purchase", 5.0),
+        _ev(3, 2, 1, "signup", 0.0),
+        _ev(4, 3, 1, "purchase", 7.0),
+        _ev(5, 4, 1, "view", 99.0),       # non-purchase never counts
+        _ev(6, 5, 1, "purchase", 1.0),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r["event_id"]: (r["seg_id"], r["spend_since_signup_cents"])
+        for r in load_all()["win_reset_running_sum"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        1: (0, 1000),
+        2: (0, 1500),
+        3: (1, 0),
+        4: (1, 700),
+        5: (1, 700),
+        6: (1, 800),
+    }
+
+
+def test_target_encoding_shrinks_toward_global_mean(spark, sf_dir):
+    """encoded_mean lies strictly between raw_mean and global_mean for
+    every category whose raw mean differs from global."""
+    rows = load_all()["ml_target_encoding"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        lo, hi = sorted((r["raw_mean"], r["global_mean"]))
+        assert lo - 1e-4 <= r["encoded_mean"] <= hi + 1e-4
+
+
+def test_percentile_disc_returns_population_members(spark, sf_dir):
+    """p50/p90 must be actual order totals (exact cents present in the
+    group) with the right rank position."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+
+    rows = load_all()["agg_percentile_disc"].fn(spark, sf_dir).collect()
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    for r in rows:
+        vals = sorted(
+            x["cents"]
+            for x in o.filter(
+                F.col("o_orderpriority") == r["o_orderpriority"]
+            ).collect()
+        )
+        assert r["p50_cents"] == vals[(len(vals) + 1) // 2 - 1]
+        assert r["p90_cents"] == vals[(9 * len(vals) + 9) // 10 - 1]
+
+
+def test_dynamic_overwrite_preserves_untouched_partitions(spark, sf_dir):
+    """The read-back census must cover all 12 months of 1996 even
+    though the second write only touched months 1-3."""
+    rows = load_all()["sink_dynamic_partition_overwrite"].fn(spark, sf_dir).collect()
+    assert {r["order_month"] for r in rows} == set(range(1, 13))
+    assert all(r["n_orders"] > 0 for r in rows)

@@ -1682,10 +1682,38 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst", "cos_sim")
 
 
-#: Iteration cap for the semantic-CC label propagation (mutual-kNN
-#: clusters are short chains/cliques; the loop exits early on
-#: fixpoint — same contract as dedup.CC_MAX_ITERS).
-SEMCC_MAX_ITERS = 20
+#: Round cap for the alternating star contraction (provably
+#: O(log^2 n) rounds worst case, ~6 observed on the fixtures; the
+#: loop exits on edge-set fixpoint).
+SEMCC_MAX_ITERS = 40
+
+
+def _large_star(E: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star: every strictly-larger neighbor of u
+    re-links to min(N(u) + {u}). Preserves connectivity; shrinks tall
+    structures toward minima."""
+    sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """Kiveris et al. small-star: orient edges toward the larger node,
+    re-link each node's smaller neighbors (and itself) to their
+    minimum."""
+    o = E.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    em = o.join(m, "u")
+    out = em.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    ).unionAll(m.select(F.col("u"), F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
 
 
 @register(
@@ -1721,79 +1749,74 @@ def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitting singletons would make the output corpus-sized for no
     information.
 
-    Spark side: min-label propagation to FIXPOINT over the same edge
-    relation the registered sim_knn_graph_mutual computes (the
-    function is literally called — one graph, two operators), with
-    per-round localCheckpoint lineage truncation and a bounded scalar
-    convergence check, the dedup_connected_components discipline. The
-    oracle recomputes the identical graph via the shared CTE chain
-    and closes it with a recursive reachability CTE — exact hash
-    equality proves both the clustering AND the graph agree."""
-    edges = sim_knn_graph_mutual(spark, sf_dir).select("src", "dst")
-    uedges = (
-        edges.unionAll(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .withColumnRenamed("src", "s")
-        .withColumnRenamed("dst", "t")
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        uedges.select(F.col("s").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    converged = False
-    for _ in range(SEMCC_MAX_ITERS):
-        neighbor_min = (
-            uedges.join(labels, uedges.t == labels.v)
-            .groupBy("s")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        cand = labels.join(
-            neighbor_min, labels.v == neighbor_min.s, "left"
-        ).select(
-            "v",
-            F.least(
-                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-            ).alias("lbl"),
-        )
-        # pointer jumping: also adopt the label OF the label node
-        # (labels are node ids), which halves chain lengths per round —
-        # O(log diameter) convergence instead of O(diameter), the trick
-        # that makes long mutual-kNN chains (observed diameter > 20 at
-        # sf0.01) converge inside the cap at any scale
-        hop = labels.select(
-            F.col("v").alias("lv"), F.col("lbl").alias("lbl2")
-        )
-        new_labels = (
-            cand.join(hop, cand.lbl == hop.lv, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
-                ).alias("lbl"),
-            )
+    Spark side: ALTERNATING STAR CONTRACTION (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — large-star +
+    small-star rounds until the edge set is a fixpoint star forest
+    rooted at component minima. Chosen over plain min-label
+    propagation because mutual-kNN graphs are ~degree-2k SPARSE with
+    long chains: propagation needs O(diameter) rounds (observed >20
+    at sf0.001) while star contraction converges in O(log^2 n) worst
+    case (6 rounds observed). Each round is two (groupBy-min + join)
+    stages over the edge relation with per-round localCheckpoint —
+    the same bounded-iteration discipline as dedup_connected_
+    components, at any corpus scale. The oracle recomputes the
+    identical graph via the shared CTE chain and closes it with a
+    recursive reachability CTE — exact equality proves both the
+    clustering AND the graph agree."""
+    # the iteration state is edge-set-sized (<= 2k|V| rows) but each
+    # round is several tiny stages: run them at a reduced partition
+    # count — the per-stage scheduling overhead, not data volume, is
+    # the cost at every scale (a production run sizes this to
+    # |E| / target-partition-size)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        E = (
+            sim_knn_graph_mutual(spark, sf_dir)
+            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
+        nodes = (
+            E.select(F.col("u").alias("n"))
+            .unionAll(E.select(F.col("v").alias("n")))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"dedup_semantic_cc: no fixpoint in {SEMCC_MAX_ITERS} rounds"
-        )
+        converged = False
+        for rnd in range(SEMCC_MAX_ITERS):
+            E2 = _small_star(_large_star(E)).localCheckpoint(eager=True)
+            E = E2
+            # termination: the alternation's fixpoint is exactly a star
+            # forest — no edge's parent is itself a child. One semi-join
+            # count per round (cheaper than multiset equality), and once
+            # a star forest, one more alternation is a no-op, so exiting
+            # here returns the fixpoint itself.
+            nonstar = (
+                E.join(
+                    E.select(F.col("u").alias("p")).distinct(),
+                    E.v == F.col("p"),
+                    "leftSemi",
+                ).count()
+            )
+            if nonstar == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"dedup_semantic_cc: star contraction did not converge in"
+                f" {SEMCC_MAX_ITERS} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # fixpoint E is a star forest: (child, root); roots label themselves
+    child = E.select(F.col("u").alias("vec_id"), F.col("v").alias("lbl"))
+    roots = nodes.join(
+        E.select(F.col("u").alias("n")), "n", "leftAnti"
+    ).select(F.col("n").alias("vec_id"), F.col("n").alias("lbl"))
+    labels = child.unionAll(roots)
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
-        F.col("v").alias("vec_id"),
+        "vec_id",
         F.col("lbl").cast("long").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
