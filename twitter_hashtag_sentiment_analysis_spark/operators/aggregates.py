@@ -1840,3 +1840,89 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(F.expr("(9 * n + 9) DIV 10")).cast("long").alias("p90_cents"),
         F.max("n").cast("long").alias("n"),
     )
+
+
+@register(
+    "stat_skew_kurtosis",
+    sql="""
+        WITH c AS (
+            SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS x
+            FROM orders
+        ),
+        m AS (
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS DECIMAL(38,0)) AS s1,
+                   sum(CAST(x AS DECIMAL(18,0)) * x) AS s2,
+                   sum(CAST(x AS DECIMAL(18,0)) * x * x) AS s3,
+                   sum(CAST(CAST(x AS DECIMAL(18,0)) * x AS DECIMAL(38,0))
+                       * CAST(CAST(x AS DECIMAL(18,0)) * x
+                              AS DECIMAL(38,0))) AS s4
+            FROM c GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, n,
+               round((CAST(s3 AS DOUBLE) / n
+                      - 3 * (CAST(s1 AS DOUBLE) / n)
+                          * (CAST(s2 AS DOUBLE) / n)
+                      + 2 * pow(CAST(s1 AS DOUBLE) / n, 3))
+                     / pow(CAST(s2 AS DOUBLE) / n
+                           - pow(CAST(s1 AS DOUBLE) / n, 2), 1.5), 6)
+                   AS skewness,
+               round((CAST(s4 AS DOUBLE) / n
+                      - 4 * (CAST(s1 AS DOUBLE) / n)
+                          * (CAST(s3 AS DOUBLE) / n)
+                      + 6 * pow(CAST(s1 AS DOUBLE) / n, 2)
+                          * (CAST(s2 AS DOUBLE) / n)
+                      - 3 * pow(CAST(s1 AS DOUBLE) / n, 4))
+                     / pow(CAST(s2 AS DOUBLE) / n
+                           - pow(CAST(s1 AS DOUBLE) / n, 2), 2) - 3, 6)
+                   AS excess_kurtosis
+        FROM m
+    """,
+)
+def stat_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of order totals per
+    priority — the distribution-shape panel a pricing/risk readout
+    includes next to mean/stddev (agg_stats). Spark and DuckDB both
+    ship skewness()/kurtosis() built-ins but with DIFFERENT
+    conventions (sample vs population corrections), so the engine
+    computes both moments from EXPLICIT exact integer moment sums —
+    x in cents, x^2/x^3/x^4 as exact DECIMAL products (the
+    ts_autocorr recipe) — and assembles the standardized moments in
+    one identical double expression per engine. Convention is pinned
+    in the operator, not inherited from a library.
+
+    Scale shape: ONE map-side-combined aggregate; decimal sums are
+    associative so partial aggregation cannot perturb a digit; the
+    5-row result renders scalar math only."""
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(18,0)")
+    x2 = (xd * F.col("x")).cast("decimal(38,0)")
+    m = c.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s1"),
+        F.sum(xd * F.col("x")).alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(x2 * x2).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (
+        m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * F.pow(m1, 4)
+    ) / F.pow(var, 2) - 3
+    return m.select(
+        "o_orderpriority",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )

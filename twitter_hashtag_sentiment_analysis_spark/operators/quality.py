@@ -304,3 +304,64 @@ def quality_duplication_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("duplication_factor"),
         F.max("copies").cast("long").alias("max_copies"),
     )
+
+
+@register(
+    "quality_join_fanout_census",
+    sql="""
+        WITH fan AS (
+            SELECT o.o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS fanout
+            FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey
+        ),
+        bucketed AS (
+            SELECT CASE WHEN fanout = 0 THEN -1
+                        ELSE CAST(floor(log2(fanout)) AS BIGINT) END
+                       AS log2_bucket,
+                   fanout
+            FROM fan
+        )
+        SELECT log2_bucket,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(fanout) AS BIGINT) AS n_rows,
+               CAST(min(fanout) AS BIGINT) AS min_fanout,
+               CAST(max(fanout) AS BIGINT) AS max_fanout
+        FROM bucketed
+        GROUP BY log2_bucket
+    """,
+)
+def quality_join_fanout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-fanout census for the workload's biggest join
+    (orders->lineitem): how many lineitems each order key fans out to,
+    histogrammed in log2 buckets (bucket -1 = childless keys). This is
+    the profile a planner consults BEFORE running a 100 TB join — the
+    skew decision (salting? AQE skew split? broadcast?) is made from
+    exactly this distribution, and dedup/skew operators in this repo
+    (join_skew_salted, join_skew_hotcold) assume someone measured it.
+
+    Exactness: pure integer counting — per-key counts, log2 buckets
+    via floor(log2(n)) on exact integers (log2 of an exact small int
+    is ulp-safe: the nearest-double of log2(k) is never on a floor
+    boundary for k < 2^40 unless k is a power of two, where log2 is
+    EXACT in both engines). Scale shape: one co-partitioned count per
+    key (the join's own shuffle), then a 40-row histogram aggregate."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    fan = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").cast("long").alias("fanout"))
+    )
+    bucket = F.when(F.col("fanout") == 0, F.lit(-1)).otherwise(
+        F.floor(F.log2("fanout"))
+    )
+    return (
+        fan.select(bucket.cast("long").alias("log2_bucket"), "fanout")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("fanout").cast("long").alias("n_rows"),
+            F.min("fanout").cast("long").alias("min_fanout"),
+            F.max("fanout").cast("long").alias("max_fanout"),
+        )
+    )

@@ -1820,3 +1820,77 @@ def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").cast("long").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
+
+
+#: Fixed-point scale for per-dimension embedding statistics: values
+#: quantize to millionths, making every moment sum an exact integer.
+DIMSTAT_SCALE = 1_000_000
+
+
+@register(
+    "embed_dim_stats",
+    sql=f"""
+        WITH flat AS (
+            SELECT u.i AS dim,
+                   CAST(round(CAST(embedding[u.i] AS DOUBLE)
+                              * {DIMSTAT_SCALE}) AS BIGINT) AS q
+            FROM embeddings, LATERAL unnest(range(1, {DIM + 1})) AS u(i)
+        ),
+        m AS (
+            SELECT dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(q) AS BIGINT) AS s1,
+                   sum(CAST(q AS DECIMAL(18,0)) * q) AS s2
+            FROM flat GROUP BY dim
+        )
+        SELECT CAST(dim AS BIGINT) AS dim, n,
+               round(CAST(s1 AS DOUBLE) / n / {DIMSTAT_SCALE}, 6) AS mean,
+               round((CAST(s2 AS DOUBLE) / n
+                      - pow(CAST(s1 AS DOUBLE) / n, 2))
+                     / {DIMSTAT_SCALE} / {DIMSTAT_SCALE}, 9) AS variance
+        FROM m
+    """,
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance across the embedding corpus — the
+    feature-quality panel run before dimension pruning, whitening, or
+    Matryoshka truncation (a near-zero-variance dimension carries no
+    information and is the first candidate to drop;
+    embed_matryoshka_truncate measures what dropping costs, this
+    measures which dims are droppable).
+
+    Exactness: float32 components quantize to exact integer millionths
+    (they carry < 7 significant decimal digits, so round(x * 1e6) is
+    deterministic in both engines), moment sums are exact integer /
+    decimal — associative, order-proof — and the two statistics render
+    from those integers in one fixed expression. Scale shape: the
+    explode is a constant x64 fan-out collapsed immediately by a
+    map-side-combined aggregate on 64 keys; no shuffle carries
+    row-grain data."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * DIMSTAT_SCALE, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    m = flat.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s1"),
+        F.sum(F.col("q").cast("decimal(18,0)") * F.col("q")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    return m.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.round(m1 / DIMSTAT_SCALE, 6).alias("mean"),
+        F.round(
+            (F.col("s2").cast("double") / n - m1 * m1)
+            / DIMSTAT_SCALE
+            / DIMSTAT_SCALE,
+            9,
+        ).alias("variance"),
+    )

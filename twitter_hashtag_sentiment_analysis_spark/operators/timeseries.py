@@ -2067,3 +2067,69 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             > MAD_SIGMA * MAD_K * F.col("mad")
         ).alias("is_anomaly"),
     )
+
+
+@register(
+    "ts_inter_arrival",
+    sql="""
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts, event_id) AS gap_us
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, gap_us,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY gap_us) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM gaps WHERE gap_us IS NOT NULL
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_gaps,
+               CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+                    AS BIGINT) AS p50_gap_us,
+               CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END)
+                    AS BIGINT) AS p90_gap_us,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        FROM ranked
+        GROUP BY event_type
+    """,
+)
+def ts_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type: median/p90/max gaps
+    between consecutive events — the measurement behind streaming
+    capacity choices in this repo (watermark delays, session gap
+    thresholds, rate limits are all picked against exactly this
+    distribution; ts_sessionize's 30-minute gap is only defensible if
+    p90 inter-arrival sits well under it).
+
+    Exactness: gaps are integer MICROSECONDS (epoch_us; the
+    event_conversion_latency_histogram lesson), percentiles are
+    PERCENTILE_DISC-style element selection (agg_percentile_disc) —
+    no interpolation, no float sums anywhere. Scale shape: the lag
+    window and the rank window both partition by event_type; the
+    final aggregate reuses the same key. Unique (ts, event_id) order
+    makes both windows total."""
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    wn = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda idx: F.max(F.when(F.col("rn") == idx, F.col("gap_us")))  # noqa: E731
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        pick(F.expr("(n + 1) DIV 2")).cast("long").alias("p50_gap_us"),
+        pick(F.expr("(9 * n + 9) DIV 10")).cast("long").alias("p90_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
