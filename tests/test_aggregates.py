@@ -108,3 +108,77 @@ def test_ab_ttest_degenerate_groups_yield_null(spark, tmp_path):
     row = load_all()["stat_ab_ttest"].fn(spark, str(tmp_path)).collect()[0]
     assert row["n_a"] == 2 and row["n_b"] == 1
     assert row["t_stat"] is None and row["welch_df"] is None
+
+
+def test_skew_kurtosis_matches_numpy_population_moments(spark, sf_dir):
+    """The explicit moment assembly must agree with an independent
+    numpy computation of population skewness / excess kurtosis."""
+    import numpy as np
+
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = {
+        r["o_orderpriority"]: r
+        for r in load_all()["stat_skew_kurtosis"].fn(spark, sf_dir).collect()
+    }
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+    )
+    for prio, r in rows.items():
+        xs = np.array(
+            [
+                q["x"]
+                for q in o.filter(F.col("o_orderpriority") == prio).collect()
+            ],
+            dtype=np.float64,
+        )
+        mu, sig = xs.mean(), xs.std()  # population
+        skew = float(((xs - mu) ** 3).mean() / sig**3)
+        kurt = float(((xs - mu) ** 4).mean() / sig**4 - 3)
+        assert abs(r["skewness"] - skew) < 1e-4, (prio, r["skewness"], skew)
+        assert abs(r["excess_kurtosis"] - kurt) < 1e-4
+
+
+def test_join_fanout_census_partitions_all_orders(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["quality_join_fanout_census"].fn(spark, sf_dir).collect()
+    n_orders = table(spark, sf_dir, "orders").count()
+    n_lineitem = table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_keys"] for r in rows) == n_orders
+    assert sum(r["n_rows"] for r in rows) == n_lineitem
+    for r in rows:
+        if r["log2_bucket"] >= 0:
+            lo, hi = 2 ** r["log2_bucket"], 2 ** (r["log2_bucket"] + 1) - 1
+            assert lo <= r["min_fanout"] <= r["max_fanout"] <= hi
+
+
+def test_inter_arrival_percentiles_are_ordered_gaps(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["ts_inter_arrival"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["p50_gap_us"] <= r["p90_gap_us"] <= r["max_gap_us"]
+        assert r["n_gaps"] > 0
+
+
+def test_embed_dim_stats_covers_all_dims_losslessly(spark, sf_dir):
+    import numpy as np
+
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["embed_dim_stats"].fn(spark, sf_dir).collect()
+    assert {r["dim"] for r in rows} == set(range(1, 65))
+    emb = np.array(
+        [r["embedding"] for r in table(spark, sf_dir, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    for r in rows[:8]:
+        col = emb[:, r["dim"] - 1]
+        assert abs(r["mean"] - col.mean()) < 2e-6
+        assert abs(r["variance"] - col.var()) < 2e-6
