@@ -2653,3 +2653,37 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return scored.orderBy(F.desc("jaccard"), "a", "b").limit(LINKPRED_TOPK)
+
+
+EXEC_IMMEDIATE_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE o_orderdate >= CAST(? AS DATE)
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "sql_execute_immediate",
+    sql=EXEC_IMMEDIATE_SQL.replace("CAST(? AS DATE)", "DATE '1997-01-01'"),
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4 / ANSI dynamic SQL): a query held in
+    a SQL VARIABLE executed with a positional parameter — the
+    stored-procedure-style dynamic dispatch surface (template the
+    query once, bind per run), complementing sql_parameterized (API
+    binding) and sql_variables (session state). The parameter binds as
+    a typed literal, so Catalyst still constant-folds and pushes the
+    date predicate to the scan — dynamic SQL costs nothing at plan
+    time. The oracle runs the same text with the literal inlined."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE exec_stmt STRING")
+    spark.sql(
+        "SET VARIABLE exec_stmt = '"
+        + EXEC_IMMEDIATE_SQL.replace("'", "''")
+        + "'"
+    )
+    return spark.sql("EXECUTE IMMEDIATE exec_stmt USING '1997-01-01'")

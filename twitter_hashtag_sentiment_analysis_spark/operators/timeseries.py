@@ -2133,3 +2133,96 @@ def ts_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(F.expr("(9 * n + 9) DIV 10")).cast("long").alias("p90_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+#: Bollinger window (trading days) and band width (sigmas).
+BOLL_WINDOW = 20
+BOLL_SIGMA = 2
+
+
+@register(
+    "ts_bollinger",
+    sql=f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        m AS (
+            SELECT day, cents,
+                   CAST(count(*) OVER w AS BIGINT) AS n,
+                   CAST(sum(cents) OVER w AS BIGINT) AS s1,
+                   sum(CAST(cents AS DECIMAL(18,0)) * cents) OVER w AS s2
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING
+                                  AND CURRENT ROW)
+        ),
+        b AS (
+            SELECT day, cents, n,
+                   CAST(s1 AS DOUBLE) / n AS mu,
+                   sqrt(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n)
+                          * (CAST(s1 AS DOUBLE) / n)) AS sig
+            FROM m WHERE n = {BOLL_WINDOW}
+        )
+        SELECT day, cents,
+               mu / 100 AS sma,
+               (mu + {BOLL_SIGMA} * sig) / 100 AS upper_band,
+               (mu - {BOLL_SIGMA} * sig) / 100 AS lower_band
+        FROM b
+    """,
+)
+def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily-revenue series: 20-day rolling
+    mean ± 2 rolling population sigmas — the mean-reversion envelope
+    (complements ts_ewma's trend line and ts_anomaly_zscore's
+    point flags with a CONTINUOUS normal-range band). Rows emit only
+    once the window is full (n = 20), the standard warm-up rule.
+
+    Exactness: rolling moments are exact integer/decimal sums over
+    exact cents (the stat_skew_kurtosis recipe applied to a ROWS
+    frame — frame sums are order-deterministic because the frame IS
+    an ordered set), bands render in one fixed expression. Scale
+    shape: the fact table collapses to days first; the single
+    unpartitioned window runs over the calendar-sized relation (the
+    ts_downsample_lttb note applies: acceptable because bounded; a
+    multi-series corpus would partition by series key)."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(-(BOLL_WINDOW - 1), 0)
+    m = daily.select(
+        "day",
+        "cents",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum("cents").over(w).cast("long").alias("s1"),
+        F.sum(F.col("cents").cast("decimal(18,0)") * F.col("cents"))
+        .over(w)
+        .alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    # mean*mean, never pow(mean, 2): Java Math.pow is not correctly
+    # rounded, so pow diverges from DuckDB's by 1 ulp (observed);
+    # multiplication is IEEE-exact in both
+    sig = F.sqrt(F.col("s2").cast("double") / n - mean * mean)
+    # emitted UNROUNDED: the moments are exact integers, so both
+    # engines assemble bit-identical doubles — while round(x, 2) sits
+    # on a .005 tie for band values (observed: 1331471.535 rounding
+    # .54 vs .53 across engines) and would BREAK the hash the raw
+    # doubles pass
+    return m.filter(F.col("n") == BOLL_WINDOW).select(
+        "day",
+        "cents",
+        (mean / 100).alias("sma"),
+        ((mean + BOLL_SIGMA * sig) / 100).alias("upper_band"),
+        ((mean - BOLL_SIGMA * sig) / 100).alias("lower_band"),
+    )

@@ -97,8 +97,10 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_outer_join_watermark",
     "stream_full_outer_join_watermark",
     "stream_semi_join",
+    "stream_session_dynamic_gap",
     "sql_window_clause",
     "q_customer_ltv_decile",
+    "sql_execute_immediate",
     "ts_holt_linear",
     "ts_autocorr",
     "event_peak_concurrency",
@@ -138,8 +140,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "sink_compact_small_files",
     "sink_zorder_layout",
     "catalog_txn_time_travel",
-    "scan_binary_files",
-    "source_python_datasource",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions

@@ -1479,3 +1479,82 @@ def stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "user_id", "value_cents")
     name = _run_to_memory(joined, "sssemi")
     return spark.table(name).filter(F.col("purchase_id") >= 0)
+
+
+@register(
+    "stream_session_dynamic_gap",
+    sql="""
+        WITH e AS (
+            SELECT user_id, ts, event_type,
+                   CASE WHEN event_type = 'purchase' THEN CAST(3600 AS BIGINT)
+                        ELSE CAST(900 AS BIGINT) END AS gap_s
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts, gap_s,
+                   CASE WHEN epoch_us(ts) > max(epoch_us(ts) + gap_s * 1000000)
+                             OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING)
+                         OR row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts) = 1
+                        THEN 1 ELSE 0 END AS new_session
+            FROM e
+        ),
+        sess AS (
+            SELECT user_id, ts, gap_s,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               CAST(max(epoch_us(ts) + gap_s * 1000000) AS BIGINT)
+                   AS session_end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows (Spark 3.2+ session_window with a
+    gap EXPRESSION): purchases hold a session open for 1 h, everything
+    else for 15 min — the per-event-type engagement model real
+    sessionization uses (a checkout proves intent; a view does not).
+    Spark merges windows whose [ts, ts+gap) ranges overlap; the
+    oracle rebuilds identical sessions with the running-max-of-ends
+    idiom — a new session starts exactly when an event's time exceeds
+    every previous event's (ts + its own gap), which IS the overlap-
+    merge semantics in lag form. Session end is the max per-event end
+    (last event time + ITS gap, not a fixed gap — the part the
+    fixed-gap stream_session cannot express).
+
+    Exactness: ends compare in integer microseconds; counts are
+    integers. Scale shape: one user-partitioned window chain (running
+    max + cumsum share the sort) — the same single-shuffle plan as
+    ts_sessionize at any scale. The same expression runs under
+    readStream (session_window accepts the gap column in streaming
+    aggregations with watermarks)."""
+    ev = table(spark, sf_dir, "events")
+    # string gap values: session_window requires CalendarIntervalType
+    # for a dynamic gap, which the string form provides (the ANSI
+    # INTERVAL literal is DayTimeIntervalType and is rejected)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("1 hour")).otherwise(
+        F.lit("15 minutes")
+    )
+    return (
+        ev.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.unix_micros(F.to_utc_timestamp(F.col("w.end"), "UTC")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
