@@ -182,3 +182,44 @@ def test_embed_dim_stats_covers_all_dims_losslessly(spark, sf_dir):
         col = emb[:, r["dim"] - 1]
         assert abs(r["mean"] - col.mean()) < 2e-6
         assert abs(r["variance"] - col.var()) < 2e-6
+
+
+def test_bollinger_bands_bracket_the_sma(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = load_all()["ts_bollinger"].fn(spark, sf_dir).collect()
+    assert rows
+    inside = 0
+    for r in rows:
+        assert r["lower_band"] <= r["sma"] <= r["upper_band"]
+        if r["lower_band"] * 100 <= r["cents"] <= r["upper_band"] * 100:
+            inside += 1
+    # ~95% of points sit inside a 2-sigma band on a stationary series
+    assert inside / len(rows) > 0.8
+
+
+def test_execute_immediate_binds_the_parameter(spark, sf_dir):
+    """The bound date actually filters: totals differ from the
+    unfiltered aggregate and match a directly-executed query."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["cents"])
+        for r in load_all()["sql_execute_immediate"].fn(spark, sf_dir).collect()
+    }
+    o = table(spark, sf_dir, "orders")
+    direct = {
+        r["o_orderpriority"]: (r["n"], r["c"])
+        for r in o.filter(F.col("o_orderdate") >= "1997-01-01")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    }
+    assert got == direct
+    assert sum(v[0] for v in got.values()) < o.count()

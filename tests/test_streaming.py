@@ -623,3 +623,53 @@ def test_full_outer_join_watermark_matches_batch_full_join(spark, sf_dir):
     )
     want = sorted((tuple(r) for r in batch.collect()), key=nonekey)
     assert got == want
+
+
+def test_dynamic_gap_sessions_respect_per_type_gaps(spark, sf_dir):
+    """Within any session, consecutive gaps never exceed the previous
+    event's own gap allowance (1h after a purchase, 15min otherwise) —
+    and some session must exist that a FIXED 15-min gap would have
+    split (the dynamic part does real work)."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    sess = load_all()["stream_session_dynamic_gap"].fn(spark, sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    joined = (
+        sess.alias("s")
+        .join(ev.alias("e"), "user_id")
+        .filter(
+            (F.col("e.ts") >= F.col("s.session_start"))
+            & (
+                F.unix_micros(F.to_utc_timestamp(F.col("e.ts"), "UTC"))
+                <= F.col("s.session_end_us")
+            )
+        )
+    )
+    # count events per session matches n_events (sessions partition
+    # the user's events)
+    counts = joined.groupBy(
+        "user_id", "session_start", "n_events"
+    ).agg(F.count("*").alias("m"))
+    bad = counts.filter(F.col("m") < F.col("n_events")).count()
+    assert bad == 0
+    # dynamic gap does real work: at least one session contains a
+    # consecutive gap > 15 min (only legal after a purchase)
+    w = __import__("pyspark").sql.Window.partitionBy(
+        "user_id", "session_start"
+    ).orderBy("ts")
+    gaps = joined.select(
+        "user_id",
+        "session_start",
+        "event_type",
+        (
+            F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+            - F.lag(F.unix_micros(F.to_utc_timestamp("ts", "UTC"))).over(w)
+        ).alias("gap_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("gap_us").isNotNull())
+    wide = gaps.filter(F.col("gap_us") > 15 * 60 * 1_000_000)
+    assert wide.count() > 0
+    assert wide.filter(F.col("prev_type") != "purchase").count() == 0
