@@ -865,3 +865,25 @@ def test_epoch_shuffle_is_one_aggregate(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sample_epoch_shuffle")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_star_except_prunes_excluded_columns(spark, sf_dir):
+    """* EXCEPT must not read the excluded columns: ReadSchema carries
+    4 of 6 order columns."""
+    plan = plan_of(spark, sf_dir, "sql_star_except")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderpriority" not in read_schema, read_schema
+    assert "o_orderstatus" not in read_schema, read_schema
+    assert "o_totalprice" in read_schema, read_schema
+
+
+def test_lateral_alias_stays_in_one_codegen_stage(spark, sf_dir):
+    """The alias chain lowers to stacked Projects FUSED into a single
+    WholeStageCodegen span over the scan — no exchange, no subquery
+    boundary; the filter still pushes to parquet."""
+    plan = plan_of(spark, sf_dir, "sql_lateral_column_alias")
+    assert "Exchange" not in plan, plan
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey" in plan, plan
+    # every Project carries the same codegen id (one fused stage)
+    ids = set(re.findall(r"Project \[codegen id : (\d+)\]", plan))
+    assert len(ids) == 1, plan

@@ -2687,3 +2687,56 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         + "'"
     )
     return spark.sql("EXECUTE IMMEDIATE exec_stmt USING '1997-01-01'")
+
+
+@register(
+    "sql_lateral_column_alias",
+    sql="""
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               cents // 100 AS whole_dollars,
+               whole_dollars % 1000 AS dollar_bucket
+        FROM orders
+        WHERE o_orderkey < 1000
+    """,
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+ / DuckDB): a SELECT item
+    referencing an alias defined EARLIER IN THE SAME SELECT —
+    `cents` feeds `whole_dollars` feeds `dollar_bucket` without
+    nesting three subqueries, the ergonomic surface every derived-
+    metric query wants. Catalyst inlines the chain into one
+    projection (no extra operators), which the identical-text oracle
+    proves value-wise. Integer DIV/% keep it hash-exact."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               cents DIV 100 AS whole_dollars,
+               whole_dollars % 1000 AS dollar_bucket
+        FROM orders
+        WHERE o_orderkey < 1000
+        """
+    )
+
+
+@register(
+    "sql_star_except",
+    sql="""
+        SELECT * EXCLUDE (o_orderpriority, o_orderstatus)
+        FROM orders WHERE o_orderkey < 500
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * EXCEPT (cols)` (Spark 4; DuckDB spells it EXCLUDE) —
+    the wide-table projection idiom: keep everything but the columns
+    you name, which is how 200-column fact tables drop PII or
+    operational columns without enumerating 198 names. Column pruning
+    still applies: the excluded columns never reach the scan's
+    ReadSchema (plan-asserted in tests), so the sugar costs nothing."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT * EXCEPT (o_orderpriority, o_orderstatus) "
+        "FROM orders WHERE o_orderkey < 500"
+    )

@@ -101,6 +101,8 @@ _DRIVER_SAMPLE_PREFIX = (
     "sql_window_clause",
     "q_customer_ltv_decile",
     "sql_execute_immediate",
+    "sql_lateral_column_alias",
+    "sql_star_except",
     "ts_holt_linear",
     "ts_autocorr",
     "event_peak_concurrency",
@@ -138,8 +140,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "sink_sorted_layout",
     "scan_parquet_bloom",
     "sink_compact_small_files",
-    "sink_zorder_layout",
-    "catalog_txn_time_travel",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
