@@ -1234,3 +1234,58 @@ def test_dynamic_overwrite_preserves_untouched_partitions(spark, sf_dir):
     rows = load_all()["sink_dynamic_partition_overwrite"].fn(spark, sf_dir).collect()
     assert {r["order_month"] for r in rows} == set(range(1, 13))
     assert all(r["n_orders"] > 0 for r in rows)
+
+
+def test_revenue_bridge_sums_to_monthly_delta(spark, sf_dir):
+    """Identity: per month, sum(delta_cents) across movements equals
+    (this month's total revenue - last month's)."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+
+    rows = load_all()["q_revenue_bridge"].fn(spark, sf_dir).collect()
+    o = table(spark, sf_dir, "orders")
+    monthly = {
+        r["m"]: r["c"]
+        for r in o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("m")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("c")
+        )
+        .collect()
+    }
+    from collections import defaultdict
+
+    bridge = defaultdict(int)
+    for r in rows:
+        bridge[r["m"]] += r["delta_cents"]
+    for m, delta in bridge.items():
+        want = monthly.get(m, 0) - monthly.get(m - 1, 0)
+        assert delta == want, (m, delta, want)
+
+
+def test_cross_source_dups_counts_planted_mirrors(spark, tmp_path):
+    """src_a and src_b share two contents; src_c shares one with
+    src_a; within-source repeats must NOT inflate the counts."""
+    rows = [
+        (1, "alpha beta", "en", "src_a", 10),
+        (2, "alpha beta", "en", "src_b", 10),   # shared a<->b
+        (3, "gamma delta", "en", "src_a", 11),
+        (4, "gamma delta", "en", "src_b", 11),  # shared a<->b
+        (5, "gamma delta", "en", "src_b", 11),  # repeat inside b: no inflate
+        (6, "epsilon", "en", "src_c", 7),
+        (7, "epsilon", "en", "src_a", 7),       # shared a<->c
+        (8, "zeta", "en", "src_c", 4),          # unique
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    _write(spark, tmp_path, "documents", rows, schema)
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared_contents"]
+        for r in load_all()["quality_cross_source_dups"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {("src_a", "src_b"): 2, ("src_a", "src_c"): 1}

@@ -2740,3 +2740,102 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * EXCEPT (o_orderpriority, o_orderstatus) "
         "FROM orders WHERE o_orderkey < 500"
     )
+
+
+@register(
+    "q_revenue_bridge",
+    sql="""
+        WITH cm AS (
+            SELECT o_custkey,
+                   CAST(date_part('year', o_orderdate) * 12
+                        + date_part('month', o_orderdate) - 1 AS BIGINT)
+                       AS m,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        paired AS (
+            SELECT coalesce(a.m + 1, b.m) AS m,
+                   coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+                   coalesce(a.cents, 0) AS prev_cents,
+                   coalesce(b.cents, 0) AS cur_cents
+            FROM cm a
+            FULL JOIN cm b
+              ON b.o_custkey = a.o_custkey AND b.m = a.m + 1
+        ),
+        typed AS (
+            SELECT m, cur_cents, prev_cents,
+                   CASE WHEN prev_cents = 0 THEN 'new'
+                        WHEN cur_cents = 0 THEN 'churned'
+                        WHEN cur_cents >= prev_cents THEN 'expansion'
+                        ELSE 'contraction' END AS movement
+            FROM paired
+        )
+        SELECT m, movement,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cur_cents - prev_cents) AS BIGINT) AS delta_cents
+        FROM typed
+        WHERE m IN (SELECT m FROM cm GROUP BY m HAVING count(*) > 0)
+        GROUP BY m, movement
+    """,
+)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge (growth accounting): each
+    customer-month delta classified as NEW (no revenue last month),
+    CHURNED (none this month), EXPANSION or CONTRACTION — the
+    waterfall decomposition every finance review opens with, and the
+    identity sum(delta_cents) over a month == total revenue change is
+    the pinned test. The month-pair relation comes from one FULL
+    self-join of the customer-month rollup on (custkey, m+1) — the
+    same-key shuffle serves both sides.
+
+    Exactness: integer cents and integer month indices end-to-end;
+    deltas and counts are exact. Scale shape: the fact table collapses
+    to customer-month grain first (map-side combine); the self-join
+    keys on (custkey, m) so it reuses the rollup's partitioning; the
+    bridge aggregate is months x 4 rows. The trailing month filter
+    keeps only months that exist in the data (the +1 shift would
+    otherwise fabricate a ghost month after the last)."""
+    o = table(spark, sf_dir, "orders")
+    cm = o.groupBy(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = cm.select(
+        F.col("o_custkey").alias("ck"),
+        (F.col("m") + 1).alias("pm"),
+        F.col("cents").alias("prev_cents"),
+    )
+    b = cm.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("m").alias("pm"),
+        F.col("cents").alias("cur_cents"),
+    )
+    paired = a.join(b, ["ck", "pm"], "fullOuter").select(
+        F.col("pm").alias("m"),
+        F.coalesce("prev_cents", F.lit(0)).alias("prev_cents"),
+        F.coalesce("cur_cents", F.lit(0)).alias("cur_cents"),
+    )
+    months = cm.select("m").distinct()
+    typed = paired.join(months, "m", "leftSemi").select(
+        "m",
+        "prev_cents",
+        "cur_cents",
+        F.when(F.col("prev_cents") == 0, "new")
+        .when(F.col("cur_cents") == 0, "churned")
+        .when(F.col("cur_cents") >= F.col("prev_cents"), "expansion")
+        .otherwise("contraction")
+        .alias("movement"),
+    )
+    return typed.groupBy("m", "movement").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.col("cur_cents") - F.col("prev_cents"))
+        .cast("long")
+        .alias("delta_cents"),
+    )

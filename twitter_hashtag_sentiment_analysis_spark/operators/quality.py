@@ -365,3 +365,47 @@ def quality_join_fanout_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fanout").cast("long").alias("max_fanout"),
         )
     )
+
+
+@register(
+    "quality_cross_source_dups",
+    sql="""
+        WITH hashed AS (
+            SELECT DISTINCT sha256(text) AS h, source FROM documents
+        ),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b
+            FROM hashed a JOIN hashed b
+              ON a.h = b.h AND a.source < b.source
+        )
+        SELECT source_a, source_b,
+               CAST(count(*) AS BIGINT) AS n_shared_contents
+        FROM pairs
+        GROUP BY source_a, source_b
+    """,
+)
+def quality_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate flow: for every source pair, how many
+    DISTINCT contents appear in both — the provenance matrix that
+    tells a corpus curator who mirrors whom (a crawl that rehosts
+    another source should be down-weighted or dropped wholesale, not
+    deduped document-by-document; cf. sample_downweight_dups for the
+    per-document treatment). Emitted as canonical (source_a <
+    source_b) pairs with shared-content counts.
+
+    Scale shape: content is hashed BEFORE any shuffle (the dedup-
+    family invariant), collapsed to DISTINCT (hash, source) — bounded
+    by distinct contents x sources, far below corpus grain — and the
+    pair join keys on the content hash whose per-bucket size is at
+    most #sources, so the join fan-out is structurally capped at
+    C(#sources, 2) per content. Pure integer counting, hash-exact."""
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select(
+        F.sha2("text", 256).alias("h"), "source"
+    ).distinct()
+    a = hashed.select("h", F.col("source").alias("source_a"))
+    b = hashed.select("h", F.col("source").alias("source_b"))
+    pairs = a.join(b, "h").filter(F.col("source_a") < F.col("source_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_shared_contents")
+    )

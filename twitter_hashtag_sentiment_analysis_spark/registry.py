@@ -103,6 +103,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "sql_execute_immediate",
     "sql_lateral_column_alias",
     "sql_star_except",
+    "q_revenue_bridge",
     "ts_holt_linear",
     "ts_autocorr",
     "event_peak_concurrency",
@@ -139,7 +140,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "catalog_ctas",
     "sink_sorted_layout",
     "scan_parquet_bloom",
-    "sink_compact_small_files",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
