@@ -449,3 +449,142 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
         F.col("hamming") <= MM_PHASH_HAM_MAX
     )
+
+
+#: Shot-boundary rule: consecutive frames whose 16-bin byte-histogram
+#: L1 distance exceeds half the frame length (integer compare: more
+#: than 50% of the frame's bytes changed bins).
+SHOT_L1_NUM = 1
+SHOT_L1_DEN = 2
+
+SHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_boundaries", T.LongType()),
+        T.StructField("first_boundary_idx", T.LongType()),
+    ]
+)
+
+
+@register(
+    "mm_shot_boundaries",
+    sql=f"""
+        WITH framed AS (
+            SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) // {FRAME_BYTES}
+                        AS BIGINT) AS n_frames,
+                   text
+            FROM documents
+            WHERE octet_length(CAST(text AS BLOB)) // {FRAME_BYTES} >= 2
+        ),
+        bytes AS (
+            SELECT doc_id, n_frames,
+                   CAST((u.i - 1) // {FRAME_BYTES} AS BIGINT) AS frame_idx,
+                   ascii(substr(text, u.i, 1)) * {N_HIST_BINS} // 256
+                       AS bin
+            FROM framed,
+                 LATERAL unnest(range(1, CAST(n_frames * {FRAME_BYTES} + 1
+                                               AS BIGINT))) AS u(i)
+        ),
+        hists AS (
+            SELECT doc_id, n_frames, frame_idx, bin,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM bytes GROUP BY 1, 2, 3, 4
+        ),
+        frames AS (
+            SELECT doc_id, n_frames,
+                   CAST(u.fi AS BIGINT) AS frame_idx
+            FROM framed, LATERAL unnest(range(0, n_frames)) AS u(fi)
+        ),
+        dense AS (
+            SELECT f.doc_id, f.n_frames, f.frame_idx, b.bin,
+                   coalesce(h.c, 0) AS c
+            FROM frames f
+            CROSS JOIN (SELECT unnest(range(0, {N_HIST_BINS})) AS bin) b
+            LEFT JOIN hists h
+              ON h.doc_id = f.doc_id AND h.frame_idx = f.frame_idx
+             AND h.bin = b.bin
+        ),
+        l1 AS (
+            SELECT a.doc_id, a.n_frames, b.frame_idx AS cur_idx,
+                   CAST(sum(abs(a.c - b.c)) AS BIGINT) AS dist
+            FROM dense a
+            JOIN dense b
+              ON b.doc_id = a.doc_id AND b.frame_idx = a.frame_idx + 1
+             AND b.bin = a.bin
+            GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, CAST(max(n_frames) AS BIGINT) AS n_frames,
+               CAST(sum(CASE WHEN dist * {SHOT_L1_DEN}
+                                  > {FRAME_BYTES} * {SHOT_L1_NUM} * 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+               CAST(min(CASE WHEN dist * {SHOT_L1_DEN}
+                                  > {FRAME_BYTES} * {SHOT_L1_NUM} * 2
+                             THEN cur_idx END) AS BIGINT)
+                   AS first_boundary_idx
+        FROM l1
+        GROUP BY doc_id
+    """,
+)
+def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over opaque video blobs — the classic
+    histogram-difference cut detector (consecutive frames whose
+    byte-histogram L1 distance exceeds half the frame mass), run as a
+    mapInPandas kernel over FRAME_BYTES slices (same honest
+    decode-stub contract as mm_frame_sample: swap the slicer for a
+    real frame reader and the schema/batching/partitioning are
+    unchanged). Output per blob: frame count, boundary count, first
+    boundary index — the shot manifest a video-curation pipeline
+    samples clips from.
+
+    Exactness: histograms are integer counts, L1 distances are
+    integers, and the threshold is an integer cross-multiplication —
+    nothing floats. The DuckDB twin recomputes the same hists from
+    ascii() bytes (the fixture is ASCII, so char == byte; real media
+    is binary, which only the Spark side models). Scale shape: one
+    Python stage, per-doc state only (a frame pair at a time),
+    boundary output rows per BLOB, not per frame."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "n_frames": [],
+                "n_boundaries": [],
+                "first_boundary_idx": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = len(blob) // FRAME_BYTES
+                if n_frames < 2:
+                    continue
+
+                def hist(idx: int) -> list[int]:
+                    h = [0] * N_HIST_BINS
+                    for byte in blob[
+                        idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES
+                    ]:
+                        h[byte * N_HIST_BINS // 256] += 1
+                    return h
+
+                prev = hist(0)
+                n_b = 0
+                first = None
+                for idx in range(1, n_frames):
+                    cur = hist(idx)
+                    dist = sum(abs(a - b) for a, b in zip(prev, cur))
+                    if dist * SHOT_L1_DEN > FRAME_BYTES * SHOT_L1_NUM * 2:
+                        n_b += 1
+                        if first is None:
+                            first = idx
+                    prev = cur
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["n_boundaries"].append(n_b)
+                out["first_boundary_idx"].append(first)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(detect, SHOT_SCHEMA)

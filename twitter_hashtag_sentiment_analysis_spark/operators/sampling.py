@@ -968,3 +968,84 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc_id"),
         F.max("doc_id").cast("long").alias("max_doc_id"),
     )
+
+
+#: Total sample size the Neyman allocator distributes across strata.
+NEYMAN_TOTAL_N = 1_000
+
+
+@register(
+    "sample_neyman_allocation",
+    sql=f"""
+        WITH c AS (
+            SELECT o_orderpriority AS stratum,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS x
+            FROM orders
+        ),
+        m AS (
+            SELECT stratum,
+                   CAST(count(*) AS BIGINT) AS n_pop,
+                   CAST(sum(x) AS BIGINT) AS s1,
+                   sum(CAST(x AS DECIMAL(18,0)) * x) AS s2
+            FROM c GROUP BY stratum
+        ),
+        sd AS (
+            SELECT stratum, n_pop,
+                   sqrt(CAST(s2 AS DOUBLE) / n_pop
+                        - (CAST(s1 AS DOUBLE) / n_pop)
+                          * (CAST(s1 AS DOUBLE) / n_pop)) AS sigma
+            FROM m
+        ),
+        tot AS (SELECT sum(n_pop * sigma) AS w FROM sd)
+        SELECT stratum, n_pop, round(sigma / 100, 4) AS sigma_dollars,
+               CAST(round({NEYMAN_TOTAL_N} * n_pop * sigma / w) AS BIGINT)
+                   AS n_alloc
+        FROM sd, tot
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: n_h proportional to
+    N_h * sigma_h — the sampling-theory answer to 'how many rows from
+    each stratum', minimizing the estimator variance of a stratified
+    mean under a fixed total budget (proportional allocation ignores
+    within-stratum spread; Neyman samples volatile strata harder).
+    Output per order-priority stratum: population size, within-stratum
+    sigma, and the allocated sample size out of NEYMAN_TOTAL_N.
+
+    Exactness: population moments are exact integer/decimal sums (the
+    stat_skew_kurtosis recipe); sigma and the allocation render in one
+    fixed expression each, rounded identically. The w normalizer sums
+    5 doubles via one aggregation over the 5-row stratum relation —
+    at that cardinality both engines add in the same single-partition
+    order. Scale shape: one map-side-combined aggregate over the fact
+    table; everything after is 5-row scalar math — the allocator
+    output is the broadcastable contract the actual sampler
+    (sample_stratified) consumes."""
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+    )
+    m = c.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_pop"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("x")).alias("s2"),
+    )
+    n = F.col("n_pop").cast("double")
+    mu = F.col("s1").cast("double") / n
+    sd = m.select(
+        "stratum",
+        "n_pop",
+        F.sqrt(F.col("s2").cast("double") / n - mu * mu).alias("sigma"),
+    )
+    tot = sd.agg(F.sum(F.col("n_pop") * F.col("sigma")).alias("w"))
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_pop",
+        F.round(F.col("sigma") / 100, 4).alias("sigma_dollars"),
+        F.round(
+            NEYMAN_TOTAL_N * F.col("n_pop") * F.col("sigma") / F.col("w"), 0
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )

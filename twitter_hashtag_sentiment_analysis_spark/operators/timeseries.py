@@ -2226,3 +2226,96 @@ def ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((mean + BOLL_SIGMA * sig) / 100).alias("upper_band"),
         ((mean - BOLL_SIGMA * sig) / 100).alias("lower_band"),
     )
+
+
+#: Rolling-regression window (days).
+SLOPE_WINDOW = 14
+
+
+@register(
+    "ts_rolling_slope",
+    sql=f"""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', DATE '1995-01-01',
+                                  CAST(date_trunc('day', o_orderdate)
+                                       AS DATE)) AS BIGINT) AS x,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM orders GROUP BY 1
+        ),
+        m AS (
+            SELECT x, y,
+                   CAST(count(*) OVER w AS BIGINT) AS n,
+                   CAST(sum(x) OVER w AS BIGINT) AS sx,
+                   CAST(sum(y) OVER w AS BIGINT) AS sy,
+                   CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+                   sum(CAST(x AS DECIMAL(18,0)) * y) OVER w AS sxy
+            FROM daily
+            WINDOW w AS (ORDER BY x
+                         ROWS BETWEEN {SLOPE_WINDOW - 1} PRECEDING
+                                  AND CURRENT ROW)
+        )
+        SELECT x AS day_idx, y AS rev_cents,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100
+                   AS slope_dollars_per_day
+        FROM m
+        WHERE n = {SLOPE_WINDOW}
+    """,
+)
+def ts_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend: the regression slope of daily revenue over a
+    sliding 14-day frame — the local-trend detector behind 'is revenue
+    accelerating this fortnight' panels (stat_regr_trend's grouped OLS
+    made WINDOWED; ts_ewma smooths level, this measures direction).
+    Emitted once the frame is full.
+
+    Exactness: x is an integer day index, y exact cents; all five
+    rolling moments are exact integer/decimal frame sums (x*y needs
+    DECIMAL — day_idx * cents exceeds neither, but their SUM can);
+    the slope assembles in one fixed double expression (multiplication
+    only — the Math.pow lesson) and is emitted UNROUNDED (exact
+    inputs => bit-identical doubles; rounding would re-introduce the
+    .005-tie seam ts_bollinger hit). Scale shape: fact table collapses
+    to days; one bounded ordered window (the ts_downsample_lttb
+    calendar-sized note applies)."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.datediff(
+                F.date_trunc("day", "o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("x"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("x")
+        .agg(F.sum("c").cast("long").alias("y"))
+    )
+    w = Window.orderBy("x").rowsBetween(-(SLOPE_WINDOW - 1), 0)
+    m = daily.select(
+        "x",
+        "y",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y"))
+        .over(w)
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    return m.filter(F.col("n") == SLOPE_WINDOW).select(
+        F.col("x").alias("day_idx"),
+        F.col("y").alias("rev_cents"),
+        (num / den / 100).alias("slope_dollars_per_day"),
+    )
