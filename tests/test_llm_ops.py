@@ -790,3 +790,56 @@ def test_conversion_latency_buckets_bounded_by_window(spark, sf_dir):
         assert 0 <= r["min_lat_us"] <= r["max_lat_us"] < 3_600_000_000
     semi = load_all()["stream_semi_join"].fn(spark, sf_dir).count()
     assert sum(r["n_conversions"] for r in rows) == semi
+
+
+def test_shot_boundaries_planted_cut(spark, tmp_path):
+    """A blob of 64 identical 'a's, then 64 '0's (different histogram
+    bin), then 64 more 'a's: exactly 2 cuts at frames 1 and 2; a
+    uniform blob has none."""
+    rows = [
+        (1, "a" * 64 + "0" * 64 + "a" * 64, "en", "s", 192),
+        (2, "b" * 256, "en", "s", 256),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_frames"], r["n_boundaries"], r["first_boundary_idx"])
+        for r in load_all()["mm_shot_boundaries"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (3, 2, 1), 2: (4, 0, None)}
+
+
+def test_neyman_allocation_sums_to_budget_and_skews_to_sigma(spark, sf_dir):
+    from twitter_hashtag_sentiment_analysis_spark.operators.sampling import (
+        NEYMAN_TOTAL_N,
+    )
+
+    rows = load_all()["sample_neyman_allocation"].fn(spark, sf_dir).collect()
+    total = sum(r["n_alloc"] for r in rows)
+    assert abs(total - NEYMAN_TOTAL_N) <= len(rows)  # per-stratum rounding
+    # allocation ordering follows N_h * sigma_h ordering
+    key = sorted(rows, key=lambda r: r["n_pop"] * r["sigma_dollars"])
+    assert [r["n_alloc"] for r in key] == sorted(r["n_alloc"] for r in rows)
+
+
+def test_rolling_slope_sign_on_planted_trend(spark, tmp_path):
+    """30 days of linearly rising revenue => every full-window slope
+    equals the plant (10 dollars/day), exactly."""
+    import datetime as dt
+
+    rows = [
+        (i, i % 150, "O", 1000.0 + 10.0 * i, dt.datetime(1995, 1, 1) + dt.timedelta(days=i), "1-URGENT")
+        for i in range(30)
+    ]
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    out = load_all()["ts_rolling_slope"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 30 - 14 + 1
+    assert all(abs(r["slope_dollars_per_day"] - 10.0) < 1e-9 for r in out)
