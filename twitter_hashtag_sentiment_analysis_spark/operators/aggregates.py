@@ -1926,3 +1926,50 @@ def stat_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "agg_filter_clause",
+    sql="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F')
+                    AS BIGINT) AS n_finished,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        FILTER (WHERE o_orderdate >= DATE '1997-01-01')
+                    AS BIGINT) AS cents_since_97,
+               CAST(count(DISTINCT o_custkey)
+                        FILTER (WHERE o_totalprice > 200000)
+                    AS BIGINT) AS big_spenders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI FILTER (WHERE ...) aggregate clause: per-aggregate
+    predicates inside ONE grouping pass — the readable alternative to
+    nested CASE WHEN pivot arithmetic, and the surface every
+    conditional-KPI query wants (count all / count finished / revenue
+    since / distinct big spenders, each with its own predicate, one
+    scan). Catalyst compiles each FILTER into the aggregate's input
+    projection, so the plan is still two HashAggregates around one
+    exchange — plus one Expand for the filtered DISTINCT, exactly as
+    if written with CASE. Same SQL text on both engines; money in
+    exact cents."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F')
+                    AS BIGINT) AS n_finished,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        FILTER (WHERE o_orderdate >= DATE '1997-01-01')
+                    AS BIGINT) AS cents_since_97,
+               CAST(count(DISTINCT o_custkey)
+                        FILTER (WHERE o_totalprice > 200000)
+                    AS BIGINT) AS big_spenders
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

@@ -1049,3 +1049,117 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_alloc"),
     )
+
+
+@register(
+    "corpus_filter_funnel",
+    sql="""
+        WITH staged AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   len(string_split(text, ' ')) >= 30 AS pass_len,
+                   len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) >= 0.3 AS pass_rep,
+                   row_number() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) = 1 AS pass_dedup
+            FROM documents WHERE text <> ''
+        ),
+        flags AS (
+            SELECT n_tokens,
+                   pass_len,
+                   pass_len AND pass_rep AS thru_rep,
+                   pass_len AND pass_rep AND pass_dedup AS thru_dedup
+            FROM staged
+        ),
+        stages AS (
+            SELECT 'S0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM flags
+            UNION ALL
+            SELECT 'S1_length', count(*), sum(n_tokens)
+            FROM flags WHERE pass_len
+            UNION ALL
+            SELECT 'S2_repetition', count(*), sum(n_tokens)
+            FROM flags WHERE thru_rep
+            UNION ALL
+            SELECT 'S3_dedup', count(*), sum(n_tokens)
+            FROM flags WHERE thru_dedup
+        )
+        SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM stages
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation attrition funnel: how many documents (and tokens)
+    survive each cumulative stage of the corpus_curation_pipeline
+    gauntlet — input -> length gate -> repetition gate -> exact dedup.
+    The report every data-curation review opens with ('we dropped 40%
+    at the repetition filter — is that filter or fixture?'), and the
+    audit twin of corpus_curation_pipeline, which emits the survivors
+    but not the attrition.
+
+    One scan computes every stage flag (the dedup flag is the same
+    content-hash window the pipeline uses), so the funnel costs ONE
+    corpus pass + a 4-row aggregate — never one job per stage.
+    Counts/token sums are exact integers; stages are cumulative by
+    construction (monotone non-increasing, the pinned test)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = F.split("text", " ")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    staged = d.select(
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) >= 30).alias("pass_len"),
+        (
+            F.size(F.array_distinct(toks)) * 1.0 / F.size(toks) >= 0.3
+        ).alias("pass_rep"),
+        (F.row_number().over(w) == 1).alias("pass_dedup"),
+    )
+    flags = staged.select(
+        "n_tokens",
+        "pass_len",
+        (F.col("pass_len") & F.col("pass_rep")).alias("thru_rep"),
+        (
+            F.col("pass_len") & F.col("pass_rep") & F.col("pass_dedup")
+        ).alias("thru_dedup"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        F.sum("n_tokens").alias("t0"),
+        F.sum(F.col("pass_len").cast("long")).alias("n1"),
+        F.sum(F.when(F.col("pass_len"), F.col("n_tokens")).otherwise(0)).alias(
+            "t1"
+        ),
+        F.sum(F.col("thru_rep").cast("long")).alias("n2"),
+        F.sum(F.when(F.col("thru_rep"), F.col("n_tokens")).otherwise(0)).alias(
+            "t2"
+        ),
+        F.sum(F.col("thru_dedup").cast("long")).alias("n3"),
+        F.sum(
+            F.when(F.col("thru_dedup"), F.col("n_tokens")).otherwise(0)
+        ).alias("t3"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit("S0_input").alias("stage"),
+            F.col("n0").cast("long").alias("n_docs"),
+            F.col("t0").cast("long").alias("n_tokens"),
+        ),
+        F.struct(
+            F.lit("S1_length").alias("stage"),
+            F.col("n1").cast("long").alias("n_docs"),
+            F.col("t1").cast("long").alias("n_tokens"),
+        ),
+        F.struct(
+            F.lit("S2_repetition").alias("stage"),
+            F.col("n2").cast("long").alias("n_docs"),
+            F.col("t2").cast("long").alias("n_tokens"),
+        ),
+        F.struct(
+            F.lit("S3_dedup").alias("stage"),
+            F.col("n3").cast("long").alias("n_docs"),
+            F.col("t3").cast("long").alias("n_tokens"),
+        ),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.n_docs", "s.n_tokens"
+    )
