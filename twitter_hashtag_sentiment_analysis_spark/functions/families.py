@@ -903,3 +903,54 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             ":", F.col("s_name"), F.col("s_nationkey").cast("string")
         ).alias("joined"),
     )
+
+
+@register(
+    "fn_mask",
+    sql="""
+        WITH src AS (
+            SELECT doc_id,
+                   'User' || CAST(doc_id AS VARCHAR) || '-Tok'
+                       || CAST(doc_id * 7 % 1000 AS VARCHAR) AS account_ref
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id, account_ref,
+               regexp_replace(regexp_replace(regexp_replace(account_ref,
+                   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                   AS masked_default,
+               regexp_replace(regexp_replace(account_ref,
+                   '[A-Za-z]', '*', 'g'), '[0-9]', '#', 'g')
+                   AS masked_custom
+        FROM src
+    """,
+)
+def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mask() data-redaction function (Spark 3.4+): shape-
+    preserving PII masking — uppercase -> X, lowercase -> x, digits ->
+    n, plus a custom-replacement variant — the column-level
+    counterpart of text_pii_redact's pattern scrubbing (masking keeps
+    length/shape for downstream format validation while destroying
+    the value; redaction removes spans). Inputs are deterministic
+    synthetic account refs built from doc_id, so both engines see
+    identical strings; DuckDB has no mask(), so the oracle states the
+    semantics as regexp chains — which doubles as the documented
+    definition of what mask() does."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ref = F.concat(
+        F.lit("User"),
+        F.col("doc_id").cast("string"),
+        F.lit("-Tok"),
+        ((F.col("doc_id") * 7) % 1000).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        ref.alias("account_ref"),
+        F.mask(ref).alias("masked_default"),
+        F.mask(
+            ref,
+            F.lit("*"),
+            F.lit("*"),
+            F.lit("#"),
+            F.lit(None).cast("string"),
+        ).alias("masked_custom"),
+    )

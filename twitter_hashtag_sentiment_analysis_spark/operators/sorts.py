@@ -67,3 +67,35 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "sql_offset_limit",
+    sql="""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+    """,
+)
+def sql_offset_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT ... OFFSET (Spark 3.4+): keyset-free pagination — page 3
+    of the revenue leaderboard. The total (o_totalprice DESC,
+    o_orderkey) order makes the page deterministic, which is the
+    entire correctness story of OFFSET pagination (an untied ORDER BY
+    returns arbitrary pages). Spark plans the combination as a
+    single TakeOrderedAndProject with offset — a bounded top-(60)
+    heap per partition, never a global sort — so the classic 'OFFSET
+    scans everything' warning applies to rows SKIPPED, not rows
+    SORTED, and stays cheap while offset+limit is small."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+        """
+    )

@@ -104,6 +104,8 @@ _DRIVER_SAMPLE_PREFIX = (
     "sql_lateral_column_alias",
     "sql_star_except",
     "q_revenue_bridge",
+    "sql_offset_limit",
+    "q_supplier_hhi",
     "ts_holt_linear",
     "ts_autocorr",
     "event_peak_concurrency",
@@ -138,8 +140,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "source_stream_file",
     "sink_bucketed",
     "catalog_ctas",
-    "sink_sorted_layout",
-    "scan_parquet_bloom",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
