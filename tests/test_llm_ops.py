@@ -863,3 +863,31 @@ def test_filter_funnel_is_monotone_and_anchored(spark, sf_dir):
         assert d0 >= d1 and t0 >= t1
     d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
     assert rows["S0_input"][0] == d.count()
+
+
+def test_dau_wau_identity_on_dense_calendar(spark, sf_dir):
+    """WAU(d) >= DAU(d); on the fixture's gap-free January, WAU(d)
+    equals the exact distinct-user count of the trailing 7 days,
+    recomputed independently."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+
+    rows = {r["day"]: (r["dau"], r["wau"]) for r in load_all()["event_dau_wau"].fn(spark, sf_dir).collect()}
+    ud = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+    import datetime as dt
+
+    by_day = defaultdict(set)
+    for r in ud:
+        by_day[r["d"]].add(r["user_id"])
+    for day, (dau, wau) in rows.items():
+        assert dau == len(by_day[day])
+        trailing = set()
+        for k in range(7):
+            trailing |= by_day.get(day - dt.timedelta(days=k), set())
+        assert wau == len(trailing)
+        assert wau >= dau

@@ -887,3 +887,22 @@ def test_lateral_alias_stays_in_one_codegen_stage(spark, sf_dir):
     # every Project carries the same codegen id (one fused stage)
     ids = set(re.findall(r"Project \[codegen id : (\d+)\]", plan))
     assert len(ids) == 1, plan
+
+
+def test_nested_pruning_reads_only_selected_leaves(spark, sf_dir):
+    """ReadSchema must carry only the selected struct LEAVES: meta
+    keeps source+chars but NOT lang; stats keeps tokens but NOT
+    first_token."""
+    plan = plan_of(spark, sf_dir, "scan_nested_pruning")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    assert "source" in read_schema and "chars" in read_schema, read_schema
+    assert "lang" not in read_schema, read_schema
+    assert "first_token" not in read_schema, read_schema
+
+
+def test_dau_wau_no_corpus_grain_shuffle(spark, sf_dir):
+    """The 7x contribution explosion must run on the collapsed
+    (user, day) relation: no window, joins only on the day key."""
+    plan = plan_of(spark, sf_dir, "event_dau_wau")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

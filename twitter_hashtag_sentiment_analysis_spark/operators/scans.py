@@ -443,3 +443,60 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_idx_eq_id"),
     )
+
+
+@register(
+    "scan_nested_pruning",
+    sql="""
+        SELECT doc_id,
+               source AS meta_source,
+               CAST(n_chars AS BIGINT) AS meta_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS stat_tokens
+        FROM documents
+    """,
+)
+def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema pruning: a parquet table with STRUCT columns read
+    back selecting only two leaf fields of one struct and one of the
+    other — the optimizer must prune the scan's ReadSchema down to
+    exactly those LEAVES (nestedSchemaPruning), not drag whole structs
+    (at 100 TB a metadata struct routinely carries the bulk of a row's
+    bytes; reading meta.source but fetching all of meta is the classic
+    silent 10x scan tax). The fixture nests the documents table into
+    meta{source, lang, chars} + stats{tokens, first_token} structs,
+    written once per process; the pruned read is plan-asserted in
+    tests and the values reconcile against the flat source table
+    (oracle recomputes from the original columns)."""
+    import tempfile
+
+    d = table(spark, sf_dir, "documents")
+    key = (sf_dir, "nested_docs")
+    path = _nested_dir_cache.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="thsa_nested_"), "docs_nested"
+        )
+        nested = d.select(
+            "doc_id",
+            F.struct(
+                F.col("source").alias("source"),
+                F.col("lang").alias("lang"),
+                F.col("n_chars").cast("long").alias("chars"),
+            ).alias("meta"),
+            F.struct(
+                F.size(F.split("text", " ")).cast("long").alias("tokens"),
+                F.element_at(F.split("text", " "), 1).alias("first_token"),
+            ).alias("stats"),
+        )
+        nested.write.mode("overwrite").parquet(path)
+        _nested_dir_cache[key] = path
+    back = spark.read.parquet(path)
+    return back.select(
+        "doc_id",
+        F.col("meta.source").alias("meta_source"),
+        F.col("meta.chars").alias("meta_chars"),
+        F.col("stats.tokens").alias("stat_tokens"),
+    )
+
+
+_nested_dir_cache: dict[tuple[str, str], str] = {}
