@@ -891,3 +891,47 @@ def test_dau_wau_identity_on_dense_calendar(spark, sf_dir):
             trailing |= by_day.get(day - dt.timedelta(days=k), set())
         assert wau == len(trailing)
         assert wau >= dau
+
+
+def test_content_split_colocates_duplicates(spark, tmp_path):
+    """Three copies of one text (different doc_ids) land in ONE split;
+    the id-keyed split is allowed to scatter them (the hole this
+    operator closes)."""
+    rows = [
+        (1, "the quick brown fox", "en", "s", 19),
+        (500, "the quick brown fox", "en", "s", 19),
+        (999999, "the quick brown fox", "en", "s", 19),
+        (2, "something else entirely", "en", "s", 23),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r["split"]
+        for r in load_all()["sample_split_by_content"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == got[500] == got[999999]
+
+
+def test_kwic_contexts_reconstruct_the_document(spark, sf_dir):
+    """Every KWIC row's contexts must match a direct recomputation
+    from the document's token list."""
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.operators.text_analysis import (
+        KWIC_RADIUS,
+        KWIC_TERM,
+    )
+
+    rows = load_all()["text_kwic"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows[:200]:
+        ts = docs[r["doc_id"]]
+        i = r["pos"] - 1
+        assert ts[i] == KWIC_TERM
+        assert r["left_ctx"] == " ".join(ts[max(0, i - KWIC_RADIUS):i])
+        assert r["right_ctx"] == " ".join(ts[i + 1 : i + 1 + KWIC_RADIUS])

@@ -1163,3 +1163,39 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(stages).alias("s")).select(
         "s.stage", "s.n_docs", "s.n_tokens"
     )
+
+
+@register(
+    "sample_split_by_content",
+    sql=f"""
+        SELECT doc_id,
+               CASE WHEN substr(md5(sha256(text)), 1, 2) < '{_TRAIN_HI}'
+                    THEN 'train'
+                    WHEN substr(md5(sha256(text)), 1, 2) < '{_VAL_HI}'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+)
+def sample_split_by_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed train/val/test split: the hash key is the
+    DOCUMENT CONTENT (sha256 of the text), not the row id — so exact
+    duplicates always land in the SAME split, closing the eval-
+    leakage hole sample_hash_split's id-keyed form leaves open (two
+    copies of one document split across train and test is
+    memorization measured as generalization; cf. text_decontaminate
+    for the near-match version). Same ~80/10/10 hex-prefix thresholds
+    as the id-keyed split; same narrow-map scale shape — the extra
+    sha256 is the only cost, and it is the same digest the dedup
+    family already computes (one shared scan in a fused pipeline).
+    The pinned test plants cross-split duplicates and asserts they
+    co-locate."""
+    d = table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.sha2("text", 256)), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(prefix < _TRAIN_HI, "train")
+        .when(prefix < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -1806,3 +1806,68 @@ def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score_milli").cast("long").alias("max_score_milli"),
         )
     )
+
+
+#: KWIC geometry: the fixed target term and the context radius.
+KWIC_TERM = "spark"
+KWIC_RADIUS = 3
+
+
+@register(
+    "text_kwic",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE text <> ''
+        )
+        SELECT doc_id,
+               CAST(u.i AS BIGINT) AS pos,
+               coalesce(array_to_string(
+                   ts[greatest(1, u.i - {KWIC_RADIUS}):u.i - 1], ' '), '')
+                   AS left_ctx,
+               coalesce(array_to_string(
+                   ts[u.i + 1:least(len(ts), u.i + {KWIC_RADIUS})], ' '), '')
+                   AS right_ctx
+        FROM toks, LATERAL unnest(range(1, len(ts) + 1)) AS u(i)
+        WHERE ts[u.i] = '{KWIC_TERM}'
+    """,
+)
+def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance: every occurrence of the
+    tracked term with its N-token left/right context — the corpus-
+    linguistics view behind 'how is this term actually used', and the
+    drill-down the reference's keyword-track filter (R2,
+    streamer.py:48) begs for once matches exist. One row per
+    OCCURRENCE (not per doc), positions 1-based.
+
+    Implementation is pure array algebra — posexplode to get
+    (position, token), slice for the context windows, no regex and no
+    Python — so the scan stays in codegen and the explode fan-out is
+    the token count, collapsed immediately by the term filter (which
+    Catalyst pushes against the exploded relation). At 100 TB: narrow
+    map + filter, output proportional to term frequency only."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    ex = toks.select(
+        "doc_id", "ts", F.posexplode("ts").alias("pos0", "tok")
+    ).filter(F.col("tok") == KWIC_TERM)
+    pos = F.col("pos0") + 1  # 1-based
+    left = F.slice(
+        "ts",
+        F.greatest(F.lit(1), pos - KWIC_RADIUS),
+        F.greatest(F.lit(0), pos - F.greatest(F.lit(1), pos - KWIC_RADIUS)),
+    )
+    right = F.slice(
+        "ts",
+        pos + 1,
+        F.greatest(
+            F.lit(0),
+            F.least(F.size("ts"), pos + KWIC_RADIUS) - pos,
+        ),
+    )
+    return ex.select(
+        "doc_id",
+        pos.cast("long").alias("pos"),
+        F.array_join(left, " ").alias("left_ctx"),
+        F.array_join(right, " ").alias("right_ctx"),
+    )

