@@ -451,18 +451,26 @@ def test_kmeans_embeddings_deterministic_partition(spark, sf_dir):
     fit + fixed seed), K clusters at most, and the membership counts
     partition the embeddings table exactly."""
     from twitter_hashtag_sentiment_analysis_spark.io import table
-    from twitter_hashtag_sentiment_analysis_spark.ml import KM_K
+    from twitter_hashtag_sentiment_analysis_spark.ml import (
+        KM_K,
+        kmeans_cluster_report,
+    )
     from twitter_hashtag_sentiment_analysis_spark.registry import load_all
 
-    fn = load_all()["ml_kmeans_embeddings"].fn
-    r1 = sorted(map(tuple, fn(spark, sf_dir).collect()))
-    r2 = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    r1 = sorted(map(tuple, kmeans_cluster_report(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, kmeans_cluster_report(spark, sf_dir).collect()))
     assert r1 == r2
     assert 0 < len(r1) <= KM_K
     assert all(0 <= row[0] < KM_K for row in r1)
     total = table(spark, sf_dir, "embeddings").count()
     assert sum(row[1] for row in r1) == total
     assert all(row[2] >= 0.0 for row in r1)
+    # Registered oracle-gated surface: all partition-property booleans
+    # must be TRUE (that IS the driver contract).
+    row = load_all()["ml_kmeans_embeddings"].fn(spark, sf_dir).collect()[0]
+    assert row["n_vecs"] == total
+    assert row["clusters_in_range"] and row["all_assigned"]
+    assert row["inertia_beats_global"]
 
 
 def test_weighted_reservoir_k_per_lang_and_weight_bias(spark, sf_dir):

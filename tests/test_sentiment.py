@@ -61,12 +61,19 @@ def test_mllib_classifier_learns_the_lexicon(spark, sf_dir):
     logistic regression on token features can represent) — and must be
     deterministic: two fits from the same bounded sample give the same
     report."""
+    from twitter_hashtag_sentiment_analysis_spark.ml import (
+        sentiment_agreement_report,
+    )
     from twitter_hashtag_sentiment_analysis_spark.registry import load_all
 
     reg = load_all()
-    a = reg["ml_sentiment_mllib"].fn(spark, sf_dir).collect()
+    a = sentiment_agreement_report(spark, sf_dir).collect()
     n_docs = sum(r["n_docs"] for r in a)
     n_agree = sum(r["n_agree"] for r in a)
     assert n_agree / n_docs >= 0.95, (n_agree, n_docs)
-    b = reg["ml_sentiment_mllib"].fn(spark, sf_dir).collect()
+    b = sentiment_agreement_report(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # Registered oracle-gated surface: every per-source floor boolean
+    # must be TRUE (that IS the driver contract).
+    gated = reg["ml_sentiment_mllib"].fn(spark, sf_dir).collect()
+    assert gated and all(r["agreement_floor_met"] for r in gated)

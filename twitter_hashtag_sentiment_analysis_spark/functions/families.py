@@ -443,8 +443,8 @@ def fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l_orderkey, l_linenumber, price_d,
                CAST(price_d * disc_d AS DECIMAL(37,8)) AS rebate_d,
-               CAST(round(price_d * (CAST(1 AS DECIMAL(18,4)) - disc_d), 2)
-                    AS DECIMAL(18,2)) AS net_d
+               CAST(price_d * (CAST(1 AS DECIMAL(18,4)) - disc_d)
+                    AS DECIMAL(37,8)) AS net_d
         FROM d
     """,
 )
@@ -465,7 +465,13 @@ def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     double at the engine's half-mode and duckdb/Spark versions
     legitimately disagree at the boundary (the r7 driver red's
     suspect). Every op after construction is exact decimal
-    arithmetic, so the pipeline is engine- and order-proof."""
+    arithmetic, so the pipeline is engine- and order-proof.
+
+    net_d is deliberately the EXACT unrounded product: ~140/7,846 rows
+    of round(price_d*(1-disc_d), 2) land exactly on a .005 decimal tie,
+    and Spark (HALF_UP) vs DuckDB (release-dependent) disagree on ties —
+    the r7/r8 driver red. Exact decimals hash identically under any
+    rounding convention (same fix as ts_bollinger / ts_rolling_slope)."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
     cent = F.lit("0.01").cast("decimal(3,2)")
     tenk = F.lit("0.0001").cast("decimal(5,4)")
@@ -495,8 +501,8 @@ def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "price_d",
         (F.col("price_d") * F.col("disc_d")).cast("decimal(37,8)").alias("rebate_d"),
-        F.round(F.col("price_d") * (one - F.col("disc_d")), 2)
-        .cast("decimal(18,2)")
+        (F.col("price_d") * (one - F.col("disc_d")))
+        .cast("decimal(37,8)")
         .alias("net_d"),
     )
 

@@ -50,14 +50,22 @@ ML_TRAIN_CAP = 4096
 ML_NUM_FEATURES = 256
 
 
-@register("ml_sentiment_mllib", sql=None)
-def ml_sentiment_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Per-source agreement floor the oracle-gated boolean asserts. The
+#: global train-set agreement is >=0.95 (property test); per-source it
+#: stays well above this at every fixture sf (measured 1.0 at sf0.001
+#: and sf0.01).
+ML_AGREEMENT_FLOOR = 0.90
+
+
+def sentiment_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distant-supervision sentiment: lexicon-label the corpus, fit
     logistic regression on hashed token counts from a bounded
     deterministic sample, score every document distributed, and report
     per-source agreement with the teacher. POSITIVE-vs-rest binary
     target (the lexicon label is a thresholded linear function of token
-    counts, so the linear model can represent it exactly)."""
+    counts, so the linear model can represent it exactly). Returns the
+    detailed (source, n_docs, n_agree, agreement) report the property
+    tests pin; the registered key derives an oracle-gated summary."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
@@ -149,13 +157,41 @@ def ml_sentiment_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ml_sentiment_mllib",
+    sql="""
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               TRUE AS agreement_floor_met
+        FROM documents
+        GROUP BY source
+    """,
+)
+def ml_sentiment_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated surface of the distant-supervision pipeline. LBFGS
+    is an iterative float fixpoint DuckDB cannot replay, so the learned
+    side is folded into a deterministic boolean — per-source agreement
+    with the lexicon teacher >= ML_AGREEMENT_FLOOR — next to the exact
+    per-source doc count, which DuckDB replays literally (the same
+    contract upgrade as agg_approx_distinct / agg_sketch_hll: exact
+    columns + a tolerance boolean instead of a rows-only check). The
+    bounded one-partition fit + fixed hashing makes the coefficients
+    (hence the boolean) run-to-run identical; the detailed agreement
+    report stays available as sentiment_agreement_report() and is
+    property-tested in tests/test_sentiment.py."""
+    rep = sentiment_agreement_report(spark, sf_dir)
+    return rep.select(
+        "source",
+        "n_docs",
+        (F.col("agreement") >= ML_AGREEMENT_FLOOR).alias("agreement_floor_met"),
+    )
+
+
 #: KMeans surface: bounded fit sample and cluster count.
 KM_TRAIN_CAP = 2048
 KM_K = 8
 
 
-@register("ml_kmeans_embeddings", sql=None)
-def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib KMeans over the embeddings table, the learned counterpart
     of `sim_ann_ivf_trained`'s hand-rolled codebook: fit on a BOUNDED
     deterministic hash-priority sample (same TakeOrderedAndProject +
@@ -196,7 +232,7 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     dists = F.array(*[d2(c) for c in centers])
-    assigned = emb.select(
+    return emb.select(
         "vec_id",
         "v",
         (F.array_position(dists, F.array_min(dists)) - 1)
@@ -204,11 +240,72 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cluster"),
         F.sqrt(F.array_min(dists)).alias("dist"),
     )
+
+
+def kmeans_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster membership count and mean distance-to-center (the
+    inertia decomposition a clustering health check reads). Used by the
+    property tests; the registered key derives an oracle-gated summary."""
     return (
-        assigned.groupBy("cluster")
+        _kmeans_assign(spark, sf_dir)
+        .groupBy("cluster")
         .agg(
             F.count("*").cast("long").alias("n_vecs"),
             F.round(F.avg("dist"), 4).alias("mean_dist"),
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "ml_kmeans_embeddings",
+    sql="""
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(max(len(embedding)) AS INTEGER) AS dim,
+               TRUE AS clusters_in_range,
+               TRUE AS all_assigned,
+               TRUE AS inertia_beats_global
+        FROM embeddings
+    """,
+)
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated surface of the KMeans pipeline. Lloyd's is an
+    iterative float fixpoint DuckDB cannot replay, so the learned side
+    is folded into deterministic partition-property booleans next to
+    exact columns DuckDB replays literally (same contract upgrade as
+    agg_approx_distinct): every vector gets exactly one cluster id in
+    [0, K); and the K-center assignment's mean squared distance beats
+    the single-global-centroid inertia (the one-cluster lower bar any
+    useful clustering must clear — computed in the same distributed
+    pass, global centroid collected as one dimension-sized row). The
+    per-cluster report stays available as kmeans_cluster_report() and
+    is property-tested in tests/test_llm_ops.py."""
+    assigned = _kmeans_assign(spark, sf_dir).cache()
+    # Global centroid: dimension-sized collect (64 doubles), same
+    # bounded-collect discipline as embed_centroid_stats.
+    cent = (
+        assigned.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    cent_lit = F.array(*[F.lit(float(r["m"])) for r in cent])
+    gd2 = F.aggregate(
+        F.zip_with("v", cent_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = assigned.agg(
+        F.count("*").alias("n_vecs"),
+        F.max(F.size("v")).cast("int").alias("dim"),
+        (
+            (F.min("cluster") >= 0)
+            & (F.max("cluster") < F.lit(KM_K))
+        ).alias("clusters_in_range"),
+        (F.count("cluster") == F.count("*")).alias("all_assigned"),
+        (F.avg(F.col("dist") * F.col("dist")) <= F.avg(gd2)).alias(
+            "inertia_beats_global"
+        ),
+    )
+    return out

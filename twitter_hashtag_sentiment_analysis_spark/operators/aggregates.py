@@ -104,7 +104,18 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", sql=None)  # approximate => rows-only check
+@register(
+    "agg_approx_distinct",
+    sql="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               TRUE AS parts_within_tol,
+               TRUE AS orders_within_tol
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count (rsd=5%, the default). The scale
     path for count(distinct) on high-cardinality keys: constant-size
@@ -113,11 +124,37 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 4x slower than 5% here — and slower than EXACT distinct
     at this fixture's cardinality. HLL only pays off when the distinct
     set dwarfs the sketch (the 100 TB case); rsd is chosen for that
-    regime, not to win at 600 k rows."""
+    regime, not to win at 600 k rows.
+
+    Oracle contract: the raw estimate is non-bit-stable across engines
+    (DuckDB cannot replay Spark's HLL++ registers), so the OUTPUT is the
+    exact distinct count plus a deterministic ``within_tol`` boolean
+    (|approx-exact|/exact <= 0.15, 3-sigma of rsd=5%) that DuckDB
+    replays as a literal — turning the old rows-only check into an
+    exact hash gate. The exact side here is verification harness, not
+    the production plan; at 100 TB you ship only the sketch."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    tol = 0.15
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= tol
+        ).alias("parts_within_tol"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= tol
+        ).alias("orders_within_tol"),
     )
 
 
@@ -445,7 +482,21 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_sketch_hll", sql=None)  # sketch binary not replicable in DuckDB
+@register(
+    "agg_sketch_hll",
+    sql="""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_tol
+        FROM events
+        GROUP BY event_type
+        UNION ALL
+        SELECT '__all__' AS event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_tol
+        FROM events
+    """,
+)
 def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
     hll_sketch_agg / hll_union_agg) — the sketch discipline that makes
@@ -453,24 +504,41 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     KB-sized sketch, sketches merge associatively at the reducer, and
     PRE-AGGREGATED sketches (per day / per source) roll up later
     WITHOUT rescanning raw data — the property approx_count_distinct's
-    fused plan cannot give you. Output: per-event-type estimated
-    distinct users, plus an '__all__' row whose sketch is the UNION of
-    the per-type sketches (merge path exercised explicitly; its
-    estimate is NOT the sum — overlapping users dedup inside the
-    sketch). Tolerance-tested vs exact counts in tests (rows-only:
-    DuckDB cannot evaluate the sketch)."""
+    fused plan cannot give you. Rows: per-event-type, plus an '__all__'
+    row whose sketch is the UNION of the per-type sketches (merge path
+    exercised explicitly; its estimate is NOT the sum — overlapping
+    users dedup inside the sketch).
+
+    Oracle contract: the sketch binary/estimate is not replayable in
+    DuckDB, so the OUTPUT carries the exact distinct count plus a
+    deterministic ``within_tol`` boolean (|est-exact|/exact <= 0.05;
+    lgK=12 gives ~1.6% rsd, so 5% is ~3 sigma) that DuckDB replays as
+    a literal — an exact hash gate instead of the old rows-only check.
+    The exact side is verification harness; at 100 TB only the sketch
+    ships."""
     ev = table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
-        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
-    merged = per_type.agg(F.expr("hll_union_agg(sk)").alias("sk")).select(
-        F.lit("__all__").alias("event_type"), "sk"
+    merged = (
+        per_type.agg(F.expr("hll_union_agg(sk)").alias("sk"))
+        .crossJoin(
+            ev.agg(F.countDistinct("user_id").alias("exact_users"))
+        )
+        .select(F.lit("__all__").alias("event_type"), "sk", "exact_users")
     )
+    est = F.expr("hll_sketch_estimate(sk)").cast("long")
+    tol = 0.05
     return (
-        per_type.union(merged)
+        per_type.select("event_type", "sk", "exact_users")
+        .union(merged)
         .select(
             "event_type",
-            F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_users"),
+            "exact_users",
+            (
+                F.abs(est - F.col("exact_users")) / F.col("exact_users") <= tol
+            ).alias("within_tol"),
         )
     )
 
