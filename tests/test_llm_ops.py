@@ -943,3 +943,27 @@ def test_kwic_contexts_reconstruct_the_document(spark, sf_dir):
         assert ts[i] == KWIC_TERM
         assert r["left_ctx"] == " ".join(ts[max(0, i - KWIC_RADIUS):i])
         assert r["right_ctx"] == " ".join(ts[i + 1 : i + 1 + KWIC_RADIUS])
+
+
+def test_integer_division_idiom_nonnegative_assumption(spark, sf_dir):
+    """The corpus_epoch_schedule oracle pairs Spark DIV with DuckDB //.
+    Spark DIV truncates toward zero by definition; DuckDB's // rounding
+    on negative operands is an engine detail that has differed across
+    releases (floor vs truncate — this build truncates), so the pairing
+    is only SAFE where the two provably agree: non-negative operands.
+    Pin (a) agreement on the non-negative domain, (b) Spark's
+    truncate-toward-zero on negatives (the half that is contractual),
+    and (c) that every operand the scheduler feeds is non-negative."""
+    import duckdb
+
+    for a, b in ((7, 2), (0, 3), (123456789, 1000)):
+        s = spark.sql(f"SELECT {a} DIV {b} AS q").collect()[0]["q"]
+        d = duckdb.sql(f"SELECT {a} // {b} AS q").fetchone()[0]
+        assert s == d == a // b, (a, b, s, d)
+    assert spark.sql("SELECT -7 DIV 2 AS q").collect()[0]["q"] == -3
+
+    rows = load_all()["corpus_epoch_schedule"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["tokens"] >= 0 and r["target_tokens"] >= 0
+        assert r["epochs_milli"] >= 0 and r["scheduled_tokens"] >= 0

@@ -673,3 +673,69 @@ def test_dynamic_gap_sessions_respect_per_type_gaps(spark, sf_dir):
     wide = gaps.filter(F.col("gap_us") > 15 * 60 * 1_000_000)
     assert wide.count() > 0
     assert wide.filter(F.col("prev_type") != "purchase").count() == 0
+
+
+def test_dynamic_gap_session_boundary_merges_at_exact_equality(spark):
+    """Planted boundary fixture: events separated by EXACTLY their gap
+    (900s after a click, 3600s after a purchase) must MERGE into the
+    previous session — equality is inclusive in Spark's session_window
+    (probed batch + streaming) — and the DuckDB oracle idiom (strict
+    '>' against the running max of per-event ends) must rebuild the
+    identical sessions on the same rows."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: click, click exactly 900s later (merge), purchase,
+        # click exactly 3600s after the purchase (merge), then a click
+        # 901s after that click's end opens a NEW session.
+        (1, t0, "click"),
+        (1, t0 + dt.timedelta(seconds=900), "click"),
+        (1, t0 + dt.timedelta(hours=1), "purchase"),
+        (1, t0 + dt.timedelta(hours=2), "click"),
+        (1, t0 + dt.timedelta(hours=2, seconds=900 + 901), "click"),
+        # user 2: single event
+        (2, t0 + dt.timedelta(hours=9), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string"
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("1 hour")
+    ).otherwise(F.lit("15 minutes"))
+    got = sorted(
+        tuple(r)
+        for r in ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.unix_micros(F.to_utc_timestamp("w.end", "UTC")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+        .collect()
+    )
+    # exact-equality events merged: user 1 has THREE sessions —
+    # [click+click@+900s] = 2, [purchase+click@+3600s] = 2, and the
+    # final click (901s past the merged end) alone = 1. A half-open
+    # (new-session-at-equality) engine would give five sessions of 1.
+    per_user = {}
+    for u, _s, _e, n in got:
+        per_user.setdefault(u, []).append(n)
+    assert sorted(per_user[1]) == [1, 2, 2], got
+    assert per_user[2] == [1]
+
+    # oracle replay on the SAME rows
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    con.register("events", pdf)
+    sql = load_all()["stream_session_dynamic_gap"].sql
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert [(u, s, e, n) for u, s, e, n in got] == want, (got, want)

@@ -10,6 +10,7 @@ executors; nothing here collects to the driver.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,3 +88,58 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
+
+
+def durable_fixture_dir(sf_dir: str, src_table: str, tag: str, build) -> str:
+    """DURABLE digest-keyed fixture cache with ATOMIC populate.
+
+    The fixture tree is a pure function of a source parquet table, so
+    it is keyed by the table's size+mtime digest and reused across
+    processes — fresh bench/test runs skip the write entirely, and a
+    REGENERATED fixture at the same path gets a fresh digest, never
+    stale data. Populate is concurrency-safe: ``build(dir)`` writes
+    into a UNIQUE temp root, the ready-marker lands before an atomic
+    os.rename into place, so marker-present == complete tree and two
+    racing processes each build privately — one rename wins, the loser
+    adopts the winner's tree (or, in the worst double-race, its own
+    private temp tree). Returns the payload directory to read."""
+    import hashlib
+    import shutil
+    import uuid
+
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        names = sorted(os.listdir(src))
+        sig = ",".join(
+            f"{n}:{os.stat(os.path.join(src, n)).st_size}" for n in names
+        )
+    digest = hashlib.sha256(
+        f"{tag}:{os.path.abspath(sf_dir)}:{sig}".encode()
+    ).hexdigest()[:16]
+    cache_root = os.path.join(
+        tempfile.gettempdir(), "thsa_cache", f"{tag}_{digest}"
+    )
+    payload = os.path.join(cache_root, "data")
+    marker = os.path.join(cache_root, "_THSA_READY")
+    if os.path.exists(marker):
+        return payload
+    tmp_root = f"{cache_root}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    build(os.path.join(tmp_root, "data"))
+    with open(os.path.join(tmp_root, "_THSA_READY"), "w") as f:
+        f.write("ok")
+    for _ in range(2):
+        try:
+            os.rename(tmp_root, cache_root)
+            return payload
+        except OSError:
+            if os.path.exists(marker):  # lost the race to a winner
+                shutil.rmtree(tmp_root, ignore_errors=True)
+                return payload
+            # stale half-written leftover from a pre-atomic version
+            # (dir present, no marker): clear it and retry once
+            shutil.rmtree(cache_root, ignore_errors=True)
+    # double race with a non-marker dir: fall back to the private tree
+    return os.path.join(tmp_root, "data")

@@ -1963,7 +1963,16 @@ def stat_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE map-side-combined aggregate; decimal sums are
     associative so partial aggregation cannot perturb a digit; the
-    5-row result renders scalar math only."""
+    5-row result renders scalar math only.
+
+    Exactness BOUND (not unconditional): s4 sums x^4 terms of ~1e31
+    (x ~ 1e8 cents) into DECIMAL(38,0) — headroom ~1e7 rows per group
+    at this magnitude, i.e. exact through ~sf30 for this fixture's 5
+    priority groups. Past the ceiling Spark's non-ANSI decimal sum
+    yields NULL (loud, never silently wrong); the remedy at that scale
+    is a two-pass centered-moment computation in double (center first,
+    then sum (x-m)^k — the magnitudes shrink to O(sigma^4)), traded
+    away here because the oracle contract wants bit-exact digits."""
     o = table(spark, sf_dir, "orders")
     c = o.select(
         "o_orderpriority",

@@ -867,7 +867,15 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     every executor of a 1000-node run: the scheduler output is a
     BROADCASTABLE contract, computed from one map-side-combined
     aggregate over the corpus (per-source token counts) and a handful
-    of scalar ops on the #sources-row relation."""
+    of scalar ops on the #sources-row relation.
+
+    Cross-engine integer-division idiom: Spark's DIV truncates toward
+    zero; DuckDB's // negative-operand rounding is an engine detail
+    that has differed across releases (floor vs truncate). The pairing
+    is proven ONLY on non-negative operands — which every operand here
+    is (token counts, budgets, and caps are all >= 0; least() of
+    non-negatives is non-negative). Do NOT copy this paired idiom to
+    signed values; pinned in tests/test_llm_ops.py."""
     d = table(spark, sf_dir, "documents")
     src = d.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")

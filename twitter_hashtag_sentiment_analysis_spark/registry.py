@@ -88,58 +88,58 @@ _loaded = False
 # Every key stays present — only ``dict`` insertion order changes, and
 # all consumers (tests, bench, entry shim) address the registry by key.
 _DRIVER_SAMPLE_PREFIX = (
-    # round-8 block (tools/sample_rotation_plan.json; regenerate with
+    # round-9 block (tools/sample_rotation_plan.json; regenerate with
     # `python tools/apply_next_prefix.py` at round start)
-    "sql_mv_incremental",
     "fn_decimal",
-    "sample_downweight_dups",
-    "stream_rate_source",
-    "stream_outer_join_watermark",
-    "stream_full_outer_join_watermark",
-    "stream_semi_join",
-    "stream_session_dynamic_gap",
-    "sql_window_clause",
-    "q_customer_ltv_decile",
-    "sql_execute_immediate",
-    "sql_lateral_column_alias",
-    "sql_star_except",
-    "q_revenue_bridge",
-    "sql_offset_limit",
-    "q_supplier_hhi",
-    "ts_holt_linear",
-    "ts_autocorr",
-    "event_peak_concurrency",
-    "ts_downsample_lttb",
-    "event_audience_overlap",
-    "graph_bfs_hops",
-    "quality_duplication_census",
-    "fn_aes_roundtrip",
-    "fn_format",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_ivf_trained",
-    "sim_hard_negatives",
-    "embed_pq_quantize",
-    "embed_gram_matrix",
-    "sim_mmr_rerank",
-    "text_source_terms",
-    "text_readability",
-    "text_zipf",
-    "quality_gopher_rules",
-    "text_bpe_tokens",
-    "text_decontaminate_bloom",
-    "text_langid_confusion",
-    "text_lm_doc_nll",
-    "text_distribution_drift",
-    "quality_dsir_importance",
-    "text_collocation_pmi",
-    "mm_features",
-    "mm_frame_sample",
-    "mm_arrow_batch",
-    "mm_phash_neardup",
-    "source_stream_file",
-    "sink_bucketed",
-    "catalog_ctas",
+    "agg_approx_distinct",
+    "agg_sketch_hll",
+    "event_user_lifecycle",
+    "event_conversion_latency_histogram",
+    "ts_anomaly_mad",
+    "ts_inter_arrival",
+    "ts_bollinger",
+    "ts_rolling_slope",
+    "event_dau_wau",
+    "win_gaps_islands",
+    "win_reset_running_sum",
+    "graph_jaccard_link_prediction",
+    "quality_join_fanout_census",
+    "quality_cross_source_dups",
+    "fn_mask",
+    "ml_sentiment_mllib",
+    "ml_kmeans_embeddings",
+    "corpus_epoch_schedule",
+    "sample_epoch_shuffle",
+    "sample_neyman_allocation",
+    "corpus_filter_funnel",
+    "sample_split_by_content",
+    "embed_matryoshka_truncate",
+    "embed_binary_quantize",
+    "sim_knn_graph_mutual",
+    "dedup_semantic_cc",
+    "embed_dim_stats",
+    "text_ccnet_bucket",
+    "text_kwic",
+    "mm_shot_boundaries",
+    "sink_sorted_layout",
+    "scan_parquet_bloom",
+    "sink_compact_small_files",
+    "sink_zorder_layout",
+    "catalog_txn_time_travel",
+    "scan_binary_files",
+    "sink_dynamic_partition_overwrite",
+    "sink_codec_roundtrip",
+    "source_python_datasource",
+    "source_python_pushdown",
+    "sink_python_stream_writer",
+    "sink_python_batch_writer",
+    "scan_xml",
+    "scan_schema_evolution",
+    "scan_glob_filtered",
+    "scan_metadata_columns",
+    "scan_nested_pruning",
+    "join_interval_overlap",
+    "join_asof_nearest",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions

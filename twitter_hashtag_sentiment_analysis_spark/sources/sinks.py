@@ -18,6 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..io import durable_fixture_dir as _durable_fixture_dir
 from ..io import table
 from ..registry import register
 from ..streaming.queries import _run_to_memory
@@ -44,8 +45,15 @@ def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     drop_dir = _ndjson_cache.get(sf_dir)
     if drop_dir is None:
-        drop_dir = os.path.join(tempfile.mkdtemp(prefix="thsa_ndjson_"), "drops")
-        docs.write.mode("overwrite").json(drop_dir)
+        # durable digest-keyed cache: the NDJSON tree is a pure function
+        # of the documents fixture — write once per fixture, not per
+        # process (the r7->r8 bench regression was this fixture write)
+        drop_dir = _durable_fixture_dir(
+            sf_dir,
+            "documents",
+            "ndjson-v1",
+            lambda d: docs.write.mode("overwrite").json(d),
+        )
         _ndjson_cache[sf_dir] = drop_dir
     stream = spark.readStream.schema(docs.schema).json(drop_dir)
     agg = stream.groupBy("lang").agg(
@@ -687,40 +695,19 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blob_dir = _blobdir_cache.get(sf_dir)
     if blob_dir is None:
-        # DURABLE cache (the stream_two_level_window drop-dir pattern):
-        # the blob tree is a pure function of the documents fixture, so
-        # key it by the fixture's size+mtime digest and reuse across
-        # processes — fresh bench/test runs skip the one-commit-per-file
-        # write entirely. A REGENERATED fixture at the same path gets a
-        # fresh digest, never stale blobs.
-        import hashlib
-        import shutil
-
-        src = os.path.join(sf_dir, "documents.parquet")
-        try:
-            st = os.stat(src)
-            sig = f"{st.st_size}:{st.st_mtime_ns}"
-        except OSError:
-            names = sorted(os.listdir(src))
-            sig = ",".join(
-                f"{n}:{os.stat(os.path.join(src, n)).st_size}" for n in names
-            )
-        digest = hashlib.sha256(
-            f"blobs-v1:{os.path.abspath(sf_dir)}:{sig}".encode()
-        ).hexdigest()[:16]
-        cache_root = os.path.join(
-            tempfile.gettempdir(), "thsa_cache", f"blobs_{digest}"
+        # durable digest-keyed cache with atomic concurrency-safe
+        # populate (shared _durable_fixture_dir helper): the blob tree
+        # is a pure function of the documents fixture, so fresh
+        # bench/test runs skip the one-commit-per-file write entirely
+        blob_dir = _durable_fixture_dir(
+            sf_dir,
+            "documents",
+            "blobs-v2",
+            lambda d: docs.select("doc_id", F.col("text").alias("value"))
+            .write.partitionBy("doc_id")
+            .mode("overwrite")
+            .text(d),
         )
-        blob_dir = os.path.join(cache_root, "docs")
-        marker = os.path.join(cache_root, "_THSA_READY")
-        if not os.path.exists(marker):
-            if os.path.exists(cache_root):
-                shutil.rmtree(cache_root)  # half-written leftover
-            docs.select(
-                "doc_id", F.col("text").alias("value")
-            ).write.partitionBy("doc_id").mode("overwrite").text(blob_dir)
-            with open(marker, "w") as f:
-                f.write("ok")
         _blobdir_cache[sf_dir] = blob_dir
     binf = (
         spark.read.format("binaryFile")

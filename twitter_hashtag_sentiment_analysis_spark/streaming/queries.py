@@ -14,10 +14,8 @@ Two disciplines, per SURVEY §5.2:
 
 from __future__ import annotations
 
-import hashlib
 import itertools
 import os
-import shutil
 import tempfile
 from datetime import timedelta
 
@@ -25,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.sentiment import sentiment_sql_cte
-from ..io import table
+from ..io import durable_fixture_dir, table
 from ..registry import register
 from .pipeline import transform
 
@@ -775,27 +773,7 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fixture REGENERATED at the same path (e.g. /tmp/synth_x5 is
         # rebuilt every round) gets a fresh drop dir instead of stale
         # replay input silently diverging from the oracle's read.
-        src_parquet = os.path.join(sf_dir, "events.parquet")
-        try:
-            st = os.stat(src_parquet)
-            sig = f"{st.st_size}:{st.st_mtime_ns}"
-        except OSError:  # directory-shaped fixture: sign the listing
-            names = sorted(os.listdir(src_parquet))
-            sig = ",".join(
-                f"{n}:{os.stat(os.path.join(src_parquet, n)).st_size}"
-                for n in names
-            )
-        digest = hashlib.sha256(
-            f"evdaily-v2:{os.path.abspath(sf_dir)}:{sig}".encode()
-        ).hexdigest()[:16]
-        cache_root = os.path.join(
-            tempfile.gettempdir(), "thsa_cache", f"evdaily_{digest}"
-        )
-        fpath = os.path.join(cache_root, "events")
-        marker = os.path.join(cache_root, "_THSA_READY")
-        if not os.path.exists(marker):
-            if os.path.exists(cache_root):
-                shutil.rmtree(cache_root)  # half-written leftover
+        def _build(dest: str) -> None:
             days = [
                 r.d
                 for r in ev.select(F.to_date("ts").alias("d"))
@@ -815,7 +793,7 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 chunk = [str(d) for d in days[i : i + step]]
                 ev.filter(
                     F.to_date("ts").cast("string").isin(chunk)
-                ).select(*cols).coalesce(1).write.mode("append").parquet(fpath)
+                ).select(*cols).coalesce(1).write.mode("append").parquet(dest)
             max_ts = ev.agg(F.max("ts")).collect()[0][0]
             for hours in (2, 26, 50):
                 flush = spark.range(1).select(
@@ -826,9 +804,13 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0.0).alias("value"),
                     F.lit("{}").alias("props"),
                 )
-                flush.coalesce(1).write.mode("append").parquet(fpath)
-            with open(marker, "w") as f:
-                f.write("ok")
+                flush.coalesce(1).write.mode("append").parquet(dest)
+
+        # durable digest-keyed cache with atomic concurrency-safe
+        # populate (shared durable_fixture_dir helper; "v3" = helper
+        # layout). A fixture REGENERATED at the same path gets a fresh
+        # digest instead of stale replay input.
+        fpath = durable_fixture_dir(sf_dir, "events", "evdaily-v3", _build)
         _stream_dir_cache[key] = fpath
     stream = (
         spark.readStream.schema(spark.read.parquet(fpath).schema)
@@ -1527,9 +1509,13 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle rebuilds identical sessions with the running-max-of-ends
     idiom — a new session starts exactly when an event's time exceeds
     every previous event's (ts + its own gap), which IS the overlap-
-    merge semantics in lag form. Session end is the max per-event end
-    (last event time + ITS gap, not a fixed gap — the part the
-    fixed-gap stream_session cannot express).
+    merge semantics in lag form. Boundary semantics (probed, batch AND
+    streaming, Spark 4.1): an event landing EXACTLY at a previous
+    session end MERGES into that session — equality is inclusive, so
+    the oracle's strict `>` is correct; pinned by the planted
+    exactly-gap-separated fixture in tests/test_streaming.py. Session
+    end is the max per-event end (last event time + ITS gap, not a
+    fixed gap — the part the fixed-gap stream_session cannot express).
 
     Exactness: ends compare in integer microseconds; counts are
     integers. Scale shape: one user-partitioned window chain (running
