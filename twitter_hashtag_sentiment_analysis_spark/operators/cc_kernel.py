@@ -1,0 +1,97 @@
+"""Shared connected-components kernel: alternating star contraction.
+
+Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SOCC'14) — alternating large-star / small-star rounds until the edge
+set is a fixpoint star forest rooted at each component's minimum id.
+Chosen over plain min-label propagation because propagation needs
+O(diameter) rounds (>20 observed on long near-dup chains) while star
+contraction converges in O(log^2 n) worst case (~6 rounds observed on
+the fixtures) — and every round is two (groupBy-min + join) stages
+over the EDGE relation only, so the iteration state is |E|-sized at
+any corpus scale, never corpus-sized.
+
+One kernel, two users: `dedup_connected_components` (shingle-Jaccard
+text pair graph) and `dedup_semantic_cc` (mutual-kNN embedding graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Round cap (provably O(log^2 n) rounds worst case, ~6 observed on
+#: the fixtures; the loop exits on star-forest fixpoint).
+STAR_CC_MAX_ITERS = 40
+
+
+def large_star(E: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star: every strictly-larger neighbor of u
+    re-links to min(N(u) + {u}). Preserves connectivity; shrinks tall
+    structures toward minima."""
+    sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def small_star(E: DataFrame) -> DataFrame:
+    """Kiveris et al. small-star: orient edges toward the larger node,
+    re-link each node's smaller neighbors (and itself) to their
+    minimum."""
+    o = E.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    em = o.join(m, "u")
+    out = em.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    ).unionAll(m.select(F.col("u"), F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def star_contraction_labels(
+    spark: SparkSession,
+    E: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = STAR_CC_MAX_ITERS,
+) -> DataFrame:
+    """Run the alternation to fixpoint and return (n, lbl) — one row
+    per node of ``nodes``, lbl = MIN id of its connected component
+    (isolated nodes label themselves).
+
+    ``E`` is the undirected edge relation with columns (u, v);
+    ``nodes`` the single-column (n) vertex relation to label (must
+    cover every edge endpoint). Caller owns shuffle-partition sizing —
+    the per-round stages are edge-relation-sized, so both users run
+    them at a reduced partition count. Per-round localCheckpoint
+    truncates lineage; one semi-join count per round detects the
+    star-forest fixpoint (no edge's parent is itself a child), and
+    once a star forest, one more alternation is a no-op, so exiting
+    there returns the fixpoint itself."""
+    E = E.select("u", "v").localCheckpoint(eager=True)
+    nodes = nodes.select("n").localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iters):
+        E = small_star(large_star(E)).localCheckpoint(eager=True)
+        nonstar = E.join(
+            E.select(F.col("u").alias("p")).distinct(),
+            E.v == F.col("p"),
+            "leftSemi",
+        ).count()
+        if nonstar == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iters} rounds"
+        )
+    # fixpoint E is a star forest: (child, root); every node that is
+    # not a child (roots AND isolated nodes) labels itself
+    child = E.select(F.col("u").alias("n"), F.col("v").alias("lbl"))
+    selfl = nodes.join(
+        E.select(F.col("u").alias("n")), "n", "leftAnti"
+    ).select("n", F.col("n").alias("lbl"))
+    return child.unionAll(selfl)

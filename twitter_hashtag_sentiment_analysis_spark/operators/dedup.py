@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..io import spread, table
 from ..registry import register
+from .cc_kernel import star_contraction_labels
 
 
 @register(
@@ -648,10 +649,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Iteration cap for min-label propagation. Convergence needs one round
-#: per cluster-graph diameter; near-dup clusters are dense (diameter a
-#: few hops), and the loop exits early on fixpoint anyway. At true
-#: corpus scale swap in large-star/small-star (O(log n) rounds).
+#: Iteration cap for the shared star-contraction CC kernel
+#: (O(log^2 n) rounds worst case; the loop exits on fixpoint).
 CC_MAX_ITERS = 20
 
 
@@ -682,17 +681,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one survivor per duplicate cluster). Output one row per document:
     (doc_id, keeper_doc_id, component_size); singletons keep themselves.
 
-    Spark side: iterative min-label propagation — labels start as
-    doc_id, each round takes min(own, neighbors') via a join + agg,
-    stopping at fixpoint (the label sum is strictly decreasing, so one
-    cheap scalar aggregate detects convergence). Lineage is truncated
-    per round with localCheckpoint. Every shuffle here (the shingle
-    pair build AND ~6 propagation rounds x 2 shuffles) is sized to the
-    CORPUS, not the session default: on a fixture-sized graph 32-way
-    shuffles spend more on task scheduling than on data (measured
-    8.8 s -> 2.5 s at sf0.1 with corpus-sized partitions); at a real
-    10^9-doc corpus the same rule (~1 partition per 20k docs, floor 8,
-    cap 2048) scales the count back up. The oracle
+    Spark side: the SHARED alternating-star-contraction kernel
+    (operators/cc_kernel.py — Kiveris et al.), the same kernel as
+    dedup_semantic_cc: O(log^2 n) rounds over the EDGE relation vs
+    min-label propagation's O(diameter) (the r8 5x stress measured
+    propagation at ratio 3.5, worst in the sweep — long near-dup
+    chains are exactly propagation's pathological case). Every shuffle
+    here (the shingle pair build AND the contraction rounds) is sized
+    to the CORPUS, not the session default: on a fixture-sized graph
+    32-way shuffles spend more on task scheduling than on data
+    (measured 8.8 s -> 2.5 s at sf0.1 with corpus-sized partitions);
+    at a real 10^9-doc corpus the same rule (~1 partition per 20k
+    docs, floor 8, cap 2048) scales the count back up. The oracle
     replicates with a recursive CTE computing min reachable id — exact
     hash despite the iterative implementation. component_size counts
     reachable docs (oracle) == component membership (Spark groupBy).
@@ -736,30 +736,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
         )
         pairs = c.filter(jac >= 0.2).select("doc_a", "doc_b")
-        edges = pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
-        edges = edges.localCheckpoint(eager=True)  # pair graph computed once
-        labels = grp.select("doc_id", F.col("doc_id").alias("comp"))
-        prev_sum = None
-        for _ in range(CC_MAX_ITERS):
-            nb_min = (
-                edges.join(labels, edges.s == labels.doc_id)
-                .groupBy("t")
-                .agg(F.min("comp").alias("nb_comp"))
-            )
-            labels = (
-                labels.join(nb_min, labels.doc_id == nb_min.t, "left")
-                .select(
-                    "doc_id",
-                    F.least("comp", F.coalesce("nb_comp", "comp")).alias("comp"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
+        edges = pairs.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+        labels = star_contraction_labels(
+            spark, edges, grp.select(F.col("doc_id").alias("n")), CC_MAX_ITERS
+        ).select(F.col("n").alias("doc_id"), F.col("lbl").alias("comp"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # re-expand: rep-level component -> every member of the content group

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..io import spread, table
 from ..registry import register
+from .cc_kernel import STAR_CC_MAX_ITERS, star_contraction_labels
 
 DIM = 64  # FIXTURES.md: 64-dimensional embeddings
 
@@ -1682,38 +1683,8 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst", "cos_sim")
 
 
-#: Round cap for the alternating star contraction (provably
-#: O(log^2 n) rounds worst case, ~6 observed on the fixtures; the
-#: loop exits on edge-set fixpoint).
-SEMCC_MAX_ITERS = 40
-
-
-def _large_star(E: DataFrame) -> DataFrame:
-    """Kiveris et al. large-star: every strictly-larger neighbor of u
-    re-links to min(N(u) + {u}). Preserves connectivity; shrinks tall
-    structures toward minima."""
-    sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-    return (
-        sym.filter(F.col("v") > F.col("u"))
-        .join(m, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-
-
-def _small_star(E: DataFrame) -> DataFrame:
-    """Kiveris et al. small-star: orient edges toward the larger node,
-    re-link each node's smaller neighbors (and itself) to their
-    minimum."""
-    o = E.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-    m = o.groupBy("u").agg(F.min("v").alias("m"))
-    em = o.join(m, "u")
-    out = em.filter(F.col("v") != F.col("m")).select(
-        F.col("v").alias("u"), F.col("m").alias("v")
-    ).unionAll(m.select(F.col("u"), F.col("m").alias("v")))
-    return out.filter(F.col("u") != F.col("v")).distinct()
+#: Round cap for the alternating star contraction (see cc_kernel).
+SEMCC_MAX_ITERS = STAR_CC_MAX_ITERS
 
 
 @register(
@@ -1780,40 +1751,11 @@ def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             E.select(F.col("u").alias("n"))
             .unionAll(E.select(F.col("v").alias("n")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        converged = False
-        for rnd in range(SEMCC_MAX_ITERS):
-            E2 = _small_star(_large_star(E)).localCheckpoint(eager=True)
-            E = E2
-            # termination: the alternation's fixpoint is exactly a star
-            # forest — no edge's parent is itself a child. One semi-join
-            # count per round (cheaper than multiset equality), and once
-            # a star forest, one more alternation is a no-op, so exiting
-            # here returns the fixpoint itself.
-            nonstar = (
-                E.join(
-                    E.select(F.col("u").alias("p")).distinct(),
-                    E.v == F.col("p"),
-                    "leftSemi",
-                ).count()
-            )
-            if nonstar == 0:
-                converged = True
-                break
-        if not converged:
-            raise RuntimeError(
-                f"dedup_semantic_cc: star contraction did not converge in"
-                f" {SEMCC_MAX_ITERS} rounds"
-            )
+        labels = star_contraction_labels(spark, E, nodes, SEMCC_MAX_ITERS)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    # fixpoint E is a star forest: (child, root); roots label themselves
-    child = E.select(F.col("u").alias("vec_id"), F.col("v").alias("lbl"))
-    roots = nodes.join(
-        E.select(F.col("u").alias("n")), "n", "leftAnti"
-    ).select(F.col("n").alias("vec_id"), F.col("n").alias("lbl"))
-    labels = child.unionAll(roots)
+    labels = labels.select(F.col("n").alias("vec_id"), "lbl")
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         "vec_id",
