@@ -1289,3 +1289,106 @@ def test_cross_source_dups_counts_planted_mirrors(spark, tmp_path):
         .collect()
     }
     assert got == {("src_a", "src_b"): 2, ("src_a", "src_c"): 1}
+
+
+def test_stream_reshard_restart_exactly_once_across_split(spark, tmp_path):
+    """Kill the RESHARDED python source twice — once mid-epoch-1 (only
+    parent shards open) and once mid-epoch-2 (children open) — and
+    restart from the same checkpoint each time. Exactly-once across
+    the resharding epoch: every record delivered once, per-shard
+    counts match the reshard plan, the final committed offset pins
+    every shard (parents AND children) at its end, and every committed
+    offset along the way satisfies the lineage invariant (a child
+    present only when all its parents are pinned)."""
+    import json
+    import os
+    import time
+
+    from twitter_hashtag_sentiment_analysis_spark.sources.pydatasource import (
+        PYDS_ROWS,
+        RESHARD_AT,
+        RESHARD_FINAL_OFFSET,
+        RESHARD_LINEAGE,
+    )
+
+    reg = load_all()
+    reg["stream_python_source_reshard"].fn(spark, "")  # registers the format
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+
+    def count_rows():
+        try:
+            return spark.read.parquet(out_dir).count()
+        except Exception:
+            return 0
+
+    def run_until(target_fn, timeout_s):
+        q = (
+            spark.readStream.format("synthetic_tweets_resharded")
+            .load()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + timeout_s
+        while time.time() < deadline and not target_fn():
+            time.sleep(0.05)
+        q.stop()
+        q.awaitTermination(30)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # stop 1: mid-epoch-1 (some parent rows, none of epoch 2 yet)
+        run_until(lambda: count_rows() > 0, 60)
+        assert 0 < count_rows() <= PYDS_ROWS
+        # stop 2: mid-epoch-2 (restart replayed across the parents'
+        # close; now stop again while children are draining)
+        run_until(lambda: count_rows() > RESHARD_AT, 90)
+        # final: drain to the cap
+        run_until(lambda: count_rows() >= PYDS_ROWS, 90)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == PYDS_ROWS, "gaps or duplicate batches"
+    assert got.select("id").distinct().count() == PYDS_ROWS, "replayed dups"
+    per_shard = {
+        r["shard_id"]: r["n"]
+        for r in got.groupBy("shard_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_shard == {
+        "shardId-000000000000": RESHARD_AT // 2,
+        "shardId-000000000001": RESHARD_AT // 4,
+        "shardId-000000000002": RESHARD_AT // 4,
+        "shardId-000000000003": RESHARD_AT // 4,
+        "shardId-000000000004": RESHARD_AT // 4,
+        "shardId-000000000005": RESHARD_AT // 2,
+    }
+
+    # lineage invariant over every committed offset the engine wrote
+    off_dir = os.path.join(ck, "offsets")
+    final = None
+    for fname in sorted(os.listdir(off_dir), key=lambda s: int(s) if s.isdigit() else -1):
+        if not fname.isdigit():
+            continue
+        with open(os.path.join(off_dir, fname)) as f:
+            lines = [l for l in f.read().splitlines() if l.startswith("{")]
+        # last JSON line is the source offset
+        off = json.loads(lines[-1])
+        if isinstance(off, str):
+            off = json.loads(off)
+        final = off
+        for child, parents in RESHARD_LINEAGE.items():
+            if child in off:
+                for p in parents:
+                    assert off.get(p) == RESHARD_FINAL_OFFSET[p], (
+                        fname,
+                        child,
+                        p,
+                        off,
+                    )
+    assert final == RESHARD_FINAL_OFFSET, final
