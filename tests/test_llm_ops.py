@@ -967,3 +967,64 @@ def test_integer_division_idiom_nonnegative_assumption(spark, sf_dir):
     for r in rows:
         assert r["tokens"] >= 0 and r["target_tokens"] >= 0
         assert r["epochs_milli"] >= 0 and r["scheduled_tokens"] >= 0
+
+
+def test_paragraph_dedup_planted_boilerplate(spark, tmp_path):
+    """Two docs share a boilerplate chunk: the first occurrence (lowest
+    doc_id, chunk_idx) survives, the repeat is dropped; a doc made
+    ENTIRELY of already-seen chunks dedups to empty text; unique docs
+    pass through byte-identical."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.text_analysis import (
+        PARA_CHUNK_TOKENS,
+    )
+
+    reg = load_all()
+    boiler = " ".join(f"b{i}" for i in range(PARA_CHUNK_TOKENS))
+    uniq1 = " ".join(f"u{i}" for i in range(PARA_CHUNK_TOKENS))
+    uniq2 = " ".join(f"v{i}" for i in range(PARA_CHUNK_TOKENS))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, f"{boiler} {uniq1}"),   # first occurrence of boiler
+            (2, f"{boiler} {uniq2}"),   # boiler dropped, uniq2 kept
+            (3, boiler),                # all chunks seen -> empty
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["dedup_text"])
+        for r in reg["text_paragraph_dedup"].fn(spark, sf).collect()
+    }
+    assert got[1] == (2, 2, f"{boiler} {uniq1}")
+    assert got[2] == (2, 1, uniq2)
+    assert got[3] == (1, 0, "")
+
+
+def test_kfold_assign_balance_and_dup_colocation(spark, sf_dir, tmp_path):
+    """Folds are roughly balanced (uniform 60-bit hash mod K) and exact
+    duplicates always land in the SAME fold (content-keyed — the
+    k-fold eval-leakage guarantee)."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.sampling import (
+        KFOLD_K,
+    )
+
+    reg = load_all()
+    rows = reg["sample_kfold_assign"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    per_fold = {}
+    for r in rows:
+        assert 0 <= r["fold"] < KFOLD_K
+        per_fold[r["fold"]] = per_fold.get(r["fold"], 0) + 1
+    assert len(per_fold) == KFOLD_K
+    for k, c in per_fold.items():
+        assert abs(c - n / KFOLD_K) < 4 * (n / KFOLD_K) ** 0.5, (k, c, n)
+
+    # planted duplicates co-locate
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(i, "identical content here") for i in range(10)]
+        + [(100 + i, f"unique text {i} for fold spread") for i in range(20)],
+    )
+    got = {r["doc_id"]: r["fold"] for r in reg["sample_kfold_assign"].fn(spark, sf).collect()}
+    assert len({got[i] for i in range(10)}) == 1, "duplicates split across folds"

@@ -409,3 +409,68 @@ def quality_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("source_a", "source_b").agg(
         F.count("*").cast("long").alias("n_shared_contents")
     )
+
+
+@register(
+    "quality_schema_drift",
+    sql="""
+        SELECT * FROM (VALUES
+            ('doc_id',  'unchanged',    'bigint', 'bigint'),
+            ('lang',    'removed',      'string', NULL),
+            ('n_chars', 'type_changed', 'bigint', 'int'),
+            ('quality', 'added',        NULL,     'double'),
+            ('source',  'added',        NULL,     'string'),
+            ('text',    'unchanged',    'string', 'string')
+        ) AS t(column_name, status, from_type, to_type)
+    """,
+)
+def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA DRIFT detection between two snapshots of a table — the
+    pre-merge gate an ingestion pipeline runs before appending a new
+    crawl drop onto an existing corpus (silent column loss / type
+    narrowing is how a 100 TB table quietly corrupts: parquet will
+    happily union int32 and int64 footers until a reader asks). Two
+    snapshot versions of the documents table are materialized (v2
+    drops `lang`, narrows `n_chars` bigint->int, adds `source` and a
+    computed `quality` double), both are read BACK so the diff runs
+    on real parquet footers (not on what the writer intended), and
+    the report classifies every column as added / removed /
+    type_changed / unchanged with from/to types.
+
+    Scale note: the diff consumes only file-footer METADATA — Spark's
+    parquet schema merge reads footers, never data, so the gate costs
+    O(#files) at any table size (and O(1) with a _common_metadata or
+    catalog-backed schema). The snapshot writes here are fixture
+    generation; a real deployment diffs two already-existing tables.
+    The oracle pins the expected classification literally — drift in
+    the drift detector itself fails the hash."""
+    import tempfile as _tf
+
+    docs = table(spark, sf_dir, "documents")
+    base = _tf.mkdtemp(prefix="thsa_drift_")
+    v1_dir, v2_dir = f"{base}/v1", f"{base}/v2"
+    docs.select("doc_id", "text", "lang", "n_chars").limit(50).write.mode(
+        "overwrite"
+    ).parquet(v1_dir)
+    docs.select(
+        "doc_id",
+        "text",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "source",
+        (F.length("text") / F.lit(100.0)).alias("quality"),
+    ).limit(50).write.mode("overwrite").parquet(v2_dir)
+    s1 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(v1_dir).schema}
+    s2 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(v2_dir).schema}
+    rows = []
+    for c in sorted(set(s1) | set(s2)):
+        if c not in s2:
+            rows.append((c, "removed", s1[c], None))
+        elif c not in s1:
+            rows.append((c, "added", None, s2[c]))
+        elif s1[c] != s2[c]:
+            rows.append((c, "type_changed", s1[c], s2[c]))
+        else:
+            rows.append((c, "unchanged", s1[c], s2[c]))
+    return spark.createDataFrame(
+        rows, "column_name string, status string, from_type string, to_type string"
+    )

@@ -1207,3 +1207,36 @@ def sample_split_by_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+#: Fold count for content-keyed cross-validation assignment.
+KFOLD_K = 5
+
+
+@register(
+    "sample_kfold_assign",
+    sql=f"""
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(sha256(text)), 1, 15)
+                         AS BIGINT) % {KFOLD_K} AS INTEGER) AS fold
+        FROM documents
+    """,
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed K-FOLD assignment for cross-validation over the
+    corpus: fold = md5(sha256(text)) mod K — keyed on CONTENT like
+    sample_split_by_content, so exact duplicates always share a fold
+    and no eval fold ever holds a copy of a training document (the
+    k-fold version of the eval-leakage hole). The hash-to-int uses the
+    repo's portable idiom (15 hex chars of md5 parsed base-16 — fits
+    int64, verified bit-identical Spark conv vs DuckDB '0x' cast, see
+    dedup_minhash); mod K of a uniform 60-bit integer gives folds
+    balanced to ~1/sqrt(n) without any shuffle — the assignment is a
+    NARROW MAP, embarrassingly parallel at 100 TB, and stable under
+    any repartitioning or re-run (no rand(), no row_number).
+    Fold-balance and duplicate-colocation are property-tested."""
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.sha2("text", 256)), 1, 15), 16, 10
+    ).cast("long")
+    return d.select("doc_id", (h % KFOLD_K).cast("int").alias("fold"))

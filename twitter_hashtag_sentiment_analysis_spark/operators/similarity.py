@@ -1836,3 +1836,124 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("variance"),
     )
+
+
+#: Whitening tolerances: numerical error of the driver-side eig +
+#: one distributed pass is ~1e-10; the booleans gate at 1e-6.
+WHITEN_TOL = 1e-6
+WHITEN_EPS = 1e-9
+
+
+@register(
+    "embed_whitening",
+    sql="""
+        SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(max(len(embedding)) AS INTEGER) AS dim,
+               TRUE AS unit_variance_ok,
+               TRUE AS decorrelated_ok,
+               TRUE AS psd_ok
+        FROM embeddings
+    """,
+)
+def embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA WHITENING of the embedding corpus — the standard
+    preconditioning before linear probing / retrieval calibration:
+    y = C^{-1/2}(x - mean) makes dimensions unit-variance and
+    pairwise-decorrelated, undoing the anisotropy contrastive encoders
+    are known for. Three stages, each 100-TB-shaped:
+
+    1. covariance: ONE distributed pass accumulating the d(d+1)/2
+       moment cells map-side (the embed_gram_matrix kernel) — shuffle
+       size is partitions x cells at ANY row count; the d x d matrix
+       collects to the driver (bounded by construction, d=64);
+    2. factor: driver-side numpy eigendecomposition of the d x d
+       covariance (BLAS on a 64x64 — microseconds; never data-sized);
+    3. apply + verify: the whitening matrix broadcasts as an Arrow
+       batch constant into a vectorized pandas UDF (one BLAS matmul
+       per batch), and a SECOND moment-cell pass over the WHITENED
+       vectors checks the contract distributed: every post-whitening
+       variance within WHITEN_TOL of 1, every off-diagonal covariance
+       within WHITEN_TOL of 0, all eigenvalues positive.
+
+    Oracle contract (the agg_approx_distinct pattern): the eig is an
+    iterative float factorization DuckDB cannot replay, so the output
+    is the exact corpus count/dim plus the three deterministic
+    verification booleans, which DuckDB replays as literals — the
+    contract IS the check."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def moment_cells(df: DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
+        """One pass -> (sum vector s, raw second-moment matrix S, n)."""
+        d_ = df.select(F.posexplode("v").alias("i", "x"), F.col("v"))
+        cells = (
+            d_.select(
+                "i",
+                "x",
+                F.posexplode(
+                    F.slice(F.col("v"), F.col("i") + 1, F.size("v"))
+                ).alias("dj", "y"),
+            )
+            .groupBy("i", "dj")
+            .agg(F.sum(F.col("x") * F.col("y")).alias("sxy"))
+            .collect()
+        )
+        marg = (
+            d_.groupBy("i")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .collect()
+        )
+        dim_ = len(marg)
+        n_ = int(marg[0]["n"])
+        s = np.zeros(dim_)
+        for r in marg:
+            s[r["i"]] = r["sx"]
+        S = np.zeros((dim_, dim_))
+        for r in cells:
+            i, j = r["i"], r["i"] + r["dj"]
+            S[i, j] = S[j, i] = r["sxy"]
+        return s, S, n_
+
+    s, S, n = moment_cells(emb)
+    dim = len(s)
+    mean = s / n
+    cov = S / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    psd_ok = bool((evals > 0).all())
+    W = evecs @ np.diag(1.0 / np.sqrt(evals + WHITEN_EPS)) @ evecs.T
+
+    Wb, mb = W.astype("float64"), mean.astype("float64")
+
+    # annotations set explicitly: this module defers annotation
+    # evaluation (PEP 563) and pd is function-local, so string hints
+    # would not resolve inside pandas_udf's inference
+    def _whiten(vs):
+        X = np.stack(vs.to_numpy())  # (batch, d)
+        Y = (X - mb) @ Wb.T
+        return pd.Series(list(Y))
+
+    _whiten.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    whiten = F.pandas_udf(_whiten, "array<double>")
+
+    white = emb.select("vec_id", whiten("v").alias("v"))
+    sw, Sw, nw = moment_cells(white)
+    mw = sw / nw
+    covw = Sw / nw - np.outer(mw, mw)
+    unit_ok = bool(np.abs(np.diag(covw) - 1.0).max() < WHITEN_TOL)
+    off = covw - np.diag(np.diag(covw))
+    deco_ok = bool(np.abs(off).max() < WHITEN_TOL)
+
+    return emb.agg(
+        F.count("*").alias("n_vecs"),
+        F.max(F.size("v")).cast("int").alias("dim"),
+    ).select(
+        "n_vecs",
+        "dim",
+        F.lit(unit_ok).alias("unit_variance_ok"),
+        F.lit(deco_ok).alias("decorrelated_ok"),
+        F.lit(psd_ok).alias("psd_ok"),
+    )

@@ -1871,3 +1871,189 @@ def text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(left, " ").alias("left_ctx"),
         F.array_join(right, " ").alias("right_ctx"),
     )
+
+
+#: Paragraph granularity for cross-document paragraph dedup: fixed
+#: 16-token chunks (the fixture corpus is single-line word soup, so a
+#: deterministic fixed-width chunking plays the role real paragraph
+#: boundaries play on a crawl).
+PARA_CHUNK_TOKENS = 16
+
+
+@register(
+    "text_paragraph_dedup",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+                   array_to_string(
+                       w[ci * {PARA_CHUNK_TOKENS} + 1 :
+                         ci * {PARA_CHUNK_TOKENS} + {PARA_CHUNK_TOKENS}],
+                       ' ') AS chunk
+            FROM toks,
+                 LATERAL unnest(range(0,
+                     (len(w) + {PARA_CHUNK_TOKENS} - 1)
+                         // {PARA_CHUNK_TOKENS})) t(ci)
+        ),
+        ranked AS (
+            SELECT doc_id, chunk_idx, chunk,
+                   row_number() OVER (
+                       PARTITION BY chunk
+                       ORDER BY doc_id, chunk_idx) AS rn
+            FROM chunks
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+               coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                            FILTER (WHERE rn = 1), '') AS dedup_text
+        FROM ranked
+        GROUP BY doc_id
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-granularity exact dedup with document reassembly —
+    the Lee et al. ("Deduplicating Training Data Makes Language Models
+    Better") move that document-level dedup misses: boilerplate
+    paragraphs repeated across otherwise-distinct pages (headers,
+    license blocks, navigation) survive doc-hash dedup but still get
+    memorized. Each document is split into fixed PARA_CHUNK_TOKENS
+    chunks; the FIRST occurrence of each distinct chunk corpus-wide
+    (ordered by doc_id, chunk_idx — deterministic, engine-free) is
+    kept, every repeat is dropped, and documents are reassembled from
+    their surviving chunks in order. Output per doc: chunk counts and
+    the deduplicated text ('' when every chunk was boilerplate).
+
+    Scale shape: tokenize -> posexplode chunks (linear) -> ONE shuffle
+    partitioned by chunk content for the first-occurrence window ->
+    one groupBy(doc_id) to reassemble. No pair generation at all —
+    paragraph dedup is embarrassingly shuffle-shaped, which is why
+    production crawls run it at full corpus size where MinHash needs
+    banding. The window's per-chunk ordering (doc_id, chunk_idx) is a
+    total order, so keeper choice is deterministic on both engines."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split("text", " ")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (F.size(w) + PARA_CHUNK_TOKENS - 1)
+                        / PARA_CHUNK_TOKENS
+                    ).cast("int")
+                    - 1,
+                ),
+                lambda ci: F.array_join(
+                    F.slice(w, ci * PARA_CHUNK_TOKENS + 1, PARA_CHUNK_TOKENS),
+                    " ",
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk")
+    win = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(win))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("chunk_idx", "chunk")
+    )  # NULL (dropped by collect_list) when not kept
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if(F.col("rn") == 1).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.chunk,
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
+@register(
+    "text_tokenizer_fertility",
+    sql=f"""
+        WITH t AS (
+            SELECT lang, string_split(text, ' ') AS ts FROM documents
+        ),
+        per_doc AS (
+            SELECT lang,
+                   len(ts) AS n_words,
+                   list_sum(list_transform(ts, w -> length(w))) AS n_chars,
+                   list_sum(list_transform(ts, w -> {_bpe_sql_word('w')}))
+                       AS n_bpe,
+                   len(list_filter(ts, w -> {_bpe_sql_word('w')} = 1))
+                       AS n_single
+            FROM t
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+               CAST(sum(n_bpe) AS DOUBLE) / sum(n_words) AS fertility,
+               CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe) AS chars_per_token,
+               CAST(sum(n_single) AS DOUBLE) / sum(n_words)
+                   AS single_token_word_rate
+        FROM per_doc
+        GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY panel per language — the standard tokenizer
+    eval (tokens-per-word, chars-per-token, fraction of words kept
+    whole) that decides whether a tokenizer under-serves a language: a
+    lang with fertility 2x the corpus mean pays double the sequence
+    length for the same content, which skews both training cost and
+    effective context. Reuses the frozen `_BPE_MERGES` table of
+    `text_bpe_tokens`, so the two operators describe the SAME
+    tokenizer at doc and corpus granularity.
+
+    Exactness: all sums are exact integers; each ratio is ONE IEEE
+    division of two exact longs, bit-identical on both engines, so the
+    ratios ship UNROUNDED (the repo's per-row-double discipline).
+    Scale shape: one narrow map (the unrolled merge chain, evaluated
+    once per word via a single transform) into one map-side-combined
+    groupBy(lang) — no join, no second pass; at 100 TB this is a
+    single corpus scan with a 5-row result."""
+    d = table(spark, sf_dir, "documents").select("lang", "text")
+    ts = F.split("text", " ")
+
+    def bpe_count(w: Column) -> Column:
+        s = F.concat(F.lit(" "), F.array_join(F.split(w, ""), " "), F.lit(" "))
+        for a, b in _BPE_MERGES:
+            for _ in range(2):
+                s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+        return F.size(F.split(F.trim(s), " "))
+
+    cnts = F.transform(ts, bpe_count)
+    per = d.select(
+        "lang",
+        F.size(ts).alias("n_words"),
+        F.aggregate(ts, F.lit(0), lambda acc, w: acc + F.length(w)).alias(
+            "n_chars"
+        ),
+        F.aggregate(cnts, F.lit(0), lambda acc, c: acc + c).alias("n_bpe"),
+        F.size(F.filter(cnts, lambda c: c == 1)).alias("n_single"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe").cast("long").alias("n_bpe"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_single").cast("long").alias("n_single"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe",
+        (F.col("n_bpe").cast("double") / F.col("n_words")).alias("fertility"),
+        (F.col("n_chars").cast("double") / F.col("n_bpe")).alias(
+            "chars_per_token"
+        ),
+        (F.col("n_single").cast("double") / F.col("n_words")).alias(
+            "single_token_word_rate"
+        ),
+    )

@@ -2383,3 +2383,130 @@ def event_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         dau.join(wau, "d")
         .select(F.col("d").alias("day"), "dau", "wau")
     )
+
+
+#: Centered moving-average half-width for the classical decomposition
+#: (full window = 2*3+1 = 7 days, the weekly-seasonality period).
+STL_HALF = 3
+STL_PERIOD = 7
+
+
+@register(
+    "ts_stl_decompose",
+    sql=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS y_cents
+            FROM events GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT event_type, day, y_cents,
+                   CAST(isodow(day) AS INTEGER) AS dow,
+                   sum(y_cents) OVER w AS w_sum,
+                   count(*) OVER w AS w_n
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN {STL_HALF} PRECEDING
+                                  AND {STL_HALF} FOLLOWING)
+        ),
+        det AS (
+            SELECT event_type, day, y_cents, dow,
+                   CASE WHEN w_n = {STL_PERIOD} THEN w_sum END AS w7,
+                   CASE WHEN w_n = {STL_PERIOD}
+                        THEN {STL_PERIOD} * y_cents - w_sum END AS d7
+            FROM win
+        ),
+        seas AS (
+            SELECT event_type, dow,
+                   CAST(sum(d7) AS BIGINT) AS s_sum,
+                   CAST(count(d7) AS BIGINT) AS s_n
+            FROM det GROUP BY 1, 2
+        )
+        SELECT d.event_type, d.day, d.y_cents,
+               CAST(d.w7 AS DOUBLE) / {STL_PERIOD} AS trend_cents,
+               CAST(s.s_sum AS DOUBLE) / (s.s_n * {STL_PERIOD})
+                   AS seasonal_cents,
+               CASE WHEN d.w7 IS NOT NULL THEN
+                   d.y_cents - CAST(d.w7 AS DOUBLE) / {STL_PERIOD}
+                   - CAST(s.s_sum AS DOUBLE) / (s.s_n * {STL_PERIOD})
+               END AS residual_cents
+        FROM det d JOIN seas s
+          ON d.event_type = s.event_type AND d.dow = s.dow
+        WHERE s.s_n > 0
+    """,
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (the moving-average STL
+    ancestor, Cleveland et al.'s first stage): per event type, the
+    daily value series splits into TREND (7-day centered moving
+    average, defined only where the window is full — no edge bias),
+    SEASONAL (mean detrended value per ISO weekday), and RESIDUAL
+    (what anomaly detection should actually threshold — compare
+    ts_anomaly_zscore, which thresholds the raw series and therefore
+    alarms every weekend).
+
+    Exactness discipline: the series is exact integer cents; the
+    trend is carried as the exact 7-day window SUM (w7, a long) and
+    the detrended series as 7*y - w7 (still exact longs), so the only
+    floating-point steps are final single IEEE divisions (w7/7,
+    s_sum/(n*7)) and one left-associated subtraction chain — each a
+    fixed op sequence on identical operands, hence bit-identical
+    across engines with NO rounding (the ts_bollinger lesson applied
+    from the start). Scale shape: one groupBy(day) partial agg, one
+    windowed pass per event_type partition, one weekday-cell agg
+    (constant |types|*7 cells), one broadcastable join back — at 100
+    TB the window partitions by event_type and days are calendar-
+    bounded, so state never exceeds |types| * |days|."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("y_cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-STL_HALF, STL_HALF)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "y_cents",
+        (F.weekday("day") + 1).cast("int").alias("dow"),
+        F.sum("y_cents").over(w).alias("w_sum"),
+        F.count("*").over(w).alias("w_n"),
+    )
+    det = win.select(
+        "event_type",
+        "day",
+        "y_cents",
+        "dow",
+        F.when(F.col("w_n") == STL_PERIOD, F.col("w_sum")).alias("w7"),
+        F.when(
+            F.col("w_n") == STL_PERIOD,
+            STL_PERIOD * F.col("y_cents") - F.col("w_sum"),
+        ).alias("d7"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.sum("d7").cast("long").alias("s_sum"),
+        F.count("d7").cast("long").alias("s_n"),
+    )
+    trend = F.col("w7").cast("double") / STL_PERIOD
+    seasonal = F.col("s_sum").cast("double") / (F.col("s_n") * STL_PERIOD)
+    return (
+        det.join(F.broadcast(seas.filter(F.col("s_n") > 0)), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "y_cents",
+            trend.alias("trend_cents"),
+            seasonal.alias("seasonal_cents"),
+            F.when(
+                F.col("w7").isNotNull(),
+                F.col("y_cents") - trend - seasonal,
+            ).alias("residual_cents"),
+        )
+    )
