@@ -1028,3 +1028,46 @@ def test_kfold_assign_balance_and_dup_colocation(spark, sf_dir, tmp_path):
     )
     got = {r["doc_id"]: r["fold"] for r in reg["sample_kfold_assign"].fn(spark, sf).collect()}
     assert len({got[i] for i in range(10)}) == 1, "duplicates split across folds"
+
+
+def test_regr_multi_matches_numpy_lstsq(spark, sf_dir):
+    """The closed-form Cramer solve must match numpy's least squares
+    on the same design matrix (per group, rel. tol 1e-6); r2 must be a
+    valid coefficient of determination (the synthetic fixture draws
+    price independently of quantity, so r2 is small but well-formed)."""
+    import numpy as np
+
+    reg = load_all()
+    got = {
+        r["l_returnflag"]: (
+            r["b0_cents"],
+            r["b1_cents_per_qty_cent"],
+            r["b2_cents_per_disc_bp"],
+            r["r2"],
+        )
+        for r in reg["stat_regr_multi"].fn(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    by_flag = {}
+    for r in li.collect():
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (
+                round(r["l_quantity"] * 100),
+                round(r["l_discount"] * 10000),
+                round(r["l_extendedprice"] * 100),
+            )
+        )
+    for flag, rows in by_flag.items():
+        X = np.array([[1.0, x1, x2] for x1, x2, _ in rows])
+        y = np.array([float(yy) for _, _, yy in rows])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        b0, b1, b2, r2 = got[flag]
+        for want, have in zip(beta, (b0, b1, b2)):
+            assert abs(want - have) <= 1e-6 * max(1.0, abs(want)), (
+                flag,
+                beta,
+                (b0, b1, b2),
+            )
+        assert 0.0 <= r2 <= 1.0, (flag, r2)

@@ -2050,3 +2050,161 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "stat_regr_multi",
+    sql="""
+        WITH c AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+                   CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        m AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x1) AS DECIMAL(38,0)) AS sx1,
+                   CAST(sum(x2) AS DECIMAL(38,0)) AS sx2,
+                   CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                   sum(CAST(x1 AS DECIMAL(18,0)) * x1) AS sx1x1,
+                   sum(CAST(x1 AS DECIMAL(18,0)) * x2) AS sx1x2,
+                   sum(CAST(x2 AS DECIMAL(18,0)) * x2) AS sx2x2,
+                   sum(CAST(x1 AS DECIMAL(18,0)) * y) AS sx1y,
+                   sum(CAST(x2 AS DECIMAL(18,0)) * y) AS sx2y,
+                   sum(CAST(y AS DECIMAL(18,0)) * y) AS syy
+            FROM c GROUP BY l_returnflag
+        ),
+        d AS (
+            SELECT l_returnflag, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(sx1 AS DOUBLE) AS dx1, CAST(sx2 AS DOUBLE) AS dx2,
+                   CAST(sy AS DOUBLE) AS dy,
+                   CAST(sx1x1 AS DOUBLE) AS dx1x1,
+                   CAST(sx1x2 AS DOUBLE) AS dx1x2,
+                   CAST(sx2x2 AS DOUBLE) AS dx2x2,
+                   CAST(sx1y AS DOUBLE) AS dx1y,
+                   CAST(sx2y AS DOUBLE) AS dx2y,
+                   CAST(syy AS DOUBLE) AS dyy
+            FROM m
+        ),
+        k AS (
+            SELECT l_returnflag, n, nd, dx1, dx2, dy,
+                   dx1x1 - dx1 * dx1 / nd AS a11,
+                   dx1x2 - dx1 * dx2 / nd AS a12,
+                   dx2x2 - dx2 * dx2 / nd AS a22,
+                   dx1y - dx1 * dy / nd AS c1,
+                   dx2y - dx2 * dy / nd AS c2,
+                   dyy - dy * dy / nd AS syyc
+            FROM d
+        ),
+        b AS (
+            SELECT l_returnflag, n, nd, dx1, dx2, dy, c1, c2, syyc,
+                   (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS b1,
+                   (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) AS b2
+            FROM k
+        )
+        SELECT l_returnflag, n,
+               (dy - b1 * dx1 - b2 * dx2) / nd AS b0_cents,
+               b1 AS b1_cents_per_qty_cent,
+               b2 AS b2_cents_per_disc_bp,
+               1 - (syyc - b1 * c1 - b2 * c2) / syyc AS r2
+        FROM b
+    """,
+)
+def stat_regr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE linear regression (two regressors + intercept) per
+    return flag, closed-form: price ~ quantity + discount. Extends
+    stat_regr_trend's single-regressor slope to the normal-equations
+    solve a feature-attribution readout needs, still with NO iterative
+    fitting: the 2x2 centered system solves by Cramer's rule.
+
+    Exactness discipline: every moment sum is an EXACT integer/decimal
+    aggregate (cents / quantity-cents / discount-bp, the
+    stat_skew_kurtosis recipe, associative and order-proof), and the
+    double-precision assembly — centering, Cramer, intercept, r2 — is
+    the IDENTICAL fully-parenthesized expression tree on both engines,
+    so every IEEE step sees identical operands; coefficients ship
+    UNROUNDED. Scale shape: ONE map-side-combined aggregate (10 sums,
+    5 groups), then scalar math on a 5-row relation — the same
+    single-pass shape at any corpus size; decimal second moments have
+    ~1e7-rows-per-group headroom beyond sf100 before the documented
+    DECIMAL(38) ceiling (see stat_skew_kurtosis)."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 10000, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,0)")  # noqa: E731
+    m = c.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x1").cast("decimal(38,0)").alias("sx1"),
+        F.sum("x2").cast("decimal(38,0)").alias("sx2"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(dec("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(dec("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(dec("x1") * F.col("y")).alias("sx1y"),
+        F.sum(dec("x2") * F.col("y")).alias("sx2y"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    d = m.select(
+        "l_returnflag",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx1").cast("double").alias("dx1"),
+        F.col("sx2").cast("double").alias("dx2"),
+        F.col("sy").cast("double").alias("dy"),
+        F.col("sx1x1").cast("double").alias("dx1x1"),
+        F.col("sx1x2").cast("double").alias("dx1x2"),
+        F.col("sx2x2").cast("double").alias("dx2x2"),
+        F.col("sx1y").cast("double").alias("dx1y"),
+        F.col("sx2y").cast("double").alias("dx2y"),
+        F.col("syy").cast("double").alias("dyy"),
+    )
+    k = d.select(
+        "l_returnflag",
+        "n",
+        "nd",
+        "dx1",
+        "dx2",
+        "dy",
+        (F.col("dx1x1") - F.col("dx1") * F.col("dx1") / F.col("nd")).alias("a11"),
+        (F.col("dx1x2") - F.col("dx1") * F.col("dx2") / F.col("nd")).alias("a12"),
+        (F.col("dx2x2") - F.col("dx2") * F.col("dx2") / F.col("nd")).alias("a22"),
+        (F.col("dx1y") - F.col("dx1") * F.col("dy") / F.col("nd")).alias("c1"),
+        (F.col("dx2y") - F.col("dx2") * F.col("dy") / F.col("nd")).alias("c2"),
+        (F.col("dyy") - F.col("dy") * F.col("dy") / F.col("nd")).alias("syyc"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    b = k.select(
+        "l_returnflag",
+        "n",
+        "nd",
+        "dx1",
+        "dx2",
+        "dy",
+        "c1",
+        "c2",
+        "syyc",
+        ((F.col("c1") * F.col("a22") - F.col("c2") * F.col("a12")) / det).alias("b1"),
+        ((F.col("c2") * F.col("a11") - F.col("c1") * F.col("a12")) / det).alias("b2"),
+    )
+    return b.select(
+        "l_returnflag",
+        "n",
+        (
+            (F.col("dy") - F.col("b1") * F.col("dx1") - F.col("b2") * F.col("dx2"))
+            / F.col("nd")
+        ).alias("b0_cents"),
+        F.col("b1").alias("b1_cents_per_qty_cent"),
+        F.col("b2").alias("b2_cents_per_disc_bp"),
+        (
+            F.lit(1)
+            - (F.col("syyc") - F.col("b1") * F.col("c1") - F.col("b2") * F.col("c2"))
+            / F.col("syyc")
+        ).alias("r2"),
+    )

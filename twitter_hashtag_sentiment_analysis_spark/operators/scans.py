@@ -500,3 +500,58 @@ def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _nested_dir_cache: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "scan_csv_dialect",
+    sql="""
+        SELECT doc_id,
+               CAST(length('"pre", ' || text || chr(10) || 'post\\tail')
+                    AS BIGINT) AS n_chars,
+               md5('"pre", ' || text || chr(10) || 'post\\tail')
+                   AS content_md5
+        FROM documents
+        WHERE doc_id % 7 = 0
+    """,
+)
+def scan_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV DIALECT hardening — the failure modes that eat real crawl
+    exports: field values containing the QUOTE character, the
+    DELIMITER, the ESCAPE character, and embedded NEWLINES (a record
+    spanning physical lines). Every document gets a hostile payload
+    injected ('\"pre\", ' + text + '\\n' + 'post\\\\tail' — quote,
+    comma, newline, and backslash in one field), is written through
+    Spark's CSV sink (quote-wrapped, escaped), and read back with
+    multiLine=true + matching quote/escape options; the oracle
+    recomputes length and md5 of the SAME injected construction from
+    the source table, so one flipped escape or a naive line-split
+    shows up as a hash miss.
+
+    Scale note: multiLine CSV is the one dialect feature that costs
+    parallelism — a file with embedded newlines is NOT byte-range
+    splittable, so Spark reads each file whole (here: the writer
+    shards into many files, restoring file-level parallelism). That
+    trade — per-file parallelism instead of per-split — is exactly
+    what a 100 TB CSV ingest must plan for, and why the parquet scans
+    everywhere else in this repo are the steady-state format."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    hostile = F.concat(
+        F.lit('"pre", '), F.col("text"), F.lit("\npost\\tail")
+    )
+    src = docs.select("doc_id", hostile.alias("payload"))
+    out = os.path.join(tempfile.mkdtemp(prefix="thsa_csvdialect_"), "docs_csv")
+    (
+        src.write.mode("overwrite")
+        .options(header=True, quote='"', escape='"')
+        .csv(out)
+    )
+    back = (
+        spark.read.schema("doc_id long, payload string")
+        .options(header=True, multiLine=True, quote='"', escape='"')
+        .csv(out)
+    )
+    return back.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_chars"),
+        F.md5("payload").alias("content_md5"),
+    )

@@ -19,7 +19,7 @@ import os
 import tempfile
 from datetime import timedelta
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.sentiment import sentiment_sql_cte
@@ -1608,3 +1608,109 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_runs).cast("long").alias("n_runs"),
         )
     )
+
+
+@register(
+    "stream_cdc_apply",
+    sql="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey < 2000
+        )
+        SELECT o_orderkey,
+               CAST(cents + CASE WHEN o_orderkey % 3 = 0
+                                 THEN 1000 ELSE 0 END AS BIGINT) AS cents
+        FROM base
+        WHERE o_orderkey % 5 <> 0
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE-DATA-CAPTURE apply — the Kafka-CDC-to-lakehouse
+    pattern: a stream of (key, seq, op, payload) change events drains
+    micro-batch by micro-batch through foreachBatch, each batch MERGED
+    into a keyed versioned state table (upserts replace, deletes
+    remove, LAST SEQUENCE WINS within a batch). The apply is
+    batch-boundary-invariant by construction: per-key max-seq dedup
+    inside every batch + anti-join merge means any regrouping of
+    events into batches (in seq order) produces the same final state —
+    the property that makes CDC apply safe under retry and
+    repartitioned replay. State versions are written per batch id
+    (v{batch_id}), so a retried batch overwrites ITS OWN version
+    instead of corrupting the predecessor — the same idempotence
+    contract as sink_python_stream_writer's 2PC.
+
+    The change stream is derived deterministically from orders
+    (insert every key < 2000, update keys % 3 == 0 with +1000 cents,
+    delete keys % 5 == 0), one file per op class drained with
+    maxFilesPerTrigger=1 => three micro-batches exercising
+    insert-then-update-then-delete across batch boundaries. The oracle
+    computes the surviving final state closed-form. Scale shape: each
+    batch is one shuffle (key dedup window) + one anti-join against
+    state partitioned on the same key — at 100 TB both sides bucket on
+    the key and the merge never rewrites untouched partitions (cf.
+    sink_dynamic_partition_overwrite)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="thsa_cdc_")
+    src = f"{root}/changes"
+    state_root = f"{root}/state"
+    os.makedirs(state_root)
+    # three op-class files, written in seq order (file source drains
+    # oldest-first, one per trigger)
+    ins = base.select("k", F.lit(1).alias("seq"), F.lit("I").alias("op"), "cents")
+    upd = (
+        base.filter(F.col("k") % 3 == 0)
+        .select("k", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+                (F.col("cents") + 1000).alias("cents"))
+    )
+    dele = base.filter(F.col("k") % 5 == 0).select(
+        "k", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    for i, df in enumerate((ins, upd, dele)):
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def _latest_state():
+        vs = sorted(
+            (d for d in os.listdir(state_root) if d.startswith("v")),
+            key=lambda s: int(s[1:]),
+        )
+        if not vs:
+            return None
+        return spark.read.parquet(os.path.join(state_root, vs[-1]))
+
+    def _apply(batch, batch_id: int):
+        w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+        latest = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        cur = _latest_state()
+        keep = latest.filter(F.col("op") != "D").select("k", "cents")
+        if cur is None:
+            merged = keep
+        else:
+            merged = cur.join(latest, "k", "left_anti").unionByName(keep)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema("k long, seq int, op string, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{root}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = _latest_state()
+    return final.select(F.col("k").alias("o_orderkey"), "cents")
