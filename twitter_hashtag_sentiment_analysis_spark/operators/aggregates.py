@@ -2208,3 +2208,93 @@ def stat_regr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("syyc")
         ).alias("r2"),
     )
+
+
+#: Intersection-estimate tolerance: inclusion-exclusion compounds the
+#: three HLL errors (~1.6% each at lgK=12), and the difference of
+#: near-equal estimates amplifies relative error — 25% of the EXACT
+#: intersection is the practical envelope the estimate must hit for
+#: the fixture's heavily-overlapping user sets.
+HLL_INTERSECT_TOL = 0.25
+
+
+@register(
+    "agg_hll_intersection",
+    sql="""
+        WITH pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM (SELECT DISTINCT event_type FROM events) a
+            JOIN (SELECT DISTINCT event_type FROM events) b
+              ON a.event_type < b.event_type
+        )
+        SELECT p.type_a, p.type_b,
+               CAST((SELECT count(DISTINCT e1.user_id) FROM events e1
+                     WHERE e1.event_type = p.type_a
+                       AND e1.user_id IN (SELECT e2.user_id FROM events e2
+                                          WHERE e2.event_type = p.type_b))
+                    AS BIGINT) AS exact_common_users,
+               TRUE AS within_tol
+        FROM pairs p
+    """,
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH SET ALGEBRA: estimated audience INTERSECTION per
+    event-type pair by inclusion-exclusion over HLL sketches —
+    |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B), where the union estimate
+    comes from hll_union_agg MERGING the two per-type sketches (never
+    rescanning raw data). This is the overlap question
+    event_audience_overlap answers exactly, re-asked the way a 100 TB
+    deployment must: per-segment sketches are precomputed ONCE (KB
+    each), and any of the O(|segments|^2) pairwise overlaps is then a
+    constant-time sketch merge — no per-pair distinct-count job.
+
+    Oracle contract (the agg_approx_distinct pattern): the estimate is
+    not engine-replayable, so the output carries the exact
+    intersection (computed in the same query — verification harness,
+    not the production plan) plus a within_tol boolean; tolerance is
+    wide (HLL_INTERSECT_TOL) because inclusion-exclusion DIFFERENCES
+    amplify sketch error — precisely the caveat a production readout
+    must document (theta sketches fix this; Spark ships HLL)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est = pairs.select(
+        "type_a",
+        "type_b",
+        (
+            F.expr("hll_sketch_estimate(sk_a)")
+            + F.expr("hll_sketch_estimate(sk_b)")
+            - F.expr(
+                "hll_sketch_estimate(hll_union(sk_a, sk_b))"
+            )
+        ).alias("est_common"),
+    )
+    # exact side: distinct users per (pair, user) via one semi-join-
+    # shaped aggregation — groupBy user collects its type set once
+    usets = ev.distinct()
+    ua = usets.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = usets.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("exact_common_users"))
+    )
+    return est.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_common_users",
+        (
+            F.abs(F.col("est_common") - F.col("exact_common_users"))
+            / F.col("exact_common_users")
+            <= HLL_INTERSECT_TOL
+        ).alias("within_tol"),
+    )

@@ -2510,3 +2510,256 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual_cents"),
         )
     )
+
+
+#: Pixel-bucket count for the M4 downsampler.
+M4_BUCKETS = 20
+
+
+@register(
+    "ts_downsample_m4",
+    sql=f"""
+        WITH b AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   ts, event_id,
+                   CAST(floor(epoch_us(ts) / 86400000000.0 / 30
+                              * {M4_BUCKETS}) AS BIGINT)
+                       - CAST(floor(epoch_us((SELECT min(ts) FROM events))
+                              / 86400000000.0 / 30 * {M4_BUCKETS}) AS BIGINT)
+                       AS px
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, px, cents,
+                   row_number() OVER (PARTITION BY event_type, px
+                                      ORDER BY ts, event_id) AS rf,
+                   row_number() OVER (PARTITION BY event_type, px
+                                      ORDER BY ts DESC, event_id DESC) AS rl
+            FROM b
+        )
+        SELECT event_type, px,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(cents) AS BIGINT) AS min_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents,
+               CAST(max(CASE WHEN rf = 1 THEN cents END) AS BIGINT)
+                   AS first_cents,
+               CAST(max(CASE WHEN rl = 1 THEN cents END) AS BIGINT)
+                   AS last_cents
+        FROM r
+        GROUP BY event_type, px
+    """,
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB'14) — the pixel-exact
+    companion to ts_downsample_lttb: per (series, pixel-column bucket)
+    keep min, max, FIRST, and LAST value, which provably reproduces
+    every line-rendering pixel of the full-resolution series on a
+    width-M4_BUCKETS canvas. LTTB preserves visual SHAPE with a point
+    budget; M4 preserves the exact raster — dashboards want M4,
+    sparklines want LTTB, and a 100 TB store serves both from one
+    scan. First/last are made deterministic under timestamp ties by
+    the (ts, event_id) total order (the repo's tie-break discipline).
+
+    Scale shape: two row_number windows + one aggregate sharing ONE
+    (event_type, px)-compatible partitioning — Spark plans a single
+    shuffle; per-pixel state is O(1), so the output is exactly
+    |series| x M4_BUCKETS rows at any input size."""
+    ev = table(spark, sf_dir, "events")
+    lo = ev.agg(F.min("ts")).collect()[0][0]  # scalar anchor, bounded
+    us_per_px = 86_400_000_000.0 * 30 / M4_BUCKETS
+    lo_px = F.floor(F.lit(lo.timestamp() * 1_000_000) / us_per_px).cast("long")
+    b = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+        (
+            F.floor(F.unix_micros(F.to_utc_timestamp("ts", "UTC")) / us_per_px)
+            .cast("long")
+            - lo_px
+        ).alias("px"),
+    )
+    wf = Window.partitionBy("event_type", "px").orderBy("ts", "event_id")
+    wl = Window.partitionBy("event_type", "px").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = b.select(
+        "event_type",
+        "px",
+        "cents",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return r.groupBy("event_type", "px").agg(
+        F.count("*").alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.max(F.when(F.col("rf") == 1, F.col("cents"))).alias("first_cents"),
+        F.max(F.when(F.col("rl") == 1, F.col("cents"))).alias("last_cents"),
+    )
+
+
+#: The unordered funnel's step set.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "event_funnel_unordered",
+    sql="""
+        WITH f AS (
+            SELECT user_id,
+                   min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+                   min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+                   min(ts) FILTER (WHERE event_type = 'purchase')
+                       AS t_purchase
+            FROM events GROUP BY user_id
+        ),
+        c AS (
+            SELECT user_id,
+                   (t_view IS NOT NULL)::INT + (t_click IS NOT NULL)::INT
+                       + (t_purchase IS NOT NULL)::INT AS n_steps,
+                   CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                             AND t_purchase IS NOT NULL
+                        THEN epoch_us(greatest(t_view, t_click, t_purchase))
+                             - epoch_us(least(t_view, t_click, t_purchase))
+                   END AS span_us
+            FROM f
+        )
+        SELECT CAST(n_steps AS INTEGER) AS n_steps,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(span_us) AS BIGINT) AS total_span_us,
+               CAST(max(span_us) AS BIGINT) AS max_span_us
+        FROM c
+        GROUP BY n_steps
+    """,
+)
+def event_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNORDERED funnel — the product-analytics complement to
+    event_funnel's strict-sequence form: a user completes the funnel
+    by performing ALL steps in ANY order (first-touch per step; the
+    completion span is latest-first-touch minus earliest-first-touch).
+    Ordered funnels answer "did the designed path happen"; unordered
+    answers "did the user reach all milestones" — conversions that
+    e.g. purchase before clicking the campaign still count here, and
+    the histogram over n_steps completed is the funnel health readout.
+
+    Scale shape: ONE map-side-combined aggregate per user (3
+    conditional mins — no window, no self-join, unlike the ordered
+    form's sequence match), then a 4-row histogram aggregate. Span
+    arithmetic is exact integer microseconds."""
+    ev = table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in FUNNEL_STEPS
+        ]
+    )
+    ts_cols = [F.col(f"t_{s}") for s in FUNNEL_STEPS]
+    n_steps = sum(
+        c.isNotNull().cast("int") for c in ts_cols
+    )
+    us = lambda c: F.unix_micros(F.to_utc_timestamp(c, "UTC"))  # noqa: E731
+    span = F.when(
+        ts_cols[0].isNotNull() & ts_cols[1].isNotNull() & ts_cols[2].isNotNull(),
+        us(F.greatest(*ts_cols)) - us(F.least(*ts_cols)),
+    )
+    c = f.select(
+        n_steps.cast("int").alias("n_steps"), span.alias("span_us")
+    )
+    return c.groupBy("n_steps").agg(
+        F.count("*").alias("n_users"),
+        F.sum("span_us").cast("long").alias("total_span_us"),
+        F.max("span_us").cast("long").alias("max_span_us"),
+    )
+
+
+@register(
+    "event_cohort_ltv_curve",
+    sql="""
+        WITH first_seen AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+            FROM first_seen GROUP BY cohort_week
+        ),
+        rev AS (
+            SELECT f.cohort_week,
+                   CAST(floor(epoch_us(date_trunc('week', e.ts)) / 604800000000)
+                        - floor(epoch_us(f.cohort_week) / 604800000000)
+                        AS BIGINT) AS age_weeks,
+                   CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events e
+            JOIN first_seen f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        )
+        SELECT CAST(r.cohort_week AS DATE) AS cohort_week,
+               r.age_weeks, s.cohort_users, r.cents,
+               CAST(sum(r.cents) OVER (PARTITION BY r.cohort_week
+                                       ORDER BY r.age_weeks) AS BIGINT)
+                   AS cum_cents,
+               CAST(sum(r.cents) OVER (PARTITION BY r.cohort_week
+                                       ORDER BY r.age_weeks) AS DOUBLE)
+                   / s.cohort_users AS cum_cents_per_user
+        FROM rev r JOIN sizes s ON r.cohort_week = s.cohort_week
+    """,
+)
+def event_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV CURVE — the revenue side of event_retention_cohort:
+    users cohorted by first-seen week, purchase revenue bucketed by
+    cohort AGE in weeks, and the running cumulative (total and
+    per-cohort-user) that an LTV payback model reads off. The age
+    arithmetic is integer epoch-week subtraction (not datediff on
+    timestamps), so a purchase in the cohort week is age 0 on both
+    engines regardless of session timezone.
+
+    Exactness: revenue in integer cents; the only double is the final
+    single division by cohort size (unrounded, bit-identical). Scale
+    shape: first-seen is one user-keyed aggregate; revenue is one
+    (cohort, age) aggregate after an equi-join on user (both sides
+    shuffle on user_id once — AQE broadcast-converts first_seen when a
+    cohort dimension is small); the cumulative window runs over the
+    tiny (cohort x age) relation, never the event log."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    epw = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(F.to_utc_timestamp(c, "UTC")) / 604_800_000_000
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (epw(F.date_trunc("week", F.col("ts"))) - epw(F.col("cohort_week")))
+            .cast("long")
+            .alias("age_weeks"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    return (
+        rev.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            "age_weeks",
+            "cohort_users",
+            "cents",
+            F.sum("cents").over(w).cast("long").alias("cum_cents"),
+            (
+                F.sum("cents").over(w).cast("double") / F.col("cohort_users")
+            ).alias("cum_cents_per_user"),
+        )
+    )
