@@ -138,7 +138,10 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan, plan
-    assert "Exchange hashpartitioning" not in plan, plan
+    # formatted mode splits node headers from their arguments, so the
+    # old "Exchange hashpartitioning" substring could never appear and
+    # the assertion was vacuous — count actual Exchange nodes instead
+    assert _n_exchanges(plan) == 0, plan
 
 
 def test_composite_queries_broadcast_dims_and_bound_topk(spark, sf_dir):
@@ -906,3 +909,60 @@ def test_dau_wau_no_corpus_grain_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "event_dau_wau")
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def _n_exchanges(plan: str) -> int:
+    """Count physical Exchange nodes in a FORMATTED plan (node header
+    lines '(n) Exchange'); ReusedExchange does not count — it is the
+    reuse we want."""
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+
+
+def test_kfold_assign_is_shuffle_free_narrow_map(spark, sf_dir):
+    """Content-keyed fold assignment must be a pure narrow map: no
+    Exchange anywhere — the property that makes it free at 100 TB."""
+    plan = plan_of(spark, sf_dir, "sample_kfold_assign")
+    assert "Exchange" not in plan, plan
+
+
+def test_tokenizer_fertility_is_one_pass(spark, sf_dir):
+    """One corpus scan into one two-phase aggregate: exactly one
+    shuffle (partial + final HashAggregate around a single Exchange),
+    no join — the merge-chain arithmetic must not force a second
+    pass."""
+    plan = plan_of(spark, sf_dir, "text_tokenizer_fertility")
+    assert _n_exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_paragraph_dedup_has_no_pair_join(spark, sf_dir):
+    """Paragraph dedup is shuffle-shaped, never pair-shaped: window on
+    chunk content + reassembly groupBy — two hash Exchanges, zero
+    joins (a Join would mean candidate-pair generation crept in)."""
+    plan = plan_of(spark, sf_dir, "text_paragraph_dedup")
+    assert "Join" not in plan, plan
+    assert _n_exchanges(plan) == 2, plan
+
+
+def test_m4_windows_and_agg_share_one_exchange(spark, sf_dir):
+    """Both row_number windows and the final aggregate key on
+    (event_type, px): Spark must plan ONE data shuffle for all three
+    (window partitioning is reused by the agg)."""
+    plan = plan_of(spark, sf_dir, "ts_downsample_m4")
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_regr_multi_is_single_two_phase_aggregate(spark, sf_dir):
+    """All ten moment sums fold map-side: one Exchange between partial
+    and final HashAggregate; the Cramer assembly is pure projection."""
+    plan = plan_of(spark, sf_dir, "stat_regr_multi")
+    assert _n_exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_cohort_ltv_broadcasts_sizes_and_windows_small_relation(spark, sf_dir):
+    """The cohort-size side joins broadcast (it is cohort-count-sized);
+    the cumulative window must run above the (cohort, age) aggregate,
+    not over the raw event log."""
+    plan = plan_of(spark, sf_dir, "event_cohort_ltv_curve")
+    assert "BroadcastHashJoin" in plan, plan
