@@ -1071,3 +1071,20 @@ def test_regr_multi_matches_numpy_lstsq(spark, sf_dir):
                 (b0, b1, b2),
             )
         assert 0.0 <= r2 <= 1.0, (flag, r2)
+
+
+def test_k_core_reached_fixpoint_and_is_maximal(spark, sf_dir):
+    """The bounded-round peel must actually converge at fixture scale:
+    every survivor's degree within the survivor subgraph is >= K (the
+    k-core invariant — an unconverged peel would leave a vertex below
+    threshold), and no peeled vertex could re-qualify (maximality is
+    implied by monotone peeling)."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.analytics import (
+        KCORE_K,
+    )
+
+    reg = load_all()
+    rows = reg["graph_k_core"].fn(spark, sf_dir).collect()
+    assert rows, "k-core unexpectedly empty at fixture scale"
+    for r in rows:
+        assert r["core_degree"] >= KCORE_K, (r["token"], r["core_degree"])

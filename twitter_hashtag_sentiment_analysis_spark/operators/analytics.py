@@ -2907,3 +2907,140 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hhi"),
     )
+
+
+#: k-core parameters: threshold degree and the FIXED peel-round count
+#: both engines execute (bounded-round contract — see docstring).
+KCORE_K = 25
+KCORE_ROUNDS = 6
+
+_KCORE_PEEL_CTES = "\n".join(
+    f"""        s{r} AS MATERIALIZED (
+            SELECT v FROM (
+                SELECT e.a AS v, count(*) AS d
+                FROM edges e
+                JOIN s{r-1} p1 ON e.a = p1.v JOIN s{r-1} p2 ON e.b = p2.v
+                GROUP BY e.a
+                UNION ALL
+                SELECT e.b AS v, count(*) AS d
+                FROM edges e
+                JOIN s{r-1} p1 ON e.a = p1.v JOIN s{r-1} p2 ON e.b = p2.v
+                GROUP BY e.b
+            ) GROUP BY v HAVING sum(d) >= {KCORE_K}
+        ),"""
+    for r in range(1, KCORE_ROUNDS + 1)
+)
+
+
+@register(
+    "graph_k_core",
+    sql=f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS ts FROM documents
+        ),
+        bi AS (
+            SELECT ts[CAST(i AS INT)] AS x, ts[CAST(i + 1 AS INT)] AS y
+            FROM toks, unnest(range(1, len(ts))) AS u(i)
+            WHERE len(ts) >= 2 AND ts[CAST(i AS INT)] <> ''
+              AND ts[CAST(i + 1 AS INT)] <> ''
+        ),
+        edges AS MATERIALIZED (
+            SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+            FROM bi WHERE x <> y
+        ),
+        s0 AS MATERIALIZED (
+            SELECT DISTINCT v FROM
+                (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+        ),
+{_KCORE_PEEL_CTES}
+        final_deg AS (
+            SELECT e.a AS v, count(*) AS d
+            FROM edges e
+            JOIN s{KCORE_ROUNDS} p1 ON e.a = p1.v
+            JOIN s{KCORE_ROUNDS} p2 ON e.b = p2.v
+            GROUP BY e.a
+            UNION ALL
+            SELECT e.b AS v, count(*) AS d
+            FROM edges e
+            JOIN s{KCORE_ROUNDS} p1 ON e.a = p1.v
+            JOIN s{KCORE_ROUNDS} p2 ON e.b = p2.v
+            GROUP BY e.b
+        )
+        SELECT v AS token, CAST(sum(d) AS BIGINT) AS core_degree
+        FROM final_deg GROUP BY v
+    """,
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE decomposition of the word co-occurrence graph (same
+    bigram edge relation as graph_triangle_count): iteratively peel
+    vertices with degree < K until the subgraph where every survivor
+    has >= K surviving neighbors remains — the standard dense-cluster
+    extractor (community cores, spam-ring mining, vocabulary nuclei).
+
+    BOUNDED-ROUND contract: both engines execute EXACTLY KCORE_ROUNDS
+    peel rounds (Spark as a loop with per-round localCheckpoint;
+    DuckDB as generated chained CTEs — recursive CTEs cannot
+    re-aggregate the working set, so the unroll IS the oracle), which
+    makes the result deterministic and hash-comparable regardless of
+    convergence; the fixture test asserts the peel actually reaches
+    its fixpoint within the budget, so the output here equals the true
+    k-core. Peeling is the textbook O(rounds) distributed pattern:
+    each round is one degree aggregate + one semi-join filter over the
+    EDGE relation — |E|-sized state, never all-pairs; at 100 TB the
+    same loop runs with edge-partitioned shuffles and the round count
+    grows with core depth, not data volume."""
+    d = table(spark, sf_dir, "documents").select("text")
+    ts = F.split("text", " ")
+    bi = d.filter(F.size(ts) >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(ts, 1, F.size(ts) - 1),
+                F.slice(ts, 2, F.size(ts) - 1),
+                lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    edges = (
+        bi.filter((F.col("x") != "") & (F.col("y") != "") & (F.col("x") != F.col("y")))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    surv = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(KCORE_ROUNDS):
+            alive = (
+                edges.join(surv.withColumnRenamed("v", "a"), "a", "left_semi")
+                .join(surv.withColumnRenamed("v", "b"), "b", "left_semi")
+            )
+            deg = (
+                alive.select(F.col("a").alias("v"))
+                .unionAll(alive.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count("*").alias("d"))
+            )
+            surv = (
+                deg.filter(F.col("d") >= KCORE_K)
+                .select("v")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    alive = (
+        edges.join(surv.withColumnRenamed("v", "a"), "a", "left_semi")
+        .join(surv.withColumnRenamed("v", "b"), "b", "left_semi")
+    )
+    return (
+        alive.select(F.col("a").alias("token"))
+        .unionAll(alive.select(F.col("b").alias("token")))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )

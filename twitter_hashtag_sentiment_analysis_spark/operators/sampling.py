@@ -1240,3 +1240,184 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.sha2("text", 256)), 1, 15), 16, 10
     ).cast("long")
     return d.select("doc_id", (h % KFOLD_K).cast("int").alias("fold"))
+
+
+#: End-to-end corpus build constants (quality gate as in
+#: corpus_curation_pipeline; decon bench slice as in
+#: text_decontaminate; pack budget as in pack_sequences).
+BUILD_MIN_TOKENS = 30
+BUILD_DISTINCT_RATIO = 0.3
+BUILD_BENCH_MOD = 97
+BUILD_SHINGLE_K = 5
+BUILD_OVERLAP_MIN = 2
+BUILD_PACK_BUDGET = 512
+
+
+@register(
+    "corpus_pretrain_build",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id, source, text, string_split(text, ' ') AS ts
+            FROM documents
+        ),
+        quality AS (
+            SELECT doc_id, source, text, ts,
+                   CAST(len(ts) AS BIGINT) AS n_tokens
+            FROM toks
+            WHERE len(ts) >= {BUILD_MIN_TOKENS}
+              AND len(list_distinct(ts)) * 1.0 / len(ts)
+                  >= {BUILD_DISTINCT_RATIO}
+        ),
+        deduped AS (
+            SELECT doc_id, source, text, ts, n_tokens FROM (
+                SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                             ORDER BY doc_id) AS rn
+                FROM quality
+            ) WHERE rn = 1
+        ),
+        bench_sh AS (
+            SELECT DISTINCT
+                   unnest(list_transform(
+                       range(1, len(ts) - {BUILD_SHINGLE_K} + 2),
+                       i -> array_to_string(ts[i:i + {BUILD_SHINGLE_K} - 1],
+                                            ' ')
+                   )) AS sh
+            FROM toks
+            WHERE doc_id % {BUILD_BENCH_MOD} = 0
+              AND len(ts) >= {BUILD_SHINGLE_K}
+        ),
+        doc_sh AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(ts) - {BUILD_SHINGLE_K} + 2),
+                       i -> array_to_string(ts[i:i + {BUILD_SHINGLE_K} - 1],
+                                            ' ')
+                   )) AS sh
+            FROM deduped
+            WHERE len(ts) >= {BUILD_SHINGLE_K}
+        ),
+        contaminated AS (
+            SELECT s.doc_id
+            FROM doc_sh s JOIN bench_sh b ON s.sh = b.sh
+            GROUP BY s.doc_id
+            HAVING count(DISTINCT s.sh) >= {BUILD_OVERLAP_MIN}
+        ),
+        clean AS (
+            SELECT d.doc_id, d.source, d.text, d.n_tokens
+            FROM deduped d
+            WHERE d.doc_id % {BUILD_BENCH_MOD} != 0
+              AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        split_assigned AS (
+            SELECT doc_id, source, n_tokens,
+                   CASE WHEN substr(md5(sha256(text)), 1, 2) < 'cd'
+                        THEN 'train'
+                        WHEN substr(md5(sha256(text)), 1, 2) < 'e6'
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM clean
+        ),
+        packed AS (
+            SELECT split, source, doc_id, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (
+                            PARTITION BY split, source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - n_tokens) / {BUILD_PACK_BUDGET}) AS BIGINT)
+                       AS pack_id
+            FROM split_assigned
+        )
+        SELECT split, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs
+        FROM packed
+        GROUP BY split, source
+    """,
+)
+def corpus_pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining-corpus build as ONE declarative pipeline —
+    the operators a curation run chains, fused so Catalyst plans them
+    together instead of as checkpointed stages: quality gate (length +
+    distinct-token ratio) -> exact content dedup (min-doc_id keeper)
+    -> benchmark decontamination (5-gram overlap vs the held-out
+    bench slice, bench docs themselves excluded) -> content-keyed
+    train/val/test assignment (duplicates cannot straddle splits) ->
+    contiguous sequence packing per (split, source) -> the per-cell
+    build report (docs, tokens, packs) a training launch reads.
+
+    This is the batch thesis artifact next to stream_curation_pipe's
+    streaming one: a reference user's end-to-end job expressed as one
+    DataFrame expression with an exact single-statement SQL twin.
+    Scale shape: every stage is a shape this repo has already
+    plan-pinned in isolation — narrow-map gates, one content-hash
+    window, the capped inverted-index decon join, a hash split, ONE
+    (split, source) shuffle shared by the packing window and the
+    final aggregate. Nothing quadratic, nothing driver-sized."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ts = F.split("text", " ")
+    quality = d.filter(
+        (F.size(ts) >= BUILD_MIN_TOKENS)
+        & (
+            F.size(F.array_distinct(ts)) / F.size(ts)
+            >= BUILD_DISTINCT_RATIO
+        )
+    ).select("doc_id", "source", "text", F.size(ts).cast("long").alias("n_tokens"))
+    wdup = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    shingle = lambda df: df.filter(F.size(ts) >= BUILD_SHINGLE_K).select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - BUILD_SHINGLE_K + 1),
+                lambda i: F.array_join(F.slice(ts, i, BUILD_SHINGLE_K), " "),
+            )
+        ).alias("sh"),
+    )
+    bench_sh = (
+        shingle(d.filter(F.col("doc_id") % BUILD_BENCH_MOD == 0))
+        .select("sh")
+        .distinct()
+    )
+    doc_sh = shingle(deduped.select("doc_id", "text"))
+    contaminated = (
+        doc_sh.join(bench_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+        .filter(F.col("n_shared") >= BUILD_OVERLAP_MIN)
+        .select("doc_id")
+    )
+    clean = (
+        deduped.filter(F.col("doc_id") % BUILD_BENCH_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    prefix = F.substring(F.md5(F.sha2("text", 256)), 1, 2)
+    assigned = clean.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(prefix < "cd", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    wpack = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = assigned.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(wpack) - F.col("n_tokens"))
+            / BUILD_PACK_BUDGET
+        ),
+    )
+    return packed.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("pack_id").alias("n_packs"),
+    )

@@ -2057,3 +2057,116 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "single_token_word_rate"
         ),
     )
+
+
+#: Split-contamination audit geometry: shingle width, the train-side
+#: document-frequency cap that bounds join fanout (boilerplate
+#: shingles carry no leakage signal), and the flag threshold.
+SPLITCON_K = 5
+SPLITCON_DF_CAP = 64
+SPLITCON_MIN = 2
+# hex-prefix split thresholds, content-keyed (same geometry as
+# sampling.sample_split_by_content: ~80% train)
+SPLITCON_TRAIN_HI = "cd"
+
+
+@register(
+    "quality_split_contamination",
+    sql=f"""
+        WITH labeled AS (
+            SELECT doc_id, text,
+                   substr(md5(sha256(text)), 1, 2) < '{SPLITCON_TRAIN_HI}'
+                       AS is_train
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, is_train, string_split(text, ' ') AS ts
+            FROM labeled
+        ),
+        shingles AS (
+            SELECT doc_id, is_train,
+                   unnest(list_transform(
+                       range(1, len(ts) - {SPLITCON_K} + 2),
+                       i -> array_to_string(ts[i:i + {SPLITCON_K} - 1], ' ')
+                   )) AS sh
+            FROM toks
+            WHERE len(ts) >= {SPLITCON_K}
+        ),
+        train_idx AS (
+            SELECT sh FROM shingles WHERE is_train
+            GROUP BY sh
+            HAVING count(DISTINCT doc_id) <= {SPLITCON_DF_CAP}
+        ),
+        hits AS (
+            SELECT s.doc_id, CAST(count(DISTINCT s.sh) AS BIGINT) AS n_shared
+            FROM shingles s JOIN train_idx t ON s.sh = t.sh
+            WHERE NOT s.is_train
+            GROUP BY s.doc_id
+        )
+        SELECT l.doc_id,
+               CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+               coalesce(h.n_shared, 0) >= {SPLITCON_MIN} AS contaminated
+        FROM labeled l LEFT JOIN hits h ON l.doc_id = h.doc_id
+        WHERE NOT l.is_train
+    """,
+)
+def quality_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONTAMINATION audit: for every EVAL document (the ~20%
+    outside the content-keyed train split), count distinct
+    SPLITCON_K-gram shingles that also occur in ANY train document —
+    the n-gram leakage metric (GPT-3 appendix-C style) that catches
+    what content-keyed splitting alone cannot: near-duplicates and
+    shared passages leaking eval answers into training. Exact
+    duplicates already co-locate by construction (the split key is
+    sha256 of the text — sample_split_by_content), so every hit here
+    is a PARTIAL overlap, the kind worth human review.
+
+    Scale shape: the dedup-family inverted-index discipline — shingle
+    both sides once, collapse the train side to a DISTINCT shingle
+    index with a document-frequency cap (a shingle in > CAP train docs
+    is boilerplate: it carries no leakage signal and only fanout), and
+    one equi-join eval-shingles x index with per-key fanout <= CAP.
+    Linear in corpus size, never pairwise."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = d.select(
+        "doc_id",
+        "text",
+        (
+            F.substring(F.md5(F.sha2("text", 256)), 1, 2) < SPLITCON_TRAIN_HI
+        ).alias("is_train"),
+    )
+    ts = F.split("text", " ")
+    sh = labeled.filter(F.size(ts) >= SPLITCON_K).select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - SPLITCON_K + 1),
+                lambda i: F.array_join(F.slice(ts, i, SPLITCON_K), " "),
+            )
+        ).alias("sh"),
+    )
+    train_idx = (
+        sh.filter("is_train")
+        .groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= SPLITCON_DF_CAP)
+        .select("sh")
+    )
+    hits = (
+        sh.filter(~F.col("is_train"))
+        .join(train_idx, "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+    )
+    return (
+        labeled.filter(~F.col("is_train"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= SPLITCON_MIN).alias(
+                "contaminated"
+            ),
+        )
+    )
