@@ -2298,3 +2298,89 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= HLL_INTERSECT_TOL
         ).alias("within_tol"),
     )
+
+
+#: Count-Min geometry: eps bounds overcount (est <= true + eps*N with
+#: confidence CMS_CONF); seed fixed for run-to-run determinism.
+CMS_EPS = 0.001
+CMS_CONF = 0.99
+CMS_SEED = 42
+#: Tracked heavy-hitter tokens (fixture vocabulary terms).
+CMS_TRACKED = ("table", "value", "fast", "row", "data", "key", "scan", "window")
+
+
+@register(
+    "agg_sketch_cms",
+    sql=f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT t.token,
+               CAST(count(k.token) AS BIGINT) AS exact_count,
+               TRUE AS no_undercount,
+               TRUE AS within_eps_bound
+        FROM (VALUES {", ".join(f"('{t}')" for t in CMS_TRACKED)}) t(token)
+        LEFT JOIN toks k ON k.token = t.token
+        GROUP BY t.token
+    """,
+)
+def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy-hitter frequency estimation — the
+    constant-memory answer to "how often does each tracked term occur
+    in 100 TB": one pass builds a KB-sized mergeable sketch
+    (count_min_sketch aggregate, map-side combined like any algebraic
+    agg), and any term's frequency is then a constant-time query —
+    no per-term scan, no groupBy of the full vocabulary.
+
+    Oracle contract (the agg_approx_distinct pattern, but with the
+    sketch's FORMAL guarantees as the booleans): Count-Min never
+    undercounts (est >= true, a hard property of min-of-counters) and
+    overcounts by at most eps * N with confidence CMS_CONF — both
+    checked against exact counts computed in the same query and
+    emitted as deterministic booleans DuckDB replays as literals. The
+    sketch query runs driver-side on the COLLECTED sketch bytes (KB,
+    bounded by construction — the same discipline as the IVF codebook
+    collect); the exact side is verification harness, not the
+    production plan."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    sk_row = toks.agg(
+        F.count_min_sketch(
+            "token", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+        ).alias("sk"),
+        F.count("*").alias("n_tokens"),
+    ).collect()[0]
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row["sk"])
+    )
+    n_total = sk_row["n_tokens"]
+    bound = CMS_EPS * n_total
+    est = {t: jcms.estimateCount(t) for t in CMS_TRACKED}
+    exact = toks.filter(F.col("token").isin(*CMS_TRACKED)).groupBy(
+        "token"
+    ).agg(F.count("*").alias("exact_count"))
+    tracked = spark.createDataFrame(
+        [(t,) for t in CMS_TRACKED], "token string"
+    )
+    est_lit = F.element_at(
+        F.create_map(
+            *[x for t in CMS_TRACKED for x in (F.lit(t), F.lit(est[t]))]
+        ),
+        F.col("token"),
+    )
+    return (
+        tracked.join(exact, "token", "left")
+        .select(
+            "token",
+            F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
+        )
+        .select(
+            "token",
+            "exact_count",
+            (est_lit >= F.col("exact_count")).alias("no_undercount"),
+            (est_lit <= F.col("exact_count") + F.lit(bound)).alias(
+                "within_eps_bound"
+            ),
+        )
+    )

@@ -1421,3 +1421,93 @@ def corpus_pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.countDistinct("pack_id").alias("n_packs"),
     )
+
+
+@register(
+    "sample_contrastive_pairs",
+    sql="""
+        WITH h AS (
+            SELECT doc_id, sha256(text) AS chash FROM documents
+        ),
+        keepers AS (
+            SELECT chash, min(doc_id) AS keeper FROM h GROUP BY chash
+        ),
+        positives AS (
+            SELECT k.keeper AS anchor_id, h.doc_id AS other_id,
+                   1 AS label
+            FROM h JOIN keepers k ON h.chash = k.chash
+            WHERE h.doc_id <> k.keeper
+        ),
+        shuffled AS (
+            SELECT doc_id, chash,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM h
+        ),
+        negatives AS (
+            SELECT a.doc_id AS anchor_id, b.doc_id AS other_id, 0 AS label
+            FROM shuffled a JOIN shuffled b ON b.rn = a.rn + 1
+            WHERE a.rn % 2 = 1 AND a.chash <> b.chash
+        )
+        SELECT anchor_id, other_id, CAST(label AS INTEGER) AS label
+        FROM positives
+        UNION ALL
+        SELECT anchor_id, other_id, CAST(label AS INTEGER) AS label
+        FROM negatives
+    """,
+)
+def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRASTIVE training-pair generation — the (anchor, other,
+    label) examples an embedding model trains on: POSITIVES are
+    exact-duplicate pairs (each non-keeper paired with its content
+    group's keeper — real paraphrase mining would swap in the MinHash
+    candidates, same plumbing), NEGATIVES are a deterministic
+    hash-shuffle pairing (order by md5(doc_id), pair odd rank with its
+    successor, drop the cryptographically-unlikely same-content
+    collision) — the standard "random negatives" recipe made
+    reproducible: no RNG, so re-runs, retried tasks, and the oracle
+    all see byte-identical pairs (the repo's sampling discipline).
+
+    Scale shape: positives are one content-hash groupBy + join-back;
+    negatives are one rank window + a self-join on rank+1 (both sides
+    range-partitioned by rn — a co-partitioned merge at any size).
+    Output is linear in corpus size. At 100 TB the global rank window
+    would become a per-partition rank + partition-offset add (the
+    sample_epoch_shuffle pattern); at fixture scale the single window
+    is the clearer plan."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("chash")
+    )
+    keepers = d.groupBy("chash").agg(F.min("doc_id").alias("keeper"))
+    positives = (
+        d.join(keepers, "chash")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            F.col("keeper").alias("anchor_id"),
+            F.col("doc_id").alias("other_id"),
+            F.lit(1).alias("label"),
+        )
+    )
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    shuffled = d.select(
+        "doc_id", "chash", F.row_number().over(w).alias("rn")
+    )
+    a = shuffled.filter(F.col("rn") % 2 == 1).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("chash").alias("chash_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = shuffled.select(
+        F.col("doc_id").alias("other_id"),
+        F.col("chash").alias("chash_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    negatives = (
+        a.join(b, a.rn_a + 1 == b.rn_b)
+        .filter(F.col("chash_a") != F.col("chash_b"))
+        .select("anchor_id", "other_id", F.lit(0).alias("label"))
+    )
+    return positives.unionAll(negatives).select(
+        "anchor_id", "other_id", F.col("label").cast("int").alias("label")
+    )

@@ -555,3 +555,58 @@ def scan_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("long").alias("n_chars"),
         F.md5("payload").alias("content_md5"),
     )
+
+
+@register(
+    "scan_modified_after",
+    sql="""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE doc_id % 2 = 1
+        GROUP BY lang
+    """,
+)
+def scan_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTIME-incremental ingest: the `modifiedAfter` scan option reads
+    only files whose filesystem modification time is past a cutoff —
+    the zero-state incremental pattern for pipelines that cannot keep
+    a checkpoint (contrast stream_incremental_etl, which tracks
+    per-file state): "process yesterday's drop" becomes one option on
+    a batch read. Demonstrated deterministically: two file batches of
+    the documents corpus land in one directory, the old batch's mtime
+    is pinned to 2020 with os.utime (no wall-clock races), and the
+    cutoff admits only the new batch — the oracle is the closed-form
+    new-batch slice.
+
+    Scale note: the filter runs in the driver-side FILE INDEX during
+    listing — pruned files are never opened, so cost tracks the
+    listing, not the data. The sharp edge a production user must
+    know: mtime is storage-layer metadata (object stores rewrite it
+    on copy), so modifiedAfter is a coarse gate, not an exactly-once
+    contract — checkpointed file tracking remains the precise tool."""
+    import time as _time
+
+    docs = table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="thsa_mtime_"), "drops")
+    old_dir, new_dir = os.path.join(out, "old"), os.path.join(out, "new")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        old_dir
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+        new_dir
+    )
+    cutoff_s = 1577836800  # 2020-01-01T00:00:00Z
+    for root, _dirs, files in os.walk(old_dir):
+        for f in files:
+            os.utime(os.path.join(root, f), (cutoff_s - 1, cutoff_s - 1))
+    back = (
+        spark.read.schema(docs.schema)
+        .option("modifiedAfter", "2020-01-01T00:00:00")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -2763,3 +2763,85 @@ def event_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_cents_per_user"),
         )
     )
+
+
+#: Abandonment window: a click converts if a purchase follows within
+#: this many hours; otherwise the click is abandoned.
+ABANDON_WINDOW_H = 24
+
+
+@register(
+    "event_abandoned_conversion",
+    sql=f"""
+        WITH clicks AS (
+            SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        converted AS (
+            SELECT DISTINCT c.click_id
+            FROM clicks c
+            JOIN events p
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts >= c.click_ts
+             AND epoch_us(p.ts) < epoch_us(c.click_ts)
+                 + {ABANDON_WINDOW_H} * 3600000000::BIGINT
+        )
+        SELECT c.user_id,
+               CAST(count(*) AS BIGINT) AS n_clicks,
+               CAST(count(*) FILTER (WHERE v.click_id IS NULL) AS BIGINT)
+                   AS n_abandoned,
+               CAST(count(*) FILTER (WHERE v.click_id IS NOT NULL) AS BIGINT)
+                   AS n_converted
+        FROM clicks c LEFT JOIN converted v ON c.click_id = v.click_id
+        GROUP BY c.user_id
+    """,
+)
+def event_abandoned_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABANDONMENT analysis — the time-windowed NOT-EXISTS pattern
+    behind "abandoned cart" reports: a click converts if THE SAME USER
+    purchases within ABANDON_WINDOW_H hours AFTER it; otherwise it is
+    abandoned. This is the negative-space complement of event_funnel
+    (which counts completed paths): operationally the more actionable
+    number, and structurally a time-banded semi/anti-join rather than
+    a sequence match.
+
+    Implementation: one user-keyed equi-join with the time band as a
+    join-side predicate, distinct converted click ids, then a
+    left-join flag aggregate per user — Spark plans the user_id
+    shuffle ONCE and reuses it through the aggregation. Interval
+    arithmetic in exact integer microseconds (half-open window, the
+    session_window boundary discipline). At 100 TB the equi-key keeps
+    it a plain hash join; the band predicate filters inside the join,
+    never a cross product."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    us = lambda c: F.unix_micros(F.to_utc_timestamp(c, "UTC"))  # noqa: E731
+    converted = (
+        clicks.join(
+            pur,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (
+                us(F.col("p_ts"))
+                < us(F.col("click_ts")) + ABANDON_WINDOW_H * 3_600_000_000
+            ),
+        )
+        .select("click_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        clicks.join(converted, "click_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.count_if(F.col("hit").isNull()).alias("n_abandoned"),
+            F.count_if(F.col("hit").isNotNull()).alias("n_converted"),
+        )
+    )
