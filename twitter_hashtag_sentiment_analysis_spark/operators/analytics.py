@@ -3044,3 +3044,74 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("core_degree"))
     )
+
+
+@register(
+    "sql_analyze_stats",
+    sql="""
+        SELECT 'thsa_stats_orders' AS table_name,
+               CAST((SELECT count(*) FROM orders WHERE o_orderkey < 5000)
+                    AS BIGINT) AS row_count,
+               TRUE AS size_known
+        UNION ALL
+        SELECT 'thsa_stats_lineitem' AS table_name,
+               CAST((SELECT count(*) FROM lineitem WHERE l_orderkey < 5000)
+                    AS BIGINT) AS row_count,
+               TRUE AS size_known
+    """,
+)
+def sql_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE COMPUTE STATISTICS — the catalog-statistics
+    surface that feeds Spark's cost-based optimizer: without stats,
+    CBO join reordering and smarter broadcast decisions never fire at
+    100 TB (AQE fixes sizes at RUNTIME; catalog stats fix them at PLAN
+    time, which is what join reordering needs). Two managed tables are
+    created, ANALYZEd, and the rowCount each lands in the catalog is
+    read back via DESCRIBE EXTENDED and verified against the exact
+    count — the oracle recomputes both counts from the source tables,
+    so a stats pipeline that silently under-collects (e.g. NOSCAN
+    size-only stats, the default trap) fails the hash; size_known pins
+    that sizeInBytes landed too.
+
+    Scale note: ANALYZE ... COMPUTE STATISTICS is one distributed
+    count-shaped scan per table (column-level NDV stats add a
+    HyperLogLog pass); the catalog write is metadata. The operator
+    keeps table grain, not column grain, because table stats are what
+    the join reorderer reads first."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    src = {
+        "thsa_stats_orders": table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select("o_orderkey", "o_totalprice"),
+        "thsa_stats_lineitem": table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 5000)
+        .select("l_orderkey", "l_quantity"),
+    }
+    rows = []
+    for name, df in src.items():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        df.write.saveAsTable(name)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        }
+        stats = desc.get("Statistics", "")
+        # "N bytes, M rows"
+        row_count = None
+        size_known = "bytes" in stats
+        for part in stats.split(","):
+            part = part.strip()
+            if part.endswith("rows"):
+                row_count = int(part.split()[0])
+        rows.append((name, row_count, size_known))
+    return spark.createDataFrame(
+        rows, "table_name string, row_count long, size_known boolean"
+    )

@@ -123,3 +123,47 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts in ONE hash aggregate around a single key shuffle, replayed
     as a difference — never an anti-join per copy."""
     return _high_value(spark, sf_dir).exceptAll(_urgent(spark, sf_dir))
+
+
+@register(
+    "set_union_by_name",
+    sql="""
+        SELECT doc_id, lang,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(NULL AS VARCHAR) AS source,
+               'v1' AS batch
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, lang,
+               CAST(NULL AS BIGINT) AS n_chars,
+               source,
+               'v2' AS batch
+        FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLUTION union: ``unionByName(allowMissingColumns=True)``
+    aligns relations by COLUMN NAME and null-fills what either side
+    lacks — how incremental ingest appends a new batch whose schema
+    gained or lost columns without positional-union silent corruption
+    (plain UNION matches by POSITION: a reordered column pair
+    type-coerces or, worse, silently swaps — the classic ingest bug
+    this operator exists to make impossible). Fixture: a v1 batch
+    carrying n_chars but no source, a v2 batch carrying source but no
+    n_chars; the result holds both columns with nulls where a batch
+    lacked them.
+
+    Scale shape: union is a zero-shuffle plan glue node — both legs
+    scan in parallel and the null-fill is a projection; the read
+    schemas stay pruned per leg (each parquet scan reads only its
+    batch's columns)."""
+    d = table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", "n_chars", F.lit("v1").alias("batch")
+    )
+    v2 = d.filter(F.col("doc_id") % 3 == 1).select(
+        "doc_id", "lang", "source", F.lit("v2").alias("batch")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "doc_id", "lang", "n_chars", "source", "batch"
+    )
