@@ -960,3 +960,57 @@ def fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string"),
         ).alias("masked_custom"),
     )
+
+
+@register(
+    "fn_stable_surrogate_id",
+    sql="""
+        WITH h AS (
+            SELECT doc_id, md5('thsa:doc:' || CAST(doc_id AS VARCHAR)) AS x
+            FROM documents
+        )
+        SELECT doc_id,
+               substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-5'
+                   || substr(x, 14, 3) || '-'
+                   || CASE WHEN substr(x, 17, 1) IN ('0','1','2','3')
+                           THEN '8' WHEN substr(x, 17, 1) IN ('4','5','6','7')
+                           THEN '9' WHEN substr(x, 17, 1) IN ('8','9','a','b')
+                           THEN 'a' ELSE 'b' END
+                   || substr(x, 18, 3) || '-' || substr(x, 21, 12)
+                   AS surrogate_uuid
+        FROM h
+    """,
+)
+def fn_stable_surrogate_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STABLE surrogate-key minting — UUIDv5-style (name-based,
+    RFC 4122 layout: version nibble '5', variant nibble in 8..b) from
+    md5 over a namespaced natural key. The point is what it is NOT:
+    ``monotonically_increasing_id()`` depends on partition layout
+    (re-run => different ids; the classic broken-dimension-table bug)
+    and ``uuid()`` is random — both unusable as a join key across
+    incremental loads. A hash of the namespaced natural key is
+    byte-identical across runs, engines, partitionings, and re-ingests,
+    which is why every warehouse dimension loader mints keys this way.
+    Pure narrow-map string expressions, zero shuffle, trivially
+    100-TB-parallel; the oracle rebuilds the identical UUID from the
+    same hex."""
+    d = table(spark, sf_dir, "documents")
+    x = F.md5(F.concat(F.lit("thsa:doc:"), F.col("doc_id").cast("string")))
+    nib = F.substring(x, 17, 1)
+    variant = (
+        F.when(nib.isin("0", "1", "2", "3"), "8")
+        .when(nib.isin("4", "5", "6", "7"), "9")
+        .when(nib.isin("8", "9", "a", "b"), "a")
+        .otherwise("b")
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.substring(x, 1, 8), F.lit("-"),
+            F.substring(x, 9, 4), F.lit("-5"),
+            F.substring(x, 14, 3), F.lit("-"),
+            variant,
+            F.substring(x, 18, 3), F.lit("-"),
+            F.substring(x, 21, 12),
+        ).alias("surrogate_uuid"),
+    )

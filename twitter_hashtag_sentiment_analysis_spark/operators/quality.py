@@ -474,3 +474,85 @@ def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, status string, from_type string, to_type string"
     )
+
+
+@register(
+    "stat_cohens_kappa",
+    sql="""
+        WITH labeled AS (
+            SELECT doc_id,
+                   CASE WHEN len(string_split(text, ' ')) >= 40
+                        THEN 'long' ELSE 'short' END AS rater_a,
+                   CASE WHEN n_chars >= 220 THEN 'long' ELSE 'short' END
+                       AS rater_b
+            FROM documents
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE rater_a = rater_b)
+                        AS BIGINT) AS n_agree,
+                   CAST(count(*) FILTER (WHERE rater_a = 'long')
+                        AS BIGINT) AS a_long,
+                   CAST(count(*) FILTER (WHERE rater_b = 'long')
+                        AS BIGINT) AS b_long
+            FROM labeled
+        )
+        SELECT n, n_agree,
+               CAST(n_agree AS DOUBLE) / n AS p_observed,
+               (CAST(a_long AS DOUBLE) * b_long
+                + CAST(n - a_long AS DOUBLE) * (n - b_long))
+                   / (CAST(n AS DOUBLE) * n) AS p_expected,
+               (CAST(n_agree AS DOUBLE) / n
+                - (CAST(a_long AS DOUBLE) * b_long
+                   + CAST(n - a_long AS DOUBLE) * (n - b_long))
+                      / (CAST(n AS DOUBLE) * n))
+               / (1 - (CAST(a_long AS DOUBLE) * b_long
+                       + CAST(n - a_long AS DOUBLE) * (n - b_long))
+                          / (CAST(n AS DOUBLE) * n)) AS kappa
+        FROM m
+    """,
+)
+def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA inter-rater agreement — the metric an annotation
+    pipeline reports before trusting labels (raw agreement overstates
+    reliability when one class dominates; kappa corrects for the
+    agreement two raters reach by chance). Raters here are two
+    deterministic labelers that disagree on real rows — a token-count
+    rule vs a char-count rule for 'long' documents — standing in for
+    the model-vs-heuristic comparison an eval-ops readout runs.
+
+    Exactness: the confusion counts are exact integers from ONE
+    map-side-combined aggregate; p_o, p_e, and kappa are the IDENTICAL
+    fully-parenthesized double expression on both engines (the
+    stat_regr_multi discipline) so all three ship unrounded. Scale
+    shape: one corpus scan, one 1-row result — kappa at 100 TB costs
+    exactly one aggregate."""
+    d = table(spark, sf_dir, "documents")
+    labeled = d.select(
+        F.when(F.size(F.split("text", " ")) >= 40, "long")
+        .otherwise("short")
+        .alias("rater_a"),
+        F.when(F.col("n_chars") >= 220, "long").otherwise("short").alias(
+            "rater_b"
+        ),
+    )
+    m = labeled.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("rater_a") == F.col("rater_b")).alias("n_agree"),
+        F.count_if(F.col("rater_a") == "long").alias("a_long"),
+        F.count_if(F.col("rater_b") == "long").alias("b_long"),
+    )
+    n = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / F.col("n")
+    pe = (
+        F.col("a_long").cast("double") * F.col("b_long")
+        + (F.col("n") - F.col("a_long")).cast("double")
+        * (F.col("n") - F.col("b_long"))
+    ) / (n * F.col("n"))
+    return m.select(
+        "n",
+        "n_agree",
+        po.alias("p_observed"),
+        pe.alias("p_expected"),
+        ((po - pe) / (F.lit(1) - pe)).alias("kappa"),
+    )

@@ -2170,3 +2170,95 @@ def quality_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_html_strip",
+    sql="""
+        WITH wrapped AS (
+            SELECT doc_id,
+                   '<html><body><nav>menu home about</nav><p id="main">'
+                       || replace(text, ' the ', ' <b>the</b> ')
+                       || '</p><script>var x = 1;</script>'
+                       || '<footer>&copy; 2024 &amp; co</footer></body></html>'
+                       AS html
+            FROM documents
+        ),
+        stripped AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(
+                                       regexp_replace(
+                                           regexp_replace(html,
+                                               '<script[^>]*>.*?</script>',
+                                               ' ', 'gs'),
+                                           '<style[^>]*>.*?</style>',
+                                           ' ', 'gs'),
+                                       '<nav[^>]*>.*?</nav>', ' ', 'gs'),
+                                   '<footer[^>]*>.*?</footer>', ' ', 'gs'),
+                               '<[^>]+>', ' ', 'g'),
+                           '&amp;', '&', 'g'),
+                       ' +', ' ', 'g')) AS clean
+            FROM wrapped
+        )
+        SELECT doc_id,
+               CAST(length(clean) AS BIGINT) AS n_chars,
+               md5(clean) AS clean_md5
+        FROM stripped
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the first stage of every crawl
+    pipeline (CCNet / RefinedWeb "extract text"): drop
+    non-content ELEMENTS wholesale (script/style/nav/footer, tag AND
+    body via per-element non-greedy DOTALL patterns — one pattern per
+    element because DuckDB's RE2 has no backreferences, so the single
+    <(a|b)>.*?</\1> form would silently never match there; measured,
+    not assumed), flatten remaining tags to spaces, decode entities,
+    collapse whitespace. The fixture corpus has no markup, so a
+    deterministic wrapper plants a realistic page around each document
+    (nav menu, bold mid-text markup, a script, an entity-bearing
+    footer) and the oracle recomputes the identical strip — any
+    divergence in regex semantics (greediness, DOTALL) across engines
+    fails the hash.
+
+    Scale shape: pure narrow-map regex chain inside codegen, zero
+    shuffle — crawl-scale HTML stripping is embarrassingly parallel,
+    and the regex-chain form (vs a DOM parse) is the standard
+    trade at 100 TB: no per-row parser allocation, bounded memory,
+    splittable files. A DOM-fidelity pass would swap in a pandas UDF
+    via the same seam as the sentiment scorer."""
+    d = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><nav>menu home about</nav><p id="main">'),
+        F.replace(F.col("text"), F.lit(" the "), F.lit(" <b>the</b> ")),
+        F.lit("</p><script>var x = 1;</script>"),
+        F.lit("<footer>&copy; 2024 &amp; co</footer></body></html>"),
+    )
+    stripped = html
+    # per-element literal patterns: DuckDB's RE2 has no backreferences,
+    # so <(a|b)>.*?</\1> silently never matches there — one pattern per
+    # boilerplate element keeps both engines on the same regex subset
+    for el in ("script", "style", "nav", "footer"):
+        stripped = F.regexp_replace(
+            stripped, rf"(?s)<{el}[^>]*>.*?</{el}>", " "
+        )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(stripped, "<[^>]+>", " "),
+                "&amp;",
+                "&",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(clean).cast("long").alias("n_chars"),
+        F.md5(clean).alias("clean_md5"),
+    )
