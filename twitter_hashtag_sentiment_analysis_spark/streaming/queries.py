@@ -1714,3 +1714,128 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(120)
     final = _latest_state()
     return final.select(F.col("k").alias("o_orderkey"), "cents")
+
+
+#: Session gap for the event-time-timeout sessionizer (seconds).
+STATE_TIMEOUT_GAP_S = 1800
+
+
+@register(
+    "stream_state_timeout_sessions",
+    sql=f"""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts)
+                             - lag(epoch_us(ts)) OVER (
+                                   PARTITION BY user_id ORDER BY ts)
+                             > {STATE_TIMEOUT_GAP_S} * 1000000
+                         OR lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+)
+def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME STATE TIMEOUTS — the applyInPandasWithState
+    capability the NoTimeout counter (stream_stateful_counter) leaves
+    uncovered, and the one real sessionizers need: an OPEN session
+    lives in the state store with a timeout pinned at last_event +
+    gap, and the engine calls the handler back (hasTimedOut=True,
+    empty input) once the WATERMARK passes that instant — eviction is
+    event-time-driven and replay-deterministic, unlike
+    ProcessingTimeTimeout's wall-clock races. In-batch gap splits emit
+    immediately; every still-open session is flushed by the sentinel
+    row pushing the watermark 10 h past the data (the
+    _events_stream_with_sentinel discipline), so the drained output is
+    EXACTLY the batch fixed-gap sessionization — which is the oracle.
+
+    Scale: state is one (start, last, n) triple per ACTIVE user —
+    the state store holds live sessions only, timeouts garbage-collect
+    idle keys (the unbounded-state leak applyInPandasWithState is
+    notorious for when NoTimeout meets an unbounded key space). The
+    shuffle keys on user_id once; handler work is a per-user sort of
+    its batch slice. Ordering contract: WITHIN a batch any disorder is
+    fine (the handler sorts); ACROSS batches events must be
+    watermark-bounded in order, the same in-order-chunk contract the
+    chained-watermark replay keys (stream_two_level_window) document —
+    an already-emitted session is never reopened."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = STATE_TIMEOUT_GAP_S * 1_000_000
+
+    def sessionize(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start],
+                    "session_end_us": [last],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_list = []
+        for pdf in pdfs:
+            sub = pdf[pdf["event_type"] != "wm_flush"]
+            # ns -> us integer event times
+            ts_list.extend(
+                int(v) // 1000 for v in sub["ts"].astype("int64").tolist()
+            )
+        if not ts_list:
+            return
+        ts_list.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_list[0], ts_list[0], 0
+        out = {"user_id": [], "session_start_us": [], "session_end_us": [], "n_events": []}
+        for t in ts_list:
+            if n > 0 and t - last > gap_us:
+                out["user_id"].append(key[0])
+                out["session_start_us"].append(start)
+                out["session_end_us"].append(last)
+                out["n_events"].append(n)
+                start, n = t, 0
+            last = t
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    ev = _events_stream_with_sentinel(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("ts", "1 second")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=(
+                "user_id bigint, session_start_us bigint,"
+                " session_end_us bigint, n_events bigint"
+            ),
+            stateStructType="start bigint, last bigint, n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = _run_to_memory(sessions, "statetmo", output_mode="append")
+    # sentinel user (-1) never emits rows (wm_flush filtered in-handler)
+    return spark.table(name)
