@@ -93,6 +93,11 @@ _DRIVER_SAMPLE_PREFIX = (
     "fn_decimal",
     "agg_approx_distinct",
     "agg_sketch_hll",
+    "stream_incremental_etl",
+    "stream_cdc_apply",
+    "stream_state_timeout_sessions",
+    "stream_python_source_reshard",
+    "sql_analyze_stats",
     "event_user_lifecycle",
     "event_conversion_latency_histogram",
     "ts_anomaly_mad",
@@ -135,11 +140,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "sink_python_batch_writer",
     "scan_xml",
     "scan_schema_evolution",
-    "scan_glob_filtered",
-    "scan_metadata_columns",
-    "scan_nested_pruning",
-    "join_interval_overlap",
-    "join_asof_nearest",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
