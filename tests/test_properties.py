@@ -351,3 +351,95 @@ def test_txn_time_travel_versions_are_isolated(spark, sf_dir):
     assert rows[1]["n_rows"] == rows[2]["n_rows"]
     assert rows[1]["sum_price"] == rows[2]["sum_price"]
     assert rows[2]["n_files"] < rows[1]["n_files"]
+
+
+# --- r9: batch-boundary invariance twins -----------------------------------
+# Pure-Python twins of the stateful handlers' per-key logic. The oracle
+# gate proves fixture equality for ONE batching; these prove the
+# algebra that makes any in-order batching equivalent.
+
+
+def _sessionize_incremental(chunks, gap):
+    """Twin of stream_state_timeout_sessions' handler walk: consume
+    in-order chunks carrying (start, last, n) state; timeout-flush at
+    the end. Returns the emitted session list."""
+    out, state = [], None
+    for chunk in chunks:
+        ts = sorted(chunk)
+        if not ts:
+            continue
+        if state is None:
+            start, last, n = ts[0], ts[0], 0
+        else:
+            start, last, n = state
+        for t in ts:
+            if n > 0 and t - last > gap:
+                out.append((start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        state = (start, last, n)
+    if state is not None:
+        out.append(state)  # watermark timeout flush
+    return out
+
+
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+    cuts=st.lists(st.integers(min_value=0, max_value=59), max_size=5),
+    gap=st.integers(min_value=1, max_value=500),
+)
+def test_stateful_sessionizer_is_batch_boundary_invariant(ts, cuts, gap):
+    """Splitting an in-order event stream into ANY micro-batch chunking
+    yields the same sessions as one pass — the property that makes the
+    event-time-timeout sessionizer safe under availableNow's batching."""
+    ts = sorted(ts)
+    one_shot = _sessionize_incremental([ts], gap)
+    bounds = sorted({min(c, len(ts)) for c in cuts})
+    chunks, prev = [], 0
+    for b in bounds + [len(ts)]:
+        chunks.append(ts[prev:b])
+        prev = b
+    assert _sessionize_incremental(chunks, gap) == one_shot
+
+
+def _cdc_apply_incremental(batches):
+    """Twin of stream_cdc_apply's merge: per batch, last-seq-wins per
+    key; upserts replace, deletes remove. Returns the final state."""
+    state = {}
+    for batch in batches:
+        latest = {}
+        for k, seq, op, val in batch:
+            if k not in latest or seq > latest[k][0]:
+                latest[k] = (seq, op, val)
+        for k, (_seq, op, val) in latest.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = val
+    return state
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),      # key
+            st.sampled_from(["I", "U", "D"]),           # op
+            st.integers(min_value=0, max_value=1000),   # payload
+        ),
+        max_size=40,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=39), max_size=4),
+)
+def test_cdc_apply_is_regrouping_invariant(ops, cuts):
+    """Any regrouping of a seq-ordered change stream into batches
+    produces the same final state — the retry/replay safety property
+    stream_cdc_apply's per-batch last-seq-wins merge relies on."""
+    seq_ops = [(k, i + 1, op, v) for i, (k, op, v) in enumerate(ops)]
+    one_shot = _cdc_apply_incremental([seq_ops])
+    bounds = sorted({min(c, len(seq_ops)) for c in cuts})
+    batches, prev = [], 0
+    for b in bounds + [len(seq_ops)]:
+        batches.append(seq_ops[prev:b])
+        prev = b
+    assert _cdc_apply_incremental(batches) == one_shot
