@@ -596,10 +596,14 @@ def scan_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
         new_dir
     )
+    # modifiedAfter's cutoff string parses in the SESSION timezone, so
+    # the old batch's mtime sits 2 full days below the nominal instant
+    # — beyond any +-14 h timezone interpretation — instead of 1 s
     cutoff_s = 1577836800  # 2020-01-01T00:00:00Z
+    old_mtime = cutoff_s - 2 * 86400
     for root, _dirs, files in os.walk(old_dir):
         for f in files:
-            os.utime(os.path.join(root, f), (cutoff_s - 1, cutoff_s - 1))
+            os.utime(os.path.join(root, f), (old_mtime, old_mtime))
     back = (
         spark.read.schema(docs.schema)
         .option("modifiedAfter", "2020-01-01T00:00:00")

@@ -2566,9 +2566,14 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; per-pixel state is O(1), so the output is exactly
     |series| x M4_BUCKETS rows at any input size."""
     ev = table(spark, sf_dir, "events")
-    lo = ev.agg(F.min("ts")).collect()[0][0]  # scalar anchor, bounded
+    # scalar anchor, bounded — collected as exact integer MICROSECONDS
+    # (a collected naive datetime's .timestamp() would re-interpret it
+    # in the PROCESS timezone and could shift the floor by one pixel)
+    lo_us = ev.agg(
+        F.min(F.unix_micros(F.to_utc_timestamp("ts", "UTC")))
+    ).collect()[0][0]
     us_per_px = 86_400_000_000.0 * 30 / M4_BUCKETS
-    lo_px = F.floor(F.lit(lo.timestamp() * 1_000_000) / us_per_px).cast("long")
+    lo_px = F.floor(F.lit(lo_us) / us_per_px).cast("long")
     b = ev.select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
