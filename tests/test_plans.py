@@ -918,6 +918,14 @@ def _n_exchanges(plan: str) -> int:
     return len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
 
 
+def _n_hash_exchanges(plan: str) -> int:
+    """Count only DATA shuffles (hashpartitioning Exchanges) in a
+    FORMATTED plan — io.spread()'s defensive round-robin re-split of a
+    sub-row-group fixture file is parallelism repair, not a semantic
+    shuffle, and disappears on any real multi-row-group input."""
+    return len(re.findall(r"^Arguments: hashpartitioning", plan, re.M))
+
+
 def test_kfold_assign_is_shuffle_free_narrow_map(spark, sf_dir):
     """Content-keyed fold assignment must be a pure narrow map: no
     Exchange anywhere — the property that makes it free at 100 TB."""
@@ -931,7 +939,7 @@ def test_tokenizer_fertility_is_one_pass(spark, sf_dir):
     no join — the merge-chain arithmetic must not force a second
     pass."""
     plan = plan_of(spark, sf_dir, "text_tokenizer_fertility")
-    assert _n_exchanges(plan) == 1, plan
+    assert _n_hash_exchanges(plan) == 1, plan
     assert "Join" not in plan, plan
 
 
@@ -941,7 +949,7 @@ def test_paragraph_dedup_has_no_pair_join(spark, sf_dir):
     joins (a Join would mean candidate-pair generation crept in)."""
     plan = plan_of(spark, sf_dir, "text_paragraph_dedup")
     assert "Join" not in plan, plan
-    assert _n_exchanges(plan) == 2, plan
+    assert _n_hash_exchanges(plan) == 2, plan
 
 
 def test_m4_windows_and_agg_share_one_exchange(spark, sf_dir):
@@ -949,14 +957,14 @@ def test_m4_windows_and_agg_share_one_exchange(spark, sf_dir):
     (event_type, px): Spark must plan ONE data shuffle for all three
     (window partitioning is reused by the agg)."""
     plan = plan_of(spark, sf_dir, "ts_downsample_m4")
-    assert _n_exchanges(plan) == 1, plan
+    assert _n_hash_exchanges(plan) == 1, plan
 
 
 def test_regr_multi_is_single_two_phase_aggregate(spark, sf_dir):
     """All ten moment sums fold map-side: one Exchange between partial
     and final HashAggregate; the Cramer assembly is pure projection."""
     plan = plan_of(spark, sf_dir, "stat_regr_multi")
-    assert _n_exchanges(plan) == 1, plan
+    assert _n_hash_exchanges(plan) == 1, plan
     assert "Join" not in plan, plan
 
 

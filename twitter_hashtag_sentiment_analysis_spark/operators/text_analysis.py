@@ -1933,7 +1933,7 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production crawls run it at full corpus size where MinHash needs
     banding. The window's per-chunk ordering (doc_id, chunk_idx) is a
     total order, so keeper choice is deterministic on both engines."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     w = F.split("text", " ")
     chunks = d.select(
         "doc_id",
@@ -2017,7 +2017,9 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per word via a single transform) into one map-side-combined
     groupBy(lang) — no join, no second pass; at 100 TB this is a
     single corpus scan with a 5-row result."""
-    d = table(spark, sf_dir, "documents").select("lang", "text")
+    # spread(): a sub-row-group parquet file arrives as ONE split and
+    # would serialize the per-word merge chain onto one core
+    d = spread(table(spark, sf_dir, "documents").select("lang", "text"))
     ts = F.split("text", " ")
 
     def bpe_count(w: Column) -> Column:
@@ -2127,7 +2129,7 @@ def quality_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     is boilerplate: it carries no leakage signal and only fanout), and
     one equi-join eval-shingles x index with per-key fanout <= CAP.
     Linear in corpus size, never pairwise."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     labeled = d.select(
         "doc_id",
         "text",
@@ -2231,7 +2233,7 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade at 100 TB: no per-row parser allocation, bounded memory,
     splittable files. A DOM-fidelity pass would swap in a pandas UDF
     via the same seam as the sentiment scorer."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     html = F.concat(
         F.lit('<html><body><nav>menu home about</nav><p id="main">'),
         F.replace(F.col("text"), F.lit(" the "), F.lit(" <b>the</b> ")),

@@ -1674,9 +1674,18 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, df in enumerate((ins, upd, dele)):
         df.coalesce(1).write.mode("append").parquet(src)
 
-    def _latest_state():
+    def _latest_state(before_id=None):
+        # only COMPLETE versions (_SUCCESS marker) strictly before the
+        # current batch id: a RETRIED batch must merge against its
+        # predecessor, never read its own partial previous attempt
         vs = sorted(
-            (d for d in os.listdir(state_root) if d.startswith("v")),
+            (
+                d
+                for d in os.listdir(state_root)
+                if d.startswith("v")
+                and (before_id is None or int(d[1:]) < before_id)
+                and os.path.exists(os.path.join(state_root, d, "_SUCCESS"))
+            ),
             key=lambda s: int(s[1:]),
         )
         if not vs:
@@ -1690,7 +1699,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        cur = _latest_state()
+        cur = _latest_state(before_id=batch_id)
         keep = latest.filter(F.col("op") != "D").select("k", "cents")
         if cur is None:
             merged = keep
