@@ -284,3 +284,135 @@ def udtf_polymorphic_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lines.lateralJoin(
         ParseCsv(lit(ddl), F.col("line").outer())
     ).drop("line")
+
+
+@register(
+    "udf_grouped_arrow",
+    sql="""
+        SELECT doc_id, lang,
+               CAST(n_chars - min(n_chars) OVER (PARTITION BY lang)
+                    AS BIGINT) AS chars_above_min,
+               CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                   AS group_n
+        FROM documents
+    """,
+)
+def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map via ``applyInArrow`` (Spark 4.1): each group arrives
+    as a pyarrow.Table and the kernel runs pyarrow.compute — NO pandas
+    boxing at all, the same zero-copy win mapInArrow (mm_arrow_batch)
+    gives the ungrouped path. For integer/fixed-width kernels this
+    skips pandas' object-boxing entirely and keeps null semantics
+    exact (pandas silently promotes int64-with-null to float64; Arrow
+    does not — the classic grouped-map dtype corruption this API
+    closes). The kernel subtracts the per-group minimum doc length —
+    exact integer arithmetic, so the oracle is a plain window.
+
+    Same 100 TB caveat as every grouped-map: one whole group
+    materializes per worker call, so the key must bound group size
+    (lang: 5 groups here; a production run keys by (lang, shard)).
+    Where a window function CAN express the kernel — like this
+    demonstrator — the window is the better plan; applyInArrow earns
+    its place when the per-group logic needs real Python (tokenizers,
+    per-group model inference) over fixed-width batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def rebase(tbl: pa.Table) -> pa.Table:
+        mn = pc.min(tbl["n_chars"])
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "lang": tbl["lang"],
+                "chars_above_min": pc.subtract(tbl["n_chars"], mn),
+                "group_n": pa.array(
+                    [tbl.num_rows] * tbl.num_rows, type=pa.int64()
+                ),
+            }
+        )
+
+    return d.groupBy("lang").applyInArrow(
+        rebase,
+        schema="doc_id long, lang string, chars_above_min long, group_n long",
+    )
+
+
+@register(
+    "udf_cogrouped_map",
+    sql="""
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS order_cents
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey,
+               CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(o.order_cents, 0) AS BIGINT) AS order_cents,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey % 10 = 0
+    """,
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED map (``groupBy(...).cogroup(...).applyInPandas``) —
+    the two-sided grouped-map API: both relations shuffle on the key
+    and the kernel receives each key's TWO group slices as separate
+    pandas frames, letting Python express join-like per-key logic no
+    single-input UDF can (custom as-of matching, per-key
+    reconciliation, model-vs-actual diffs). Kernel here: reconcile a
+    customer's profile slice with their order slice into exact
+    integer-cents totals — chosen so a plain LEFT JOIN + aggregate is
+    the oracle and every cent hash-checks; keys with an EMPTY side
+    still invoke the kernel (pinned by the zero-fill rows the oracle's
+    LEFT JOIN reproduces — the semantic a real reconciliation needs).
+
+    Scale: one co-partitioned shuffle per side (the same exchange a
+    join would plan); per-key slices must be bounded like any
+    grouped-map. The deterministic 1-in-10 customer slice keeps the
+    fixture group count civil without changing the shape."""
+    import pandas as pd
+
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
+        "left_semi",
+    )
+
+    def reconcile(cpdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        if cpdf.empty:  # order-side-only key: outside the slice
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "order_cents", "acctbal_cents"]
+            )
+        cents = (opdf["o_totalprice"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(cpdf["c_custkey"].iloc[0])],
+                "n_orders": [len(opdf)],
+                "order_cents": [int(cents.sum()) if len(opdf) else 0],
+                "acctbal_cents": [
+                    int(round(float(cpdf["c_acctbal"].iloc[0]) * 100))
+                ],
+            }
+        )
+
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "c_custkey long, n_orders long, order_cents long,"
+                " acctbal_cents long"
+            ),
+        )
+    )
