@@ -739,3 +739,43 @@ def test_dynamic_gap_session_boundary_merges_at_exact_equality(spark):
     sql = load_all()["stream_session_dynamic_gap"].sql
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert [(u, s, e, n) for u, s, e, n in got] == want, (got, want)
+
+
+def test_incremental_etl_second_run_reads_only_new_files(spark, sf_dir, tmp_path):
+    """Two availableNow invocations over one checkpoint: the offset log
+    must show run 2 starting where run 1 committed (file-source logs
+    grow, never re-list), and the sink must hold each doc exactly
+    once."""
+    import json
+    import os
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    drop = str(tmp_path / "drop")
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    batches = []
+    for part in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == part).write.mode("append").json(drop)
+        q = (
+            spark.readStream.schema(docs.schema)
+            .json(drop)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        batches.append(
+            sorted(
+                int(f) for f in os.listdir(os.path.join(ck, "offsets"))
+                if f.isdigit()
+            )
+        )
+    # run 2 appended new batch ids instead of replaying run 1's
+    assert batches[1][: len(batches[0])] == batches[0]
+    assert len(batches[1]) > len(batches[0])
+    back = spark.read.parquet(sink)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
