@@ -443,3 +443,39 @@ def test_cdc_apply_is_regrouping_invariant(ops, cuts):
         batches.append(seq_ops[prev:b])
         prev = b
     assert _cdc_apply_incremental(batches) == one_shot
+
+
+def test_oracle_gate_canon_catches_mismatch_classes():
+    """Meta-test of the correctness gate itself: the canon/table_hash
+    pair must DISTINGUISH the mismatch classes it exists to catch —
+    a flipped last significant float digit, int-vs-float type drift,
+    None-vs-0, boolean flips, and row-content changes — while staying
+    order-insensitive (the one equivalence it is allowed)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "check_oracle.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    canon, table_hash = mod.canon, mod.table_hash
+
+    rows = [(1, 2.5, "a", True), (2, 3.25, "b", False)]
+    base = table_hash(["i", "x", "s", "b"], rows)
+    # order-insensitive: permuting rows must NOT change the hash
+    assert table_hash(["i", "x", "s", "b"], rows[::-1]) == base
+    # every mismatch class MUST change the hash
+    variants = [
+        [(1, 2.5000000001, "a", True), (2, 3.25, "b", False)],  # 1-ulp-ish
+        [(1, 2, "a", True), (2, 3.25, "b", False)],             # type drift
+        [(1, None, "a", True), (2, 3.25, "b", False)],          # null vs value
+        [(1, 2.5, "a", False), (2, 3.25, "b", False)],          # bool flip
+        [(1, 2.5, "a", True), (2, 3.25, "c", False)],           # string edit
+        [(1, 2.5, "a", True)],                                  # row loss
+    ]
+    for v in variants:
+        assert table_hash(["i", "x", "s", "b"], v) != base, v
+    # canon float is full-repr (the r8 tightening): no %.6g masking
+    assert canon(123.45670000001) != canon(123.4567)
