@@ -946,3 +946,76 @@ def join_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
         )
     )
+
+
+@register(
+    "join_asof_forward",
+    sql="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_purchase
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        carried AS (
+            SELECT *,
+                   first_value(click_ts IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, is_purchase DESC, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS next_click_ts
+            FROM tagged
+        )
+        SELECT event_id, user_id, value, next_click_ts,
+               CASE WHEN next_click_ts IS NOT NULL
+                    THEN epoch_us(next_click_ts) - epoch_us(ts) END
+                   AS wait_us
+        FROM carried WHERE is_purchase = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the direction join_asof (backward) and
+    join_asof_nearest leave uncovered: for each purchase, the EARLIEST
+    click of the same user at-or-after it (the "what happened next"
+    lookup: next quote after a trade, next error after a deploy,
+    re-engagement after checkout), plus the exact integer-microsecond
+    wait. Same scale shape as the backward form — union + ONE ordered
+    window per user partition with first(ignorenulls) over the
+    FORWARD frame (CURRENT ROW .. UNBOUNDED FOLLOWING), linear in
+    events per user, never a pairwise explosion. Tie-break mirrors the
+    backward form's "at or before": at equal ts the purchase sorts
+    BEFORE clicks (is_purchase DESC), so a same-instant click counts
+    as "at-or-after"."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_purchase"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_purchase").desc(), "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = lambda c: F.unix_micros(F.to_utc_timestamp(c, "UTC"))  # noqa: E731
+    carried = tagged.withColumn(
+        "next_click_ts", F.first("click_ts", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_purchase") == 1).select(
+        "event_id",
+        "user_id",
+        "value",
+        "next_click_ts",
+        F.when(
+            F.col("next_click_ts").isNotNull(),
+            us(F.col("next_click_ts")) - us(F.col("ts")),
+        ).alias("wait_us"),
+    )
