@@ -556,3 +556,92 @@ def stat_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("p_expected"),
         ((po - pe) / (F.lit(1) - pe)).alias("kappa"),
     )
+
+
+#: PSI bucketing: fixed integer-cent edges (value in [0, 100] in the
+#: fixture), and the reference/current halves split mid-month.
+PSI_BUCKETS = 10
+PSI_SPLIT_DAY = 16
+
+
+@register(
+    "quality_drift_psi",
+    sql=f"""
+        WITH labeled AS (
+            SELECT CAST(least(floor(value / 10.0),
+                              {PSI_BUCKETS - 1}) AS INTEGER) AS bucket,
+                   CASE WHEN day(ts) < {PSI_SPLIT_DAY}
+                        THEN 'ref' ELSE 'cur' END AS half
+            FROM events WHERE event_type = 'purchase'
+        ),
+        counts AS (
+            SELECT bucket,
+                   CAST(count(*) FILTER (WHERE half = 'ref') AS BIGINT)
+                       AS n_ref,
+                   CAST(count(*) FILTER (WHERE half = 'cur') AS BIGINT)
+                       AS n_cur
+            FROM labeled GROUP BY bucket
+        ),
+        tot AS (
+            SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                   CAST(sum(n_cur) AS BIGINT) AS t_cur
+            FROM counts
+        )
+        SELECT c.bucket, c.n_ref, c.n_cur,
+               (CAST(c.n_cur AS DOUBLE) / t.t_cur
+                - CAST(c.n_ref AS DOUBLE) / t.t_ref)
+               * ln((CAST(c.n_cur AS DOUBLE) / t.t_cur)
+                    / (CAST(c.n_ref AS DOUBLE) / t.t_ref)) AS psi_term
+        FROM counts c, tot t
+        WHERE c.n_ref > 0 AND c.n_cur > 0
+    """,
+)
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX — the ML-ops drift gate: how far the
+    current window's score distribution moved from the reference
+    window, per bucket. PSI = sum over buckets of
+    (p_cur - p_ref) * ln(p_cur / p_ref); the standard alert levels
+    read the total (>0.1 investigate, >0.25 act). Demonstrated on
+    purchase values split mid-month (ref = days 1-15, cur = rest).
+
+    Exactness discipline: the output is PER-BUCKET — exact integer
+    counts plus the unrounded psi_term, which is ONE fixed expression
+    over exact operands (two single divisions, one subtraction, one
+    ln, one multiply — deterministic IEEE on both engines). The TOTAL
+    is deliberately left to the consumer: summing ~10 doubles has an
+    engine-dependent order in a groupBy, while per-row terms are
+    bit-exact — the same reasoning that keeps per-row doubles
+    unrounded repo-wide. Scale shape: one scan, one 10-cell aggregate,
+    a broadcastable 1-row totals join — PSI at 100 TB costs one pass."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    labeled = ev.select(
+        F.least(
+            F.floor(F.col("value") / 10.0), F.lit(PSI_BUCKETS - 1)
+        )
+        .cast("int")
+        .alias("bucket"),
+        F.when(F.dayofmonth("ts") < PSI_SPLIT_DAY, "ref")
+        .otherwise("cur")
+        .alias("half"),
+    )
+    counts = labeled.groupBy("bucket").agg(
+        F.count_if(F.col("half") == "ref").alias("n_ref"),
+        F.count_if(F.col("half") == "cur").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+        )
+    )

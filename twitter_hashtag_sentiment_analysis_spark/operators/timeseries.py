@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import epoch_us, table
-from ..registry import register
+from ..registry import REGISTRY, register
 
 #: Session gap: a pause longer than this starts a new session (micros).
 SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -2849,4 +2849,98 @@ def event_abandoned_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("hit").isNull()).alias("n_abandoned"),
             F.count_if(F.col("hit").isNotNull()).alias("n_converted"),
         )
+    )
+
+
+#: STL-residual anomaly threshold: |residual - median| > K * MAD.
+STL_ANOM_K = 5
+
+# the registered STL SQL, reused verbatim as this oracle's base CTE so
+# the two keys can never drift apart
+_STL_BASE_SQL = REGISTRY["ts_stl_decompose"].sql
+
+
+@register(
+    "ts_anomaly_stl_residual",
+    sql=f"""
+        WITH base AS ({_STL_BASE_SQL}),
+        r AS (
+            SELECT event_type, day, residual_cents AS r
+            FROM base WHERE residual_cents IS NOT NULL
+        ),
+        med AS (
+            SELECT event_type, r AS med FROM (
+                SELECT event_type, r,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY r, day) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM r
+            ) WHERE rn = (n + 1) // 2
+        ),
+        dev AS (
+            SELECT r.event_type, r.day, r.r, m.med,
+                   abs(r.r - m.med) AS ad
+            FROM r JOIN med m ON r.event_type = m.event_type
+        ),
+        mad AS (
+            SELECT event_type, ad AS mad FROM (
+                SELECT event_type, ad,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ad, day) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM dev
+            ) WHERE rn = (n + 1) // 2
+        )
+        SELECT d.event_type, d.day, d.r AS residual_cents, d.med, m.mad,
+               abs(d.r - d.med) > {STL_ANOM_K} * m.mad AS is_anomaly
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+    """,
+)
+def ts_anomaly_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY-AWARE anomaly detection — the detector the
+    ts_stl_decompose docstring promises: threshold the STL RESIDUAL
+    (what remains after trend and weekly seasonality are explained),
+    not the raw series, so a busy-but-normal Monday never alarms and a
+    quiet-for-a-Monday outage does. Robust scale: |residual - median|
+    > K * MAD per event type (the ts_anomaly_mad recipe applied to the
+    decomposed series).
+
+    Exactness: the base decomposition is the REGISTERED ts_stl_decompose
+    relation (its SQL embedded verbatim as this oracle's CTE, so the
+    two keys cannot drift); median and MAD are exact ELEMENT SELECTION
+    via row_number at rank (n+1) DIV 2 with a (value, day) total order
+    — no interpolation, no engine median convention — and the flag is
+    one comparison of deterministic doubles. Scale shape: the median
+    windows run over the |types| x |days| RESIDUAL relation (calendar-
+    bounded, never the event log), everything upstream is the
+    decomposition's one-pass plan."""
+    base = ts_stl_decompose(spark, sf_dir)
+    r = base.filter(F.col("residual_cents").isNotNull()).select(
+        "event_type", "day", F.col("residual_cents").alias("r")
+    )
+
+    def _median_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "day")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wn))
+            .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = _median_of(r, "r", "med")
+    dev = r.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("r") - F.col("med"))
+    )
+    mad = _median_of(dev, "ad", "mad")
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        F.col("r").alias("residual_cents"),
+        "med",
+        "mad",
+        (F.abs(F.col("r") - F.col("med")) > STL_ANOM_K * F.col("mad")).alias(
+            "is_anomaly"
+        ),
     )
