@@ -2944,3 +2944,90 @@ def ts_anomaly_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+#: DiD design: deterministic treatment assignment + mid-month cutover.
+DID_POST_DAY = 16
+
+
+@register(
+    "event_did_analysis",
+    sql=f"""
+        WITH cells AS (
+            SELECT (user_id % 2 = 0) AS treated,
+                   day(ts) >= {DID_POST_DAY} AS post,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT
+                max(CASE WHEN treated AND post
+                         THEN CAST(cents AS DOUBLE) / n END) AS tp,
+                max(CASE WHEN treated AND NOT post
+                         THEN CAST(cents AS DOUBLE) / n END) AS tb,
+                max(CASE WHEN NOT treated AND post
+                         THEN CAST(cents AS DOUBLE) / n END) AS cp,
+                max(CASE WHEN NOT treated AND NOT post
+                         THEN CAST(cents AS DOUBLE) / n END) AS cb,
+                CAST(sum(n) AS BIGINT) AS n_events
+            FROM cells
+        )
+        SELECT n_events, tp AS treated_post_mean, tb AS treated_pre_mean,
+               cp AS control_post_mean, cb AS control_pre_mean,
+               (tp - tb) - (cp - cb) AS did_cents
+        FROM m
+    """,
+)
+def event_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the quasi-experimental readout a
+    product team runs when an A/B test was impossible (feature shipped
+    to a cohort at a date): the treatment effect is the treated
+    group's pre-to-post change MINUS the control group's, which
+    subtracts out the common time trend both groups share. Cells:
+    deterministic treatment (user_id parity — standing in for the real
+    rollout cohort) x mid-month cutover; metric = mean purchase cents.
+
+    Exactness: the four cell means are exact-integer sums over exact
+    counts (ONE map-side-combined aggregate into four cells), each a
+    single IEEE division; the DiD estimate is one fixed
+    fully-parenthesized expression over them — bit-identical across
+    engines, shipped unrounded (the stat_regr_multi discipline).
+    Scale: one corpus scan, a 4-row cell relation, a 1-row readout —
+    DiD at 100 TB costs one aggregate."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cells = ev.groupBy(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.dayofmonth("ts") >= DID_POST_DAY).alias("post"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("cents").cast("double") / F.col("n")
+    pick = lambda t, p: F.max(  # noqa: E731
+        F.when((F.col("treated") == t) & (F.col("post") == p), mean)
+    )
+    m = cells.agg(
+        pick(True, True).alias("tp"),
+        pick(True, False).alias("tb"),
+        pick(False, True).alias("cp"),
+        pick(False, False).alias("cb"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return m.select(
+        "n_events",
+        F.col("tp").alias("treated_post_mean"),
+        F.col("tb").alias("treated_pre_mean"),
+        F.col("cp").alias("control_post_mean"),
+        F.col("cb").alias("control_pre_mean"),
+        (
+            (F.col("tp") - F.col("tb")) - (F.col("cp") - F.col("cb"))
+        ).alias("did_cents"),
+    )
