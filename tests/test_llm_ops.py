@@ -1154,3 +1154,122 @@ def test_m4_first_last_tie_break_on_equal_timestamps(spark, tmp_path):
     b0 = out[0]
     assert b0["first_cents"] == 300  # id 1 wins the tie
     assert b0["min_cents"] == 300 and b0["max_cents"] in (500, 900)
+
+
+def _write_events(spark, tmp_path, rows):
+    """Minimal events.parquet fixture dir: rows = (event_id, ts,
+    user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for i, ts, u, et, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_did_recovers_planted_treatment_effect(spark, tmp_path):
+    """Plant a known lift: both groups share a +10 time trend; the
+    treated group gets an EXTRA +5 post — DiD must recover exactly
+    +500 cents while the naive post-pre difference would report +1500."""
+    import datetime as dt
+
+    pre = dt.datetime(2024, 1, 5)
+    post = dt.datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for u, treated in ((2, True), (4, True), (1, False), (3, False)):
+        base = 20.0
+        for ts, bump in ((pre, 0.0), (post, 10.0)):
+            v = base + bump + (5.0 if treated and ts == post else 0.0)
+            rows.append((eid, ts, u, "purchase", v))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = load_all()["event_did_analysis"].fn(spark, sf).collect()[0]
+    assert r["did_cents"] == 500.0, r
+    assert r["treated_post_mean"] - r["treated_pre_mean"] == 1500.0
+
+
+def test_stl_residual_anomaly_flags_planted_outage(spark, tmp_path):
+    """A flat daily series with weekly structure plus ONE crashed day:
+    only the crashed day's residual crosses the K*MAD fence."""
+    import datetime as dt
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.timeseries import (
+        STL_ANOM_K,
+    )
+
+    rows, eid = [], 0
+    t0 = dt.date(2024, 1, 1)  # a Monday
+    for d in range(28):
+        day = t0 + dt.timedelta(days=d)
+        # weekly shape: weekend days carry 50, weekdays 100
+        base = 50.0 if day.weekday() >= 5 else 100.0
+        v = 1.0 if d == 17 else base  # day 17: planted outage
+        rows.append(
+            (eid, dt.datetime(day.year, day.month, day.day, 12), 1, "click", v)
+        )
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = load_all()["ts_anomaly_stl_residual"].fn(spark, sf).collect()
+    flagged = {str(r["day"]) for r in out if r["is_anomaly"]}
+    outage = t0 + dt.timedelta(days=17)
+    assert str(outage) in flagged, sorted(flagged)
+    # and the outage day carries the LARGEST absolute residual
+    by_day = {str(r["day"]): abs(r["residual_cents"] - r["med"]) for r in out}
+    assert by_day[str(outage)] == max(by_day.values())
+    # legitimate bleed: the outage contaminates (a) its own 7-day
+    # trend windows and (b) its weekday's seasonal mean — moment-based
+    # classical decomposition is not robust to the outlier it detects
+    # (that is WHY the threshold is MAD, not stddev). Nothing outside
+    # those two sets may flag.
+    for f in flagged:
+        d = (dt.date.fromisoformat(f) - t0).days
+        same_weekday = dt.date.fromisoformat(f).weekday() == outage.weekday()
+        assert abs(d - 17) <= 3 or same_weekday, sorted(flagged)
+
+
+def test_psi_terms_zero_when_distributions_match(spark, tmp_path):
+    """Identical ref/current distributions must yield psi_term == 0.0
+    exactly in every bucket (p_cur == p_ref -> (0) * ln(1))."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    for half_day in (5, 20):  # ref and cur halves
+        for b in range(5):
+            for _ in range(4):  # same shape in both halves
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2024, 1, half_day, 10),
+                        eid % 7,
+                        "purchase",
+                        b * 10.0 + 5.0,
+                    )
+                )
+                eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = load_all()["quality_drift_psi"].fn(spark, sf).collect()
+    assert len(out) == 5
+    assert all(r["psi_term"] == 0.0 for r in out), out
+
+
+def test_asof_forward_picks_earliest_following_click(spark, tmp_path):
+    """Planted sequence: purchase at t0 with clicks before (ignored),
+    at t0 (counts — at-or-after), and after; the SAME-INSTANT click
+    must win, and a purchase with no later click yields NULL."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0 - m, 7, "click", 0.0),       # before: ignored
+        (2, t0, 7, "purchase", 9.0),
+        (3, t0, 7, "click", 0.0),           # same instant: wins
+        (4, t0 + m, 7, "click", 0.0),
+        (5, t0 + 5 * m, 7, "purchase", 3.0),  # no click after: NULL
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["event_id"]: r for r in load_all()["join_asof_forward"].fn(spark, sf).collect()}
+    assert out[2]["next_click_ts"] == t0 and out[2]["wait_us"] == 0
+    assert out[5]["next_click_ts"] is None and out[5]["wait_us"] is None
