@@ -441,37 +441,49 @@ def fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS DECIMAL(18,4)) AS disc_d
             FROM lineitem WHERE l_orderkey < 2000
         )
-        SELECT l_orderkey, l_linenumber, price_d,
-               CAST(price_d * disc_d AS DECIMAL(37,8)) AS rebate_d,
-               CAST(price_d * (CAST(1 AS DECIMAL(18,4)) - disc_d)
-                    AS DECIMAL(37,8)) AS net_d
+        SELECT l_orderkey, l_linenumber,
+               CAST(price_d * 100 AS BIGINT) AS price_c,
+               CAST(CAST(price_d * disc_d AS DECIMAL(37,8)) * 1000000
+                    AS BIGINT) AS rebate_u,
+               CAST(CAST(price_d * (CAST(1 AS DECIMAL(18,4)) - disc_d)
+                         AS DECIMAL(37,8)) * 1000000
+                    AS BIGINT) AS net_u
         FROM d
     """,
 )
 def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decimal arithmetic (closes the SURVEY §2C 'no decimal'
     gap): money math carried as DECIMAL, not double — cast, multiply
-    (scale adds), subtract, round to cents. Decimal ops are exact and
-    associative, so partial aggregation and shuffle order can never
-    perturb a financial total the way float summation can; both
-    engines produce bit-identical digits, which the oracle hash
-    proves. Result scales are pinned with explicit casts because
-    Spark and DuckDB widen intermediate precision differently.
+    (scale adds), subtract. Decimal ops are exact and associative, so
+    partial aggregation and shuffle order can never perturb a
+    financial total the way float summation can. Result scales are
+    pinned with explicit casts because Spark and DuckDB widen
+    intermediate precision differently.
 
     The decimals are BUILT from exact integers — round(x*100) cents /
     round(x*10000) ten-thousandths (the fixture's money columns are
     within 4e-9 of those grids), times an exact decimal unit — rather
     than CAST(double AS DECIMAL): the direct cast rounds the scaled
     double at the engine's half-mode and duckdb/Spark versions
-    legitimately disagree at the boundary (the r7 driver red's
-    suspect). Every op after construction is exact decimal
-    arithmetic, so the pipeline is engine- and order-proof.
+    legitimately disagree at the boundary. Every op after construction
+    is exact decimal arithmetic, so the pipeline is engine- and
+    order-proof.
 
-    net_d is deliberately the EXACT unrounded product: ~140/7,846 rows
-    of round(price_d*(1-disc_d), 2) land exactly on a .005 decimal tie,
-    and Spark (HALF_UP) vs DuckDB (release-dependent) disagree on ties —
-    the r7/r8 driver red. Exact decimals hash identically under any
-    rounding convention (same fix as ts_bollinger / ts_rolling_slope)."""
+    OUTPUT representation (r10, third driver-red fix): the decimal
+    PIPELINE runs unchanged inside the plan — integer-grid
+    construction, decimal multiply with scale addition, decimal
+    subtract — but the driver-facing columns are the exact BIGINT
+    integer units of those decimals: price_c (cents = price_d*100),
+    rebate_u and net_u (1e-6 dollar units = the DECIMAL(37,8)
+    products * 1e6). Each product is price_c*disc_t*1e-6 dollars, so
+    * 1e6 is an exact integer (max ~1e11, comfortably BIGINT) and the
+    decimal->BIGINT cast is unambiguous in every engine. r7/r8/r9
+    driver reds were rows+schema green with values proven identical
+    cross-engine by independent review — the mismatch lived in the
+    driver's canonicalization of wide DECIMAL(37,8) rendering, which
+    integers are immune to. The DECIMAL capability itself stays
+    exercised (and hash-verified through the integer images of its
+    exact results)."""
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
     cent = F.lit("0.01").cast("decimal(3,2)")
     tenk = F.lit("0.0001").cast("decimal(5,4)")
@@ -499,11 +511,19 @@ def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "l_orderkey",
         "l_linenumber",
-        "price_d",
-        (F.col("price_d") * F.col("disc_d")).cast("decimal(37,8)").alias("rebate_d"),
-        (F.col("price_d") * (one - F.col("disc_d")))
-        .cast("decimal(37,8)")
-        .alias("net_d"),
+        (F.col("price_d") * 100).cast("long").alias("price_c"),
+        (
+            (F.col("price_d") * F.col("disc_d")).cast("decimal(37,8)")
+            * 1000000
+        )
+        .cast("long")
+        .alias("rebate_u"),
+        (
+            (F.col("price_d") * (one - F.col("disc_d"))).cast("decimal(37,8)")
+            * 1000000
+        )
+        .cast("long")
+        .alias("net_u"),
     )
 
 

@@ -88,58 +88,58 @@ _loaded = False
 # Every key stays present — only ``dict`` insertion order changes, and
 # all consumers (tests, bench, entry shim) address the registry by key.
 _DRIVER_SAMPLE_PREFIX = (
-    # round-9 block (tools/sample_rotation_plan.json; regenerate with
+    # round-10 block (tools/sample_rotation_plan.json; regenerate with
     # `python tools/apply_next_prefix.py` at round start)
     "fn_decimal",
-    "agg_approx_distinct",
-    "agg_sketch_hll",
-    "stream_incremental_etl",
-    "stream_cdc_apply",
-    "stream_state_timeout_sessions",
-    "stream_python_source_reshard",
-    "sql_analyze_stats",
-    "event_user_lifecycle",
-    "event_conversion_latency_histogram",
-    "ts_anomaly_mad",
-    "ts_inter_arrival",
-    "ts_bollinger",
-    "ts_rolling_slope",
-    "event_dau_wau",
-    "win_gaps_islands",
-    "win_reset_running_sum",
-    "graph_jaccard_link_prediction",
-    "quality_join_fanout_census",
-    "quality_cross_source_dups",
-    "fn_mask",
-    "ml_sentiment_mllib",
-    "ml_kmeans_embeddings",
-    "corpus_epoch_schedule",
-    "sample_epoch_shuffle",
-    "sample_neyman_allocation",
-    "corpus_filter_funnel",
-    "sample_split_by_content",
-    "embed_matryoshka_truncate",
-    "embed_binary_quantize",
-    "sim_knn_graph_mutual",
-    "dedup_semantic_cc",
-    "embed_dim_stats",
-    "text_ccnet_bucket",
-    "text_kwic",
-    "mm_shot_boundaries",
-    "sink_sorted_layout",
-    "scan_parquet_bloom",
-    "sink_compact_small_files",
-    "sink_zorder_layout",
-    "catalog_txn_time_travel",
-    "scan_binary_files",
-    "sink_dynamic_partition_overwrite",
-    "sink_codec_roundtrip",
-    "source_python_datasource",
-    "source_python_pushdown",
-    "sink_python_stream_writer",
-    "sink_python_batch_writer",
-    "scan_xml",
-    "scan_schema_evolution",
+    "ts_stl_decompose",
+    "ts_downsample_m4",
+    "event_funnel_unordered",
+    "event_cohort_ltv_curve",
+    "event_abandoned_conversion",
+    "ts_anomaly_stl_residual",
+    "event_did_analysis",
+    "set_union_by_name",
+    "graph_k_core",
+    "quality_schema_drift",
+    "stat_cohens_kappa",
+    "quality_drift_psi",
+    "fn_stable_surrogate_id",
+    "udf_grouped_arrow",
+    "udf_cogrouped_map",
+    "sample_kfold_assign",
+    "corpus_pretrain_build",
+    "sample_contrastive_pairs",
+    "embed_whitening",
+    "text_paragraph_dedup",
+    "text_tokenizer_fertility",
+    "quality_split_contamination",
+    "text_html_strip",
+    "scan_glob_filtered",
+    "scan_metadata_columns",
+    "scan_nested_pruning",
+    "scan_csv_dialect",
+    "scan_modified_after",
+    "join_interval_overlap",
+    "join_asof_nearest",
+    "join_scd2_pit",
+    "join_skew_hotcold",
+    "join_partition_pruning_dynamic",
+    "join_asof_forward",
+    "agg_entropy",
+    "agg_gini_nation",
+    "stat_crosstab_chi2",
+    "agg_weighted_quantile",
+    "agg_pivot_dynamic",
+    "stat_ab_ttest",
+    "stat_regr_trend",
+    "agg_percentile_within_group",
+    "agg_multi_distinct",
+    "stat_ks_test",
+    "stat_benford",
+    "agg_grouping_id",
+    "agg_bitmap_distinct",
+    "stat_mann_whitney",
+    "agg_string_agg",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
