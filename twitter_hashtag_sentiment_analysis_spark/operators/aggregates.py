@@ -2216,6 +2216,12 @@ def stat_regr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: intersection is the practical envelope the estimate must hit for
 #: the fixture's heavily-overlapping user sets.
 HLL_INTERSECT_TOL = 0.25
+#: Zero-overlap envelope: when the EXACT intersection is 0 the relative
+#: check divides by zero, so the estimate is instead held to an absolute
+#: bound proportional to the union mass — inclusion-exclusion error is
+#: bounded by ~3x the per-sketch RSE (1.04/sqrt(2^12) ~= 1.6% at lg_k=12)
+#: times |A|+|B|, so 5% of (est_a + est_b) is the 3-sigma envelope.
+HLL_INTERSECT_ABS_FRAC = 0.05
 
 
 @register(
@@ -2269,6 +2275,8 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = pairs.select(
         "type_a",
         "type_b",
+        F.expr("hll_sketch_estimate(sk_a)").alias("est_a"),
+        F.expr("hll_sketch_estimate(sk_b)").alias("est_b"),
         (
             F.expr("hll_sketch_estimate(sk_a)")
             + F.expr("hll_sketch_estimate(sk_b)")
@@ -2288,15 +2296,30 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.countDistinct("user_id").alias("exact_common_users"))
     )
-    return est.join(exact, ["type_a", "type_b"]).select(
+    # LEFT join: `est` enumerates EVERY type pair (cross of distinct
+    # types), while `exact` only has pairs with >=1 common user — a
+    # zero-overlap pair must still be emitted (exact=0), matching the
+    # oracle's full-pair relation; the inner join used through r9
+    # silently dropped such pairs (and the relative check div-by-zeroed).
+    joined = est.join(exact, ["type_a", "type_b"], "left").withColumn(
+        "exact_common_users",
+        F.coalesce(F.col("exact_common_users"), F.lit(0).cast("long")),
+    )
+    return joined.select(
         "type_a",
         "type_b",
         "exact_common_users",
-        (
+        F.when(
+            F.col("exact_common_users") == 0,
+            F.abs(F.col("est_common"))
+            <= HLL_INTERSECT_ABS_FRAC * (F.col("est_a") + F.col("est_b")),
+        )
+        .otherwise(
             F.abs(F.col("est_common") - F.col("exact_common_users"))
             / F.col("exact_common_users")
             <= HLL_INTERSECT_TOL
-        ).alias("within_tol"),
+        )
+        .alias("within_tol"),
     )
 
 

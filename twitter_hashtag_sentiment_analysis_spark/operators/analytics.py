@@ -3079,12 +3079,18 @@ def sql_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps table grain, not column grain, because table stats are what
     the join reorderer reads first."""
     import os
+    import re
     import shutil
     from urllib.parse import urlparse
 
     wh = urlparse(
         spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     ).path
+    # Physical tables are pid-suffixed (same discipline as the memory
+    # sink names) so concurrent suite runs sharing one warehouse never
+    # race on DROP/CREATE; the OUTPUT rows keep the stable logical
+    # names the oracle emits.
+    pid = os.getpid()
     src = {
         "thsa_stats_orders": table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 5000)
@@ -3093,25 +3099,39 @@ def sql_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_orderkey") < 5000)
         .select("l_orderkey", "l_quantity"),
     }
+    stats_re = re.compile(r"^(\d+) bytes(?:, (\d+) rows)?")
     rows = []
     for name, df in src.items():
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
-        df.write.saveAsTable(name)
-        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
-        desc = {
-            r["col_name"]: r["data_type"]
-            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
-        }
-        stats = desc.get("Statistics", "")
-        # "N bytes, M rows"
-        row_count = None
-        size_known = "bytes" in stats
-        for part in stats.split(","):
-            part = part.strip()
-            if part.endswith("rows"):
-                row_count = int(part.split()[0])
-        rows.append((name, row_count, size_known))
+        phys = f"{name}_{pid}"
+        spark.sql(f"DROP TABLE IF EXISTS {phys}")
+        shutil.rmtree(os.path.join(wh, phys), ignore_errors=True)
+        try:
+            df.write.saveAsTable(phys)
+            spark.sql(f"ANALYZE TABLE {phys} COMPUTE STATISTICS")
+            desc = {
+                r["col_name"]: r["data_type"]
+                for r in spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {phys}"
+                ).collect()
+            }
+            stats = desc.get("Statistics")
+            if stats is None:
+                raise RuntimeError(
+                    f"ANALYZE left no Statistics line for {phys}: "
+                    "catalog stats did not land"
+                )
+            m = stats_re.match(stats.strip())
+            if m is None:
+                raise RuntimeError(
+                    f"unrecognized Statistics format for {phys}: "
+                    f"{stats!r}"
+                )
+            size_known = True
+            row_count = int(m.group(2)) if m.group(2) else None
+            rows.append((name, row_count, size_known))
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {phys}")
+            shutil.rmtree(os.path.join(wh, phys), ignore_errors=True)
     return spark.createDataFrame(
         rows, "table_name string, row_count long, size_known boolean"
     )

@@ -2523,10 +2523,12 @@ M4_BUCKETS = 20
             SELECT event_type,
                    CAST(round(value * 100) AS BIGINT) AS cents,
                    ts, event_id,
-                   CAST(floor(epoch_us(ts) / 86400000000.0 / 30
-                              * {M4_BUCKETS}) AS BIGINT)
+                   CAST(floor(epoch_us(ts)
+                              / (86400000000.0 * 30 / {M4_BUCKETS}))
+                        AS BIGINT)
                        - CAST(floor(epoch_us((SELECT min(ts) FROM events))
-                              / 86400000000.0 / 30 * {M4_BUCKETS}) AS BIGINT)
+                              / (86400000000.0 * 30 / {M4_BUCKETS}))
+                         AS BIGINT)
                        AS px
             FROM events
         ),
@@ -2564,7 +2566,12 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two row_number windows + one aggregate sharing ONE
     (event_type, px)-compatible partitioning — Spark plans a single
     shuffle; per-pixel state is O(1), so the output is exactly
-    |series| x M4_BUCKETS rows at any input size."""
+    |series| x M4_BUCKETS rows at any input size.
+
+    Both engines compute px with the IDENTICAL IEEE op sequence
+    floor(us / (86400e6 * 30 / M4_BUCKETS)) — a different association
+    (us / 86400e6 / 30 * 20) rounds differently at bucket boundaries
+    for epochs >= ~8.5e15 us (r9 advisor finding)."""
     ev = table(spark, sf_dir, "events")
     # scalar anchor, bounded — collected as exact integer MICROSECONDS
     # (a collected naive datetime's .timestamp() would re-interpret it

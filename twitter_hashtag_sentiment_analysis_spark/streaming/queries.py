@@ -17,6 +17,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+import time
 from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1671,8 +1672,21 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", F.lit(3).alias("seq"), F.lit("D").alias("op"),
         F.lit(None).cast("long").alias("cents"),
     )
+    # Pin strictly increasing mtimes per op-class file: the file source
+    # orders batches by modification time, and two files landing in the
+    # same clock tick would tie — a delete batch processed before its
+    # update batch must not depend on filesystem timestamp luck (r9
+    # advisor finding). The merge below is additionally seq-aware, so
+    # ordering is belt and mtime is suspenders.
+    stamped: set = set()
+    t0 = int(time.time())
     for i, df in enumerate((ins, upd, dele)):
         df.coalesce(1).write.mode("append").parquet(src)
+        for name in os.listdir(src):
+            p = os.path.join(src, name)
+            if name.startswith("part-") and p not in stamped:
+                os.utime(p, (t0 + 10 * i, t0 + 10 * i))
+                stamped.add(p)
 
     def _latest_state(before_id=None):
         # only COMPLETE versions (_SUCCESS marker) strictly before the
@@ -1693,18 +1707,30 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(os.path.join(state_root, vs[-1]))
 
     def _apply(batch, batch_id: int):
-        w = Window.partitionBy("k").orderBy(F.col("seq").desc())
-        latest = (
-            batch.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
+        # SEQ-AWARE merge (not last-batch-wins): state rows carry the
+        # sequence that produced them, and the per-key winner across
+        # state ∪ batch is the max-seq row (incoming change wins an
+        # equal-seq tie — idempotent replay of the same change). An
+        # out-of-order batch (older seq than state) is thus a no-op for
+        # that key instead of resurrecting it.
         cur = _latest_state(before_id=batch_id)
-        keep = latest.filter(F.col("op") != "D").select("k", "cents")
-        if cur is None:
-            merged = keep
-        else:
-            merged = cur.join(latest, "k", "left_anti").unionByName(keep)
+        cand = batch.select("k", "cents", "seq", "op", F.lit(1).alias("pri"))
+        if cur is not None:
+            cand = cand.unionByName(
+                cur.select("k", "cents", "seq", "op", F.lit(0).alias("pri"))
+            )
+        w = Window.partitionBy("k").orderBy(
+            F.col("seq").desc(), F.col("pri").desc()
+        )
+        # Deletes stay in state as TOMBSTONES (op='D', max seq): an
+        # out-of-order replay of an older insert/update then loses the
+        # per-key max-seq race instead of resurrecting the key. The
+        # final read filters tombstones out.
+        merged = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("k", "cents", "seq", "op")
+        )
         merged.write.mode("overwrite").parquet(
             os.path.join(state_root, f"v{batch_id}")
         )
@@ -1722,7 +1748,9 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     final = _latest_state()
-    return final.select(F.col("k").alias("o_orderkey"), "cents")
+    return final.filter(F.col("op") != "D").select(
+        F.col("k").alias("o_orderkey"), "cents"
+    )
 
 
 #: Session gap for the event-time-timeout sessionizer (seconds).
