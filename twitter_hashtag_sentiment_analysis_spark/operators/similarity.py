@@ -1643,23 +1643,32 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("vec_id", "band.band_idx", "band.band_val")
-    bucket_n = F.count("*").over(
-        Window.partitionBy("band_idx", "band_val")
-    )
-    kept = bands.withColumn("bn", bucket_n).filter(
-        (F.col("bn") >= 2) & (F.col("bn") <= NEARDUP_BUCKET_CAP)
+    # Candidate generation as ONE shuffle: group each band bucket to a
+    # bounded id array (the cap makes collect_list safe — <=
+    # NEARDUP_BUCKET_CAP members by the HAVING filter) and explode the
+    # ordered pairs in-partition with array HOFs. This replaces the
+    # window-count + kept-vs-kept self-join shape (two extra shuffles
+    # plus a double compute of the banding chain) that made this key
+    # the r9 bench's slowest; the emitted pair SET is identical, as the
+    # unchanged join-form oracle proves.
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= NEARDUP_BUCKET_CAP)
+        )
     )
     pairs = (
-        kept.alias("a")
-        .join(
-            kept.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, x ->"
+                    " transform(filter(ids, y -> y != x),"
+                    " y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
-        )
+        .select("p.src", "p.dst")
         .distinct()
     )
     scored = (
@@ -1672,9 +1681,16 @@ def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
-    topk = scored.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= KNN_GRAPH_K
-    ).select("src", "dst", "cos_sim")
+    # Materialize top-k ONCE before the mutuality self-join: the rev
+    # side otherwise re-executes the full bands->pairs->cosine->window
+    # pipeline a second time (measured ~2x the key's wall at sf0.1).
+    # The relation is k*|V| rows — linear and tiny relative to input.
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_GRAPH_K)
+        .select("src", "dst", "cos_sim")
+        .localCheckpoint(eager=True)
+    )
     rev = topk.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
@@ -1734,18 +1750,16 @@ def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical graph via the shared CTE chain and closes it with a
     recursive reachability CTE — exact equality proves both the
     clustering AND the graph agree."""
-    # the iteration state is edge-set-sized (<= 2k|V| rows) but each
-    # round is several tiny stages: run them at a reduced partition
-    # count — the per-stage scheduling overhead, not data volume, is
-    # the cost at every scale (a production run sizes this to
-    # |E| / target-partition-size)
+    # graph-BUILD shuffles (bands/pairs/top-k) run at a reduced,
+    # candidate-relation-sized partition count; the contraction kernel
+    # then sizes its own rounds from the materialized |E| (see
+    # cc_kernel.star_contraction_labels) — per-stage scheduling
+    # overhead, not data volume, is the cost at every scale
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        E = (
-            sim_knn_graph_mutual(spark, sf_dir)
-            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-            .localCheckpoint(eager=True)
+        E = sim_knn_graph_mutual(spark, sf_dir).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
         )
         nodes = (
             E.select(F.col("u").alias("n"))
