@@ -29,7 +29,7 @@ from next_sample_prefix import (  # noqa: E402  (tools/ sibling)
     build_plan,
     build_prefix,
     infer_next_round,
-    pending_queue,
+    pending_queue_with_ages,
 )
 
 
@@ -37,8 +37,8 @@ def main() -> None:
     next_round = (
         int(sys.argv[1]) if len(sys.argv) > 1 else infer_next_round(ROOT)
     )
-    queue, n_green = pending_queue(ROOT)
-    prefix = build_prefix(queue)
+    queue, n_green, latest_round = pending_queue_with_ages(ROOT)
+    prefix = build_prefix(queue, latest_round)
 
     reg_path = os.path.join(
         ROOT, "twitter_hashtag_sentiment_analysis_spark", "registry.py"

@@ -40,8 +40,19 @@ from twitter_hashtag_sentiment_analysis_spark.registry import load_all
 def pending_queue(root: str) -> tuple[list[str], int]:
     """Oracle-backed keys whose LATEST driver row is missing or red,
     in user-priority order. Returns (queue, n_latest_green)."""
+    queue, n_green, _ = pending_queue_with_ages(root)
+    return queue, n_green
+
+
+def pending_queue_with_ages(root: str) -> tuple[list[str], int, dict]:
+    """Like pending_queue, but also returns {key: newest round with a
+    driver row} so the prefix padding can re-adjudicate the STALEST
+    greens first (r9 judge item 5: 100+ keys' latest green predates
+    later refactors; age-ordered re-sampling retires that risk)."""
     latest_green: dict[str, bool] = {}
+    latest_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as f:
             rows = json.load(f)
         for key, row in rows.items():
@@ -52,6 +63,7 @@ def pending_queue(root: str) -> tuple[list[str], int]:
                 latest_green[key] = row.get("err") is None and bool(
                     row.get("hash_match", row.get("rows_match", False))
                 )
+                latest_round[key] = max(latest_round.get(key, 0), rnd)
     reg = load_all()
     oracle = [k for k, q in reg.items() if q.sql is not None]
     pending = [k for k in oracle if not latest_green.get(k, False)]
@@ -68,7 +80,7 @@ def pending_queue(root: str) -> tuple[list[str], int]:
     rest = [k for k in pending if k not in red_fixed and k not in streams and k not in composites]
     queue = red_fixed + streams + composites + rest
     n_green = sum(1 for k in oracle if latest_green.get(k, False))
-    return queue, n_green
+    return queue, n_green, latest_round
 
 
 def infer_next_round(root: str) -> int:
@@ -80,13 +92,18 @@ def infer_next_round(root: str) -> int:
     return (max(rounds) if rounds else 0) + 1
 
 
-def build_prefix(queue: list[str]) -> list[str]:
+def build_prefix(queue: list[str], latest_round: dict | None = None) -> list[str]:
     """The 50-key driver block: the pending queue, padded with
     already-green keys when fewer than 50 remain (re-adjudication is
-    harmless)."""
+    harmless). Padding order is OLDEST driver row first (then registry
+    order as the tie-break) so stale greens that predate refactors are
+    re-adjudicated before fresh ones."""
     reg = load_all()
     oracle = [k for k, q in reg.items() if q.sql is not None]
+    order = {k: i for i, k in enumerate(oracle)}
     done = [k for k in oracle if k not in queue]
+    if latest_round:
+        done.sort(key=lambda k: (latest_round.get(k, 0), order[k]))
     return (queue + done)[:50]
 
 
@@ -108,8 +125,8 @@ def main() -> None:
     next_round = (
         int(sys.argv[1]) if len(sys.argv) > 1 else infer_next_round(root)
     )
-    queue, n_green = pending_queue(root)
-    prefix = build_prefix(queue)
+    queue, n_green, latest_round = pending_queue_with_ages(root)
+    prefix = build_prefix(queue, latest_round)
     print(
         f"# oracle-backed keys latest-green: {n_green}; pending (latest red or"
         f" never sampled): {len(queue)}; proposed r{next_round} prefix:"
