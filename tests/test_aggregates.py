@@ -238,3 +238,101 @@ def test_execute_immediate_binds_the_parameter(spark, sf_dir):
     }
     assert got == direct
     assert sum(v[0] for v in got.values()) < o.count()
+
+
+def test_hll_intersection_emits_zero_overlap_pairs(spark, tmp_path):
+    """A type pair with NO common users must still be emitted
+    (exact_common_users=0) with a defined within_tol — the r9 advisor
+    found the inner-join silently dropped such pairs and the relative
+    tolerance div-by-zeroed. Planted fixture: 'a' and 'b' share user
+    sets, 'c' is fully disjoint."""
+    import datetime as dt
+
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for et, users in (
+        ("a", range(0, 40)),
+        ("b", range(20, 60)),
+        ("c", range(1000, 1040)),
+    ):
+        for u in users:
+            eid += 1
+            rows.append((eid, t0, u, et, 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in load_all()["agg_hll_intersection"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    # all three pairs present, including both zero-overlap ones
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")]["exact_common_users"] == 20
+    assert out[("a", "c")]["exact_common_users"] == 0
+    assert out[("b", "c")]["exact_common_users"] == 0
+    # within_tol is DEFINED (not null) everywhere; at these tiny
+    # cardinalities the sketches are near-exact so all pairs pass
+    assert all(r["within_tol"] is True for r in out.values())
+
+
+def test_m4_px_expression_parity_at_boundary_epoch(spark, tmp_path):
+    """Spark's px and the oracle SQL's px must use the same IEEE op
+    sequence: at epochs >= ~8.5e15 us the old associations
+    (us/86400e6/30*20 vs us/(86400e6*30/20)) differ by one pixel at
+    bucket boundaries. Plant timestamps in that range sitting exactly
+    ON a bucket boundary and 1 us before it; DuckDB (oracle SQL) and
+    Spark must agree on every px."""
+    import duckdb
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.timeseries import (
+        M4_BUCKETS,
+    )
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    us_per_px = 86_400_000_000.0 * 30 / M4_BUCKETS
+    # pick a boundary multiple beyond the divergence threshold
+    k = int(9.0e15 / us_per_px)
+    boundary_us = int(k * us_per_px)
+    rows_us = [boundary_us - 1, boundary_us, boundary_us + 1]
+    df = spark.createDataFrame(
+        [
+            (
+                i + 1,
+                __import__("datetime").datetime.utcfromtimestamp(0)
+                + __import__("datetime").timedelta(microseconds=us),
+                7,
+                "click",
+                1.0,
+                "{}",
+            )
+            for i, us in enumerate(rows_us)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    q = load_all()["ts_downsample_m4"]
+    spark_px = sorted(
+        r["px"] for r in q.fn(spark, str(tmp_path)).collect() for _ in range(r["n"])
+    )
+    con = duckdb.connect()
+    for t in ("events",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    oracle_px = sorted(
+        px
+        for (px, n) in con.execute(
+            f"WITH o AS ({q.sql}) SELECT px, n FROM o"
+        ).fetchall()
+        for _ in range(n)
+    )
+    assert spark_px == oracle_px
