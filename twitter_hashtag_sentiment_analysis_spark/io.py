@@ -90,6 +90,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fixture_sig(sf_dir: str, name: str) -> str:
+    """Size+mtime signature of one fixture parquet (file or dir) —
+    the shared invalidation key for every in-process memo of a derived
+    relation (stream drop-dirs, kNN edge sets, CC label sets): a
+    fixture regenerated at the same path gets a fresh signature, so a
+    memo can never replay stale data."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(src)
+        if not os.path.isdir(src):
+            return f"{st.st_size}:{st.st_mtime_ns}"
+        return ",".join(
+            f"{n}:{os.stat(os.path.join(src, n)).st_size}"
+            for n in sorted(os.listdir(src))
+        )
+    except OSError:
+        return "missing"
+
+
 def durable_fixture_dir(sf_dir: str, src_table: str, tag: str, build) -> str:
     """DURABLE digest-keyed fixture cache with ATOMIC populate.
 

@@ -654,6 +654,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 20
 
 
+#: (applicationId, sf_dir, documents signature) -> checkpointed CC
+#: labels — the shared artifact of dedup_connected_components and
+#: dedup_cluster_keep_best (a curation pipeline materializes the
+#: cluster assignment once and feeds every downstream decision from
+#: it). One row per document — corpus-sized, the same footprint the
+#: operator's own output already has.
+_cc_labels_cache: dict = {}
+
+
 @register(
     "dedup_connected_components",
     sql=f"""
@@ -713,6 +722,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges at all and stay singletons — exactly the oracle's reach.
     sha2-256 collisions are the only approximation (cryptographically
     negligible)."""
+    from ..io import fixture_sig
+
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        fixture_sig(sf_dir, "documents"),
+    )
+    hit = _cc_labels_cache.get(memo_key)
+    if hit is not None:
+        return hit
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     # one row per distinct content: rep id, the text, and member count
     grp = docs.groupBy(F.sha2("text", 256).alias("chash")).agg(
@@ -765,7 +784,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").alias("comp_n"))
     )
     rep = rep.join(comp_sizes, "comp", "left")
-    return (
+    out = (
         docs.select("doc_id", F.sha2("text", 256).alias("chash"))
         .join(rep, "chash")
         .select(
@@ -779,7 +798,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("component_size"),
         )
+        .localCheckpoint(eager=True)
     )
+    _cc_labels_cache[memo_key] = out
+    return out
 
 
 # Edit-distance blocking: candidates share (lang, n_chars DIV 25) — a
