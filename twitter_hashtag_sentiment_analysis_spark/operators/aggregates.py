@@ -2407,3 +2407,135 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Bootstrap geometry: R replicates, per-(row, replicate) weight
+#: w ~ min(Poisson(1), 5) via the same salted-md5 inverse-CDF as
+#: sample_poisson_repeat (exact hex-threshold compare, replayable in
+#: any engine with md5). With R = 64 the rank-2 / rank-63 order
+#: statistics of the replicate means are a ~96% percentile-bootstrap
+#: CI — ORDER STATISTICS, not interpolated quantiles, because
+#: percentile interpolation conventions differ across engines while
+#: selection is exact everywhere.
+BOOTCI_R = 64
+_BOOTCI_SALT = ":bootci"
+#: Poisson(1) inverse-CDF hex thresholds (k = 0..4, tail at 5) — the
+#: canonical definition with derivation lives in
+#: operators/sampling.py (_POISSON1_CUM_HEX, sample_poisson_repeat).
+_POISSON1_CUM_HEX_B = ("5e2d", "bc5a", "eb71", "fb23", "ff10")
+
+
+@register(
+    "stat_bootstrap_ci",
+    sql=f"""
+        WITH w AS (
+            SELECT d.source, d.n_chars, r.r,
+                   CASE WHEN u4 < '{_POISSON1_CUM_HEX_B[0]}' THEN 0
+                        WHEN u4 < '{_POISSON1_CUM_HEX_B[1]}' THEN 1
+                        WHEN u4 < '{_POISSON1_CUM_HEX_B[2]}' THEN 2
+                        WHEN u4 < '{_POISSON1_CUM_HEX_B[3]}' THEN 3
+                        WHEN u4 < '{_POISSON1_CUM_HEX_B[4]}' THEN 4
+                        ELSE 5 END AS w
+            FROM (SELECT source, n_chars, doc_id FROM documents) d,
+                 (SELECT unnest(range({BOOTCI_R})) AS r) r,
+                 LATERAL (SELECT substr(md5(CAST(d.doc_id AS VARCHAR)
+                              || '-' || CAST(r.r AS VARCHAR)
+                              || '{_BOOTCI_SALT}'), 1, 4) AS u4) u
+        ),
+        rep AS (
+            SELECT source, r,
+                   CAST(sum(w * n_chars) AS DOUBLE) / sum(w) AS mean_r
+            FROM w GROUP BY source, r
+        ),
+        ranked AS (
+            SELECT source, mean_r,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY mean_r, r) AS rk
+            FROM rep
+        ),
+        pt AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_n_chars
+            FROM documents GROUP BY source
+        )
+        SELECT p.source, p.n_docs, p.mean_n_chars,
+               max(CASE WHEN rk = 2 THEN mean_r END) AS ci_lo,
+               max(CASE WHEN rk = {BOOTCI_R - 1} THEN mean_r END) AS ci_hi,
+               CAST({BOOTCI_R} AS BIGINT) AS n_replicates
+        FROM pt p JOIN ranked k ON p.source = k.source
+        GROUP BY p.source, p.n_docs, p.mean_n_chars
+    """,
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap confidence interval for a per-group mean
+    (mean document length per source) with DETERMINISTIC resampling —
+    the uncertainty readout a 100 TB pipeline attaches to its metrics
+    dashboards, where rerunning with a different RNG seed would make
+    yesterday's CI unreproducible. Each (doc, replicate) draws a
+    weight w ~ min(Poisson(1), 5) from a salted md5 inverse-CDF (the
+    sample_poisson_repeat discipline — Poisson bootstrap, the
+    streaming-friendly form that needs no per-group n upfront); the
+    CI is the rank-2 / rank-(R-1) ORDER STATISTICS of the R = 64
+    replicate means (~96% coverage), never an interpolated quantile
+    (interpolation conventions are engine-specific; selection is
+    exact).
+
+    Scale shape: one explode (x R) into a map-side partial aggregate
+    on (source, r) — the shuffle carries R x |groups| partial sums,
+    not R x corpus rows; the order-statistic window runs on R rows
+    per group. Zero UDFs, zero RNG state; the md5 hex-threshold
+    compare replays bit-identically in DuckDB, so even the double
+    divisions (one per mean) hash-match exactly."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    r = F.explode(F.sequence(F.lit(0), F.lit(BOOTCI_R - 1))).alias("r")
+    u4 = F.substring(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("-"),
+                F.col("r").cast("string"),
+                F.lit(_BOOTCI_SALT),
+            )
+        ),
+        1,
+        4,
+    )
+    w = (
+        F.when(u4 < _POISSON1_CUM_HEX_B[0], 0)
+        .when(u4 < _POISSON1_CUM_HEX_B[1], 1)
+        .when(u4 < _POISSON1_CUM_HEX_B[2], 2)
+        .when(u4 < _POISSON1_CUM_HEX_B[3], 3)
+        .when(u4 < _POISSON1_CUM_HEX_B[4], 4)
+        .otherwise(5)
+    )
+    weighted = d.select("doc_id", "source", "n_chars", r).select(
+        "source", "n_chars", "r", w.alias("w")
+    )
+    rep = weighted.groupBy("source", "r").agg(
+        (
+            F.sum(F.col("w") * F.col("n_chars")).cast("double")
+            / F.sum("w")
+        ).alias("mean_r")
+    )
+    wk = Window.partitionBy("source").orderBy(F.asc("mean_r"), F.asc("r"))
+    ranked = rep.withColumn("rk", F.row_number().over(wk))
+    ci = ranked.groupBy("source").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_r"))).alias("ci_lo"),
+        F.max(
+            F.when(F.col("rk") == BOOTCI_R - 1, F.col("mean_r"))
+        ).alias("ci_hi"),
+    )
+    pt = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias(
+            "mean_n_chars"
+        ),
+    )
+    return pt.join(ci, "source").select(
+        "source",
+        "n_docs",
+        "mean_n_chars",
+        "ci_lo",
+        "ci_hi",
+        F.lit(BOOTCI_R).cast("long").alias("n_replicates"),
+    )
