@@ -1273,3 +1273,101 @@ def test_asof_forward_picks_earliest_following_click(spark, tmp_path):
     out = {r["event_id"]: r for r in load_all()["join_asof_forward"].fn(spark, sf).collect()}
     assert out[2]["next_click_ts"] == t0 and out[2]["wait_us"] == 0
     assert out[5]["next_click_ts"] is None and out[5]["wait_us"] is None
+
+
+def test_knn_mutual_collapse_matches_copy_level_reference(spark, tmp_path):
+    """The r10 exact-dup pre-collapse in the mutual-kNN build must be
+    EXACTLY equivalent to the uncollapsed copy-level algorithm. Planted
+    corpus: several distinct vectors, some duplicated 3-5x under
+    non-contiguous ids; reference = direct copy-level replay in Python
+    (same band bits, same copy-count bucket cap, left-to-right float64
+    dot/norm exactly like the HOF kernel)."""
+    import itertools
+    import math
+
+    import numpy as np
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.similarity import (
+        KNN_GRAPH_K,
+        NEARDUP_BANDS,
+        NEARDUP_BAND_BITS,
+        NEARDUP_BUCKET_CAP,
+        sim_knn_graph_mutual,
+        _knn_mutual_cache,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(10, 64).astype(np.float32)
+    # make some vectors near-duplicates of each other so real edges form
+    base[1] = base[0] + np.float32(0.01) * rng.randn(64).astype(np.float32)
+    base[3] = base[2] + np.float32(0.01) * rng.randn(64).astype(np.float32)
+    rows = []
+    vid = 100
+    for i, v in enumerate(base):
+        copies = 4 if i in (0, 2, 5) else (3 if i == 7 else 1)
+        for _ in range(copies):
+            rows.append((vid, [float(x) for x in v]))
+            vid += 13  # non-contiguous ids
+    spark.createDataFrame(
+        [(i, e, 0) for i, e in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        (r["src"], r["dst"]): r["cos_sim"]
+        for r in sim_knn_graph_mutual(spark, str(tmp_path)).collect()
+    }
+
+    # ---- brute-force copy-level reference ----
+    def band_vals(v):
+        out = []
+        for b in range(NEARDUP_BANDS):
+            val = 0
+            for j in range(NEARDUP_BAND_BITS):
+                if v[b * NEARDUP_BAND_BITS + j] >= 0:
+                    val += 1 << j
+            out.append((b, val))
+        return out
+
+    def dot_ltr(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def cos6(a, b):
+        c = dot_ltr(a, b) / (
+            math.sqrt(dot_ltr(a, a)) * math.sqrt(dot_ltr(b, b))
+        )
+        return round(c, 6)
+
+    vecs = dict(rows)
+    buckets = {}
+    for i, v in rows:
+        for bv in band_vals(v):
+            buckets.setdefault(bv, []).append(i)
+    cands = {}
+    for members in buckets.values():
+        if 2 <= len(members) <= NEARDUP_BUCKET_CAP:
+            for a, b in itertools.permutations(members, 2):
+                if a != b:
+                    cands.setdefault(a, set()).add(b)
+    topk = {}
+    for a, ds in cands.items():
+        scored = sorted(
+            ((cos6(vecs[a], vecs[d]), d) for d in ds),
+            key=lambda t: (-t[0], t[1]),
+        )[:KNN_GRAPH_K]
+        topk[a] = {d: c for c, d in scored}
+    want = {}
+    for a, ds in topk.items():
+        for d, c in ds.items():
+            if a < d and topk.get(d, {}).get(a) is not None:
+                want[(a, d)] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # the planted duplicates must actually produce co-copy edges
+    assert any(len([1 for (a, b) in want if a == s or b == s]) for s in vecs)
+    assert len(want) > 0
+    _knn_mutual_cache.clear()

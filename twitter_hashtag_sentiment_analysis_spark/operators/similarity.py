@@ -1632,6 +1632,39 @@ _knn_mutual_cache: dict = {}
 
 
 def _knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or fetch) the mutual-kNN edge relation.
+
+    EXACT-DUPLICATE PRE-COLLAPSE (the 100 TB move, mirroring
+    dedup_connected_components' sha2(text) discipline on the embedding
+    side): a real crawl's embedding store is heavily replicated —
+    byte-identical vectors under different ids — and every band bucket
+    then inflates its occupancy by the replication factor, making the
+    below-cap pair budget QUADRATIC in replication (the r10 25x stress
+    measured this key at 45x wall for 25x data: 25 copies of each
+    vector -> 625x pairs per bucket). All banding, candidate
+    generation, and cosine scoring therefore run on ONE representative
+    per distinct vector; per-copy top-k is then reconstructed exactly
+    (see _expand_topk inline) because copies share identical band
+    values AND identical cosines to every candidate. Equivalence
+    argument, per copy c of vector v ranked by (cos DESC, dst ASC):
+      (a) a candidate vector u contributes at most K copies to c's
+          top-K, and those must be u's K smallest copy ids (any other
+          copy of u loses the dst tie-break to them);
+      (b) only vectors with distinct-level cos-rank() <= K can reach
+          any copy's top-K (K strictly-better vectors supply >= K
+          strictly-better candidates); rank() keeps ties, so equal-cos
+          vectors at the boundary all survive the prune;
+      (c) co-copies of v (cos = the self-cosine of v, computed with
+          the SAME float arrays both engines see) are candidates
+          exactly when v sits in >= 1 kept bucket, and only v's K+1
+          smallest copy ids can appear in any copy's top-K;
+      (d) bucket keep/drop uses the COPY count (sum of multiplicities
+          per bucket), identical to the uncollapsed filter.
+    For a duplicate-free corpus the collapse is the identity and the
+    chain degenerates to the r9 shape — which is what the sf fixtures
+    (all-distinct embeddings) and the unchanged copy-level oracle
+    exercise; the duplicated regime is pinned by a planted test
+    against a brute-force reference."""
     from ..io import fixture_sig
 
     key = (
@@ -1644,6 +1677,49 @@ def _knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
+    # --- exact-dup collapse: one representative per distinct vector.
+    # Copy-id bookkeeping stays BOUNDED: a window keeps only the K+1
+    # smallest ids per group (all any top-K can ever cite), so no
+    # collect_list ever sees a viral-duplicate group's full id list.
+    gh = F.sha2(F.to_json(F.col("embedding")), 256).alias("gh")
+    ec = e.select("vec_id", "embedding", gh)
+    wg = Window.partitionBy("gh").orderBy("vec_id")
+    wga = Window.partitionBy("gh")
+    grp = (
+        ec.withColumn("rn", F.row_number().over(wg))
+        .withColumn("m", F.count("*").over(wga))
+        .filter(F.col("rn") <= KNN_GRAPH_K + 1)
+        .groupBy("gh")
+        .agg(
+            F.min("vec_id").alias("gid"),
+            F.first("embedding").alias("embedding"),
+            F.first("m").cast("long").alias("m"),
+            F.sort_array(F.collect_list("vec_id")).alias("ids"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_distinct = grp.count()
+    # Shuffle sizing from the DISTINCT-level candidate budget (mean
+    # bucket occupancy n/2^bits): a fixed count starves when the
+    # corpus grows; post-collapse the budget is replication-free.
+    est_pairs = NEARDUP_BANDS * n_distinct * max(
+        1, n_distinct // (1 << NEARDUP_BAND_BITS)
+    )
+    parts = max(8, min(2048, est_pairs // 500_000))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        edges = _knn_mutual_edges_build(spark, ec, grp)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _knn_mutual_cache[key] = edges
+    return edges
+
+
+def _knn_mutual_edges_build(
+    spark: SparkSession, ec: DataFrame, grp: DataFrame
+) -> DataFrame:
+
     def band_val(b: int) -> Column:
         bits = [
             (
@@ -1654,8 +1730,9 @@ def _knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return sum(bits[1:], bits[0])
 
-    bands = e.select(
-        "vec_id",
+    bands = grp.select(
+        "gid",
+        "m",
         F.explode(
             F.array(
                 *[
@@ -1667,21 +1744,20 @@ def _knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("vec_id", "band.band_idx", "band.band_val")
-    # Candidate generation as ONE shuffle: group each band bucket to a
-    # bounded id array (the cap makes collect_list safe — <=
-    # NEARDUP_BUCKET_CAP members by the HAVING filter) and explode the
-    # ordered pairs in-partition with array HOFs. This replaces the
-    # window-count + kept-vs-kept self-join shape (two extra shuffles
-    # plus a double compute of the banding chain) that made this key
-    # the r9 bench's slowest; the emitted pair SET is identical, as the
-    # unchanged join-form oracle proves.
-    buckets = (
-        bands.groupBy("band_idx", "band_val")
-        .agg(F.collect_list("vec_id").alias("ids"))
-        .filter(
-            (F.size("ids") >= 2) & (F.size("ids") <= NEARDUP_BUCKET_CAP)
-        )
+    ).select("gid", "m", "band.band_idx", "band.band_val")
+    # keep/drop per bucket on the COPY count (sum of multiplicities) —
+    # identical semantics to the uncollapsed filter; computed as a
+    # window so oversized buckets are dropped BEFORE any per-bucket
+    # array materializes (the collect below is cap-bounded)
+    wb = Window.partitionBy("band_idx", "band_val")
+    kept = bands.withColumn("tot", F.sum("m").over(wb)).filter(
+        (F.col("tot") >= 2) & (F.col("tot") <= NEARDUP_BUCKET_CAP)
+    )
+    # vectors with >= 1 kept bucket: their co-copies are candidates
+    has_kept = kept.select("gid").distinct()
+    # distinct-level ordered pairs from each kept bucket, one shuffle
+    buckets = kept.groupBy("band_idx", "band_val").agg(
+        F.collect_list("gid").alias("ids")
     )
     pairs = (
         buckets.select(
@@ -1696,37 +1772,87 @@ def _knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.src", "p.dst")
         .distinct()
     )
+    emb = grp.select("gid", "embedding")
     scored = (
-        pairs.join(e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea")), "src")
-        .join(e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb")), "dst")
+        pairs.join(
+            emb.select(F.col("gid").alias("src"), F.col("embedding").alias("ea")),
+            "src",
+        )
+        .join(
+            emb.select(F.col("gid").alias("dst"), F.col("embedding").alias("eb")),
+            "dst",
+        )
         .select(
             "src",
             "dst",
             F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
         )
     )
+    # distinct-level prune: only cos-rank() <= K vectors can reach any
+    # copy's top-K (rank keeps boundary ties — see equivalence (b))
+    wr = Window.partitionBy("src").orderBy(F.desc("cos_sim"))
+    pruned = (
+        scored.withColumn("rk", F.rank().over(wr))
+        .filter(F.col("rk") <= KNN_GRAPH_K)
+        .drop("rk")
+    )
+    # --- expand back to copies -------------------------------------
+    # every copy of every vector is a SOURCE; its candidates are
+    # (a) its co-copies (self-cosine, only if v has a kept bucket and
+    #     m >= 2) and (b) the K smallest copies of each pruned
+    #     neighbor vector, at the distinct-level cosine
+    meta = grp.select(
+        "gh",
+        "gid",
+        "m",
+        F.slice(F.col("ids"), 1, KNN_GRAPH_K + 1).alias("co_ids"),
+        F.round(cosine(F.col("embedding"), F.col("embedding")), 6).alias(
+            "self_cos"
+        ),
+    )
+    srcs = ec.select(F.col("vec_id").alias("src"), "gh").join(meta, "gh")
+    co = (
+        srcs.join(has_kept, "gid", "leftSemi")
+        .filter(F.col("m") >= 2)
+        .select(
+            "src",
+            F.explode("co_ids").alias("dst"),
+            F.col("self_cos").alias("cos_sim"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    nb = (
+        srcs.select("src", "gid")
+        .join(pruned.select(F.col("src").alias("gid"), "dst", "cos_sim"), "gid")
+        .join(
+            grp.select(
+                F.col("gid").alias("dst"),
+                F.slice(F.col("ids"), 1, KNN_GRAPH_K).alias("dst_ids"),
+            ),
+            "dst",
+        )
+        .select(
+            "src", F.explode("dst_ids").alias("dst"), "cos_sim"
+        )
+    )
+    cand = co.unionByName(nb)
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
     # Materialize top-k ONCE before the mutuality self-join: the rev
-    # side otherwise re-executes the full bands->pairs->cosine->window
-    # pipeline a second time (measured ~2x the key's wall at sf0.1).
-    # The relation is k*|V| rows — linear and tiny relative to input.
+    # side otherwise re-executes the full chain a second time
+    # (measured ~2x the key's wall at sf0.1). k*|copies| rows — linear.
     topk = (
-        scored.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= KNN_GRAPH_K)
         .select("src", "dst", "cos_sim")
         .localCheckpoint(eager=True)
     )
-    rev = topk.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    )
-    edges = (
+    rev = topk.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
         topk.join(rev, ["src", "dst"])
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst", "cos_sim")
         .localCheckpoint(eager=True)
     )
-    _knn_mutual_cache[key] = edges
-    return edges
 
 
 #: Round cap for the alternating star contraction (see cc_kernel).
@@ -1780,25 +1906,20 @@ def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical graph via the shared CTE chain and closes it with a
     recursive reachability CTE — exact equality proves both the
     clustering AND the graph agree."""
-    # graph-BUILD shuffles (bands/pairs/top-k) run at a reduced,
-    # candidate-relation-sized partition count; the contraction kernel
-    # then sizes its own rounds from the materialized |E| (see
-    # cc_kernel.star_contraction_labels) — per-stage scheduling
-    # overhead, not data volume, is the cost at every scale
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        E = sim_knn_graph_mutual(spark, sf_dir).select(
-            F.col("src").alias("u"), F.col("dst").alias("v")
-        )
-        nodes = (
-            E.select(F.col("u").alias("n"))
-            .unionAll(E.select(F.col("v").alias("n")))
-            .distinct()
-        )
-        labels = star_contraction_labels(spark, E, nodes, SEMCC_MAX_ITERS)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # the graph build sizes its own shuffles from the corpus (see
+    # _knn_mutual_edges) and the contraction kernel sizes its rounds
+    # from the materialized |E| (cc_kernel.star_contraction_labels);
+    # the label/size joins below are edge-relation-sized and AQE
+    # coalesces them — no fixed partition count anywhere
+    E = sim_knn_graph_mutual(spark, sf_dir).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    nodes = (
+        E.select(F.col("u").alias("n"))
+        .unionAll(E.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    labels = star_contraction_labels(spark, E, nodes, SEMCC_MAX_ITERS)
     labels = labels.select(F.col("n").alias("vec_id"), "lbl")
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
