@@ -1677,28 +1677,11 @@ def _knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    # --- exact-dup collapse: one representative per distinct vector.
-    # Copy-id bookkeeping stays BOUNDED: a window keeps only the K+1
-    # smallest ids per group (all any top-K can ever cite), so no
-    # collect_list ever sees a viral-duplicate group's full id list.
     gh = F.sha2(F.to_json(F.col("embedding")), 256).alias("gh")
     ec = e.select("vec_id", "embedding", gh)
-    wg = Window.partitionBy("gh").orderBy("vec_id")
-    wga = Window.partitionBy("gh")
-    grp = (
-        ec.withColumn("rn", F.row_number().over(wg))
-        .withColumn("m", F.count("*").over(wga))
-        .filter(F.col("rn") <= KNN_GRAPH_K + 1)
-        .groupBy("gh")
-        .agg(
-            F.min("vec_id").alias("gid"),
-            F.first("embedding").alias("embedding"),
-            F.first("m").cast("long").alias("m"),
-            F.sort_array(F.collect_list("vec_id")).alias("ids"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    n_distinct = grp.count()
+    n_copies, n_distinct = ec.agg(
+        F.count("*"), F.count_distinct("gh")
+    ).first()
     # Shuffle sizing from the DISTINCT-level candidate budget (mean
     # bucket occupancy n/2^bits): a fixed count starves when the
     # corpus grows; post-collapse the budget is replication-free.
@@ -1709,16 +1692,70 @@ def _knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        edges = _knn_mutual_edges_build(spark, ec, grp)
+        if n_distinct == n_copies:
+            # duplicate-free corpus (the sf fixtures): the collapse is
+            # the identity and the expansion a no-op — run the direct
+            # copy-level chain with none of the collapse bookkeeping
+            rel = e.select(
+                F.col("vec_id").alias("gid"),
+                F.lit(1).cast("long").alias("m"),
+                "embedding",
+            )
+            scored, _ = _band_pair_score(rel)
+            w = Window.partitionBy("src").orderBy(
+                F.desc("cos_sim"), F.asc("dst")
+            )
+            topk = (
+                scored.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= KNN_GRAPH_K)
+                .select("src", "dst", "cos_sim")
+                .localCheckpoint(eager=True)
+            )
+            edges = _mutual(topk)
+        else:
+            # --- exact-dup collapse: one representative per distinct
+            # vector. Copy-id bookkeeping stays BOUNDED: a window
+            # keeps only the K+1 smallest ids per group (all any
+            # top-K can ever cite), so no collect_list ever sees a
+            # viral-duplicate group's full id list.
+            wg = Window.partitionBy("gh").orderBy("vec_id")
+            wga = Window.partitionBy("gh")
+            grp = (
+                ec.withColumn("rn", F.row_number().over(wg))
+                .withColumn("m", F.count("*").over(wga))
+                .filter(F.col("rn") <= KNN_GRAPH_K + 1)
+                .groupBy("gh")
+                .agg(
+                    F.min("vec_id").alias("gid"),
+                    F.first("embedding").alias("embedding"),
+                    F.first("m").cast("long").alias("m"),
+                    F.sort_array(F.collect_list("vec_id")).alias("ids"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            edges = _knn_mutual_edges_build(spark, ec, grp)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     _knn_mutual_cache[key] = edges
     return edges
 
 
-def _knn_mutual_edges_build(
-    spark: SparkSession, ec: DataFrame, grp: DataFrame
-) -> DataFrame:
+def _mutual(topk: DataFrame) -> DataFrame:
+    """Canonical mutual edges (src < dst) from a checkpointed top-k."""
+    rev = topk.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        topk.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "cos_sim")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _band_pair_score(rel: DataFrame):
+    """Shared banding + capped-bucket candidate generation + cosine
+    scoring over a (gid, m, embedding) relation; the bucket keep/drop
+    filter uses the COPY count (sum of m). Returns (scored pairs,
+    gids-with-a-kept-bucket)."""
 
     def band_val(b: int) -> Column:
         bits = [
@@ -1730,7 +1767,7 @@ def _knn_mutual_edges_build(
         ]
         return sum(bits[1:], bits[0])
 
-    bands = grp.select(
+    bands = rel.select(
         "gid",
         "m",
         F.explode(
@@ -1745,17 +1782,11 @@ def _knn_mutual_edges_build(
             )
         ).alias("band"),
     ).select("gid", "m", "band.band_idx", "band.band_val")
-    # keep/drop per bucket on the COPY count (sum of multiplicities) —
-    # identical semantics to the uncollapsed filter; computed as a
-    # window so oversized buckets are dropped BEFORE any per-bucket
-    # array materializes (the collect below is cap-bounded)
     wb = Window.partitionBy("band_idx", "band_val")
     kept = bands.withColumn("tot", F.sum("m").over(wb)).filter(
         (F.col("tot") >= 2) & (F.col("tot") <= NEARDUP_BUCKET_CAP)
     )
-    # vectors with >= 1 kept bucket: their co-copies are candidates
     has_kept = kept.select("gid").distinct()
-    # distinct-level ordered pairs from each kept bucket, one shuffle
     buckets = kept.groupBy("band_idx", "band_val").agg(
         F.collect_list("gid").alias("ids")
     )
@@ -1772,7 +1803,7 @@ def _knn_mutual_edges_build(
         .select("p.src", "p.dst")
         .distinct()
     )
-    emb = grp.select("gid", "embedding")
+    emb = rel.select("gid", "embedding")
     scored = (
         pairs.join(
             emb.select(F.col("gid").alias("src"), F.col("embedding").alias("ea")),
@@ -1787,6 +1818,15 @@ def _knn_mutual_edges_build(
             "dst",
             F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
         )
+    )
+    return scored, has_kept
+
+
+def _knn_mutual_edges_build(
+    spark: SparkSession, ec: DataFrame, grp: DataFrame
+) -> DataFrame:
+    scored, has_kept = _band_pair_score(
+        grp.select("gid", "m", "embedding")
     )
     # distinct-level prune: only cos-rank() <= K vectors can reach any
     # copy's top-K (rank keeps boundary ties — see equivalence (b))
@@ -1846,13 +1886,7 @@ def _knn_mutual_edges_build(
         .select("src", "dst", "cos_sim")
         .localCheckpoint(eager=True)
     )
-    rev = topk.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return (
-        topk.join(rev, ["src", "dst"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst", "cos_sim")
-        .localCheckpoint(eager=True)
-    )
+    return _mutual(topk)
 
 
 #: Round cap for the alternating star contraction (see cc_kernel).
