@@ -1371,3 +1371,86 @@ def test_knn_mutual_collapse_matches_copy_level_reference(spark, tmp_path):
     assert any(len([1 for (a, b) in want if a == s or b == s]) for s in vecs)
     assert len(want) > 0
     _knn_mutual_cache.clear()
+
+
+def test_cosine_neardup_collapse_matches_copy_level_reference(spark, tmp_path):
+    """sim_cosine_neardup's r10 duplicate pre-collapse path must emit
+    exactly the copy-level pair set: planted corpus with duplicated
+    vectors, reference = direct copy-level replay (band bits, copy-count
+    bucket cap, left-to-right float64 cosine, raw >= 0.3 threshold)."""
+    import itertools
+    import math
+
+    import numpy as np
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.similarity import (
+        NEARDUP_BANDS,
+        NEARDUP_BAND_BITS,
+        NEARDUP_BUCKET_CAP,
+        sim_cosine_neardup,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(8, 64).astype(np.float32)
+    base[1] = base[0] + np.float32(0.05) * rng.randn(64).astype(np.float32)
+    rows = []
+    vid = 50
+    for i, v in enumerate(base):
+        copies = 3 if i in (0, 4) else (5 if i == 6 else 1)
+        for _ in range(copies):
+            rows.append((vid, [float(x) for x in v]))
+            vid += 7
+    spark.createDataFrame(
+        [(i, e, 0) for i, e in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in sim_cosine_neardup(spark, str(tmp_path)).collect()
+    }
+
+    def band_vals(v):
+        return [
+            (
+                b,
+                sum(
+                    (1 << j)
+                    for j in range(NEARDUP_BAND_BITS)
+                    if v[b * NEARDUP_BAND_BITS + j] >= 0
+                ),
+            )
+            for b in range(NEARDUP_BANDS)
+        ]
+
+    def dot_ltr(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    vecs = dict(rows)
+    buckets = {}
+    for i, v in rows:
+        for bv in band_vals(v):
+            buckets.setdefault(bv, []).append(i)
+    cand = set()
+    for members in buckets.values():
+        if 2 <= len(members) <= NEARDUP_BUCKET_CAP:
+            for a, b in itertools.combinations(sorted(members), 2):
+                cand.add((a, b))
+    want = {}
+    for a, b in cand:
+        raw = dot_ltr(vecs[a], vecs[b]) / (
+            math.sqrt(dot_ltr(vecs[a], vecs[a]))
+            * math.sqrt(dot_ltr(vecs[b], vecs[b]))
+        )
+        if raw >= 0.3:
+            want[(a, b)] = round(raw, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # within-group (identical-copy) pairs must be present: 2 groups of
+    # 3 copies (3 pairs each) + 1 group of 5 copies (10 pairs)
+    n_identical = sum(1 for k, c in want.items() if c == 1.0)
+    assert n_identical >= 16

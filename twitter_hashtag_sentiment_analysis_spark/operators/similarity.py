@@ -199,8 +199,84 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     > 0.9; at this fixture's looser 0.3 threshold the bands trade
     recall for a ~30x candidate cut — production corpora widen bands
     (~log2 n bits) as n grows. Identical banding runs in the oracle, so
-    the driver check is still exact-hash."""
+    the driver check is still exact-hash.
+
+    Replicated corpora take the exact-dup pre-collapse path (same
+    discipline and equivalence argument as _knn_mutual_edges, and
+    simpler — a pure threshold, no ranking): distinct-vector pairs are
+    banded/scored once, then expanded to copy pairs via two members
+    joins, plus the within-group C(m,2) pairs at the self-cosine for
+    every duplicated vector with >= 1 kept bucket. The pair OUTPUT is
+    inherently quadratic in the replication factor (every copy pair
+    is a row); the collapse makes the SCORING linear in distinct
+    pairs — at the r10 25x stress this cut 36.7 s to ~expansion-bound
+    time. Duplicate-free corpora (the sf fixtures) take the direct
+    path below unchanged."""
     e = table(spark, sf_dir, "embeddings")
+    gh_expr = F.sha2(F.to_json(F.col("embedding")), 256).alias("gh")
+    ec = e.select("vec_id", "embedding", gh_expr)
+    n_copies, n_distinct = ec.agg(
+        F.count("*"), F.count_distinct("gh")
+    ).first()
+    if n_distinct != n_copies:
+        grp = (
+            ec.groupBy("gh")
+            .agg(
+                F.min("vec_id").alias("gid"),
+                F.first("embedding").alias("embedding"),
+                F.count("*").cast("long").alias("m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        scored, has_kept = _band_pair_score(
+            grp.select("gid", "m", "embedding"), raw_col="raw"
+        )
+        dp = (
+            scored.filter(F.col("src") < F.col("dst"))
+            .filter(F.col("raw") >= 0.3)
+            .select("src", "dst", "cos_sim")
+        )
+        members = ec.select("gh", "vec_id")
+        gmap = grp.select("gid", "gh")
+        cross = (
+            dp.join(
+                gmap.select(F.col("gid").alias("src"), F.col("gh").alias("gha")),
+                "src",
+            )
+            .join(
+                gmap.select(F.col("gid").alias("dst"), F.col("gh").alias("ghb")),
+                "dst",
+            )
+            .join(
+                members.select(F.col("gh").alias("gha"), F.col("vec_id").alias("ca")),
+                "gha",
+            )
+            .join(
+                members.select(F.col("gh").alias("ghb"), F.col("vec_id").alias("cb")),
+                "ghb",
+            )
+            .select(
+                F.least("ca", "cb").alias("vec_a"),
+                F.greatest("ca", "cb").alias("vec_b"),
+                "cos_sim",
+            )
+        )
+        self_raw = cosine(F.col("embedding"), F.col("embedding"))
+        within_grp = (
+            grp.filter(F.col("m") >= 2)
+            .join(has_kept, "gid", "leftSemi")
+            .filter(self_raw >= 0.3)
+            .select("gh", F.round(self_raw, 6).alias("cos_sim"))
+        )
+        within = (
+            within_grp.join(
+                members.select("gh", F.col("vec_id").alias("vec_a")), "gh"
+            )
+            .join(members.select("gh", F.col("vec_id").alias("vec_b")), "gh")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "cos_sim")
+        )
+        return cross.unionByName(within)
 
     def band_val(b: int) -> Column:
         bits = [
@@ -1751,11 +1827,12 @@ def _mutual(topk: DataFrame) -> DataFrame:
     )
 
 
-def _band_pair_score(rel: DataFrame):
+def _band_pair_score(rel: DataFrame, raw_col: str | None = None):
     """Shared banding + capped-bucket candidate generation + cosine
     scoring over a (gid, m, embedding) relation; the bucket keep/drop
     filter uses the COPY count (sum of m). Returns (scored pairs,
-    gids-with-a-kept-bucket)."""
+    gids-with-a-kept-bucket); when ``raw_col`` is set the UNROUNDED
+    cosine rides along for threshold filters."""
 
     def band_val(b: int) -> Column:
         bits = [
@@ -1804,6 +1881,13 @@ def _band_pair_score(rel: DataFrame):
         .distinct()
     )
     emb = rel.select("gid", "embedding")
+    cols = [
+        F.col("src"),
+        F.col("dst"),
+        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+    ]
+    if raw_col is not None:
+        cols.append(cosine(F.col("ea"), F.col("eb")).alias(raw_col))
     scored = (
         pairs.join(
             emb.select(F.col("gid").alias("src"), F.col("embedding").alias("ea")),
@@ -1813,11 +1897,7 @@ def _band_pair_score(rel: DataFrame):
             emb.select(F.col("gid").alias("dst"), F.col("embedding").alias("eb")),
             "dst",
         )
-        .select(
-            "src",
-            "dst",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
-        )
+        .select(*cols)
     )
     return scored, has_kept
 
