@@ -2236,3 +2236,184 @@ def embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(deco_ok).alias("decorrelated_ok"),
         F.lit(psd_ok).alias("psd_ok"),
     )
+
+
+#: ADC serving geometry: probes (the pinned vec_id < ANN_PQ_PROBES
+#: range, matching the other sim_ann_* keys) search the PQ-coded
+#: corpus with a per-probe distance TABLE — n_probes x PQ_M x 8
+#: precomputed sub-distances — so the corpus-side scan does table
+#: LOOKUPS, never float math on raw vectors.
+ANN_PQ_PROBES = 20
+ANN_PQ_TOPK = 5
+
+
+@register(
+    "sim_ann_pq_adc",
+    sql=f"""
+        WITH codes AS (
+            SELECT vec_id - {PQ_CODES_LO} AS code, j.j,
+                   embedding[j.j * {PQ_SUBDIM} + 1 :
+                             j.j * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cv
+            FROM embeddings, (SELECT unnest(range(0, {PQ_M})) AS j) j
+            WHERE vec_id BETWEEN {PQ_CODES_LO} AND {PQ_CODES_HI}
+        ),
+        subs AS (
+            SELECT vec_id, j.j,
+                   embedding[j.j * {PQ_SUBDIM} + 1 :
+                             j.j * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+            FROM embeddings, (SELECT unnest(range(0, {PQ_M})) AS j) j
+        ),
+        assign AS (
+            SELECT vec_id, j, code FROM (
+                SELECT s.vec_id, s.j, c.code,
+                       row_number() OVER (PARTITION BY s.vec_id, s.j
+                           ORDER BY {_sql_sub_l2sq('s.sv', 'c.cv')} ASC,
+                                    c.code ASC) AS rn
+                FROM subs s JOIN codes c ON s.j = c.j
+            ) WHERE rn = 1
+        ),
+        pv AS (
+            SELECT vec_id,
+                   max(CASE WHEN j = 0 THEN code END) AS c0,
+                   max(CASE WHEN j = 1 THEN code END) AS c1,
+                   max(CASE WHEN j = 2 THEN code END) AS c2,
+                   max(CASE WHEN j = 3 THEN code END) AS c3
+            FROM assign GROUP BY vec_id
+        ),
+        dtab AS (
+            SELECT s.vec_id AS probe_id, s.j, c.code,
+                   {_sql_sub_l2sq('s.sv', 'c.cv')} AS d
+            FROM subs s JOIN codes c ON s.j = c.j
+            WHERE s.vec_id < {ANN_PQ_PROBES}
+        ),
+        adc AS (
+            SELECT d0.probe_id, pv.vec_id,
+                   ((d0.d + d1.d) + d2.d) + d3.d AS adc_d2
+            FROM pv
+            JOIN dtab d0 ON d0.j = 0 AND d0.code = pv.c0
+            JOIN dtab d1 ON d1.j = 1 AND d1.code = pv.c1
+                         AND d1.probe_id = d0.probe_id
+            JOIN dtab d2 ON d2.j = 2 AND d2.code = pv.c2
+                         AND d2.probe_id = d0.probe_id
+            JOIN dtab d3 ON d3.j = 3 AND d3.code = pv.c3
+                         AND d3.probe_id = d0.probe_id
+            WHERE pv.vec_id != d0.probe_id
+        )
+        SELECT probe_id, vec_id, CAST(rk AS BIGINT) AS rk, adc_d2 FROM (
+            SELECT probe_id, vec_id, adc_d2,
+                   row_number() OVER (PARTITION BY probe_id
+                       ORDER BY adc_d2 ASC, vec_id ASC) AS rk
+            FROM adc
+        ) WHERE rk <= {ANN_PQ_TOPK}
+    """,
+)
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ASYMMETRIC DISTANCE COMPUTATION serving — the third leg of
+    the production ANN stack (IVF partitions the corpus, PQ compresses
+    it, ADC searches it): each probe precomputes a PQ_M x 8 table of
+    exact sub-distances to every codebook entry, and the corpus-side
+    scan then ranks vectors by FOUR TABLE LOOKUPS + three adds per
+    vector — no raw-vector float math, which is the whole point at
+    100 TB where the raw vectors don't fit and only the 4-byte PQ
+    codes stream through the scan (Jégou et al. 2011, §IV-A — public
+    paper). Codebook = the pinned-range sub-vectors shared with
+    embed_pq_quantize, so assignments, tables, and ranking are fully
+    deterministic and exact-hash-verifiable end to end.
+
+    Plan shape: the distance table is probes x PQ_M x 8 rows
+    (KB-sized, broadcast); corpus codes come from the same
+    constant-per-vector argmin as embed_pq_quantize pivoted to one
+    row per vector; serving is 4 broadcast-hash joins + one fixed
+    left-to-right 4-term sum (identical association both engines) +
+    a per-probe top-k window. adc_d2 is emitted UNROUNDED — every
+    term replays bit-identically in DuckDB via the shared sub-L2
+    kernel."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def sub_slices(col: Column):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(col, j * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        )
+
+    codes = (
+        e.filter(F.col("vec_id").between(PQ_CODES_LO, PQ_CODES_HI))
+        .select(
+            (F.col("vec_id") - PQ_CODES_LO).alias("code"),
+            sub_slices(F.col("embedding")).alias("s"),
+        )
+        .select("code", F.col("s.j").alias("j"), F.col("s.sv").alias("cv"))
+    )
+    subs = e.select(
+        "vec_id", sub_slices(F.col("embedding")).alias("s")
+    ).select("vec_id", F.col("s.j").alias("j"), F.col("s.sv").alias("sv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wassign = Window.partitionBy("vec_id", "j").orderBy(
+        F.asc("d2"), F.asc("code")
+    )
+    assign = (
+        subs.join(F.broadcast(codes), "j")
+        .select("vec_id", "j", "code", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "j", "code")
+    )
+    pv = assign.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("code"))).alias(f"c{j}")
+            for j in range(PQ_M)
+        ]
+    )
+    dtab = (
+        subs.filter(F.col("vec_id") < ANN_PQ_PROBES)
+        .join(F.broadcast(codes), "j")
+        .select(
+            F.col("vec_id").alias("probe_id"), "j", "code", d2.alias("d")
+        )
+    )
+    out = pv
+    for j in range(PQ_M):
+        dj = dtab.filter(F.col("j") == j).select(
+            "probe_id" if j == 0 else F.col("probe_id").alias("probe_id"),
+            F.col("code").alias(f"c{j}"),
+            F.col("d").alias(f"d{j}"),
+        )
+        on = [f"c{j}"] if j == 0 else ["probe_id", f"c{j}"]
+        out = out.join(F.broadcast(dj), on)
+    adc = (
+        out.filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                (
+                    (F.col("d0") + F.col("d1")) + F.col("d2")
+                )
+                + F.col("d3")
+            ).alias("adc_d2"),
+        )
+    )
+    wk = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc_d2"), F.asc("vec_id")
+    )
+    return (
+        adc.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= ANN_PQ_TOPK)
+        .select("probe_id", "vec_id", F.col("rk").cast("long").alias("rk"), "adc_d2")
+    )
