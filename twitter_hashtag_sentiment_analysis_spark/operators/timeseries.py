@@ -3038,3 +3038,104 @@ def event_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tp") - F.col("tb")) - (F.col("cp") - F.col("cb"))
         ).alias("did_cents"),
     )
+
+
+@register(
+    "ts_theil_sen",
+    sql="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        d2 AS (
+            SELECT event_type, day,
+                   CAST(day - (SELECT min(day) FROM daily) AS BIGINT) AS x,
+                   cents
+            FROM daily
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   CAST(b.cents - a.cents AS DOUBLE) / (b.x - a.x) AS slope
+            FROM d2 a JOIN d2 b
+              ON a.event_type = b.event_type AND a.x < b.x
+        ),
+        ranked AS (
+            SELECT event_type, slope,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY slope) AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS n_pairs
+            FROM slopes
+        )
+        SELECT event_type,
+               CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+               max(CASE WHEN rk = CAST(ceil(n_pairs * 0.5) AS BIGINT)
+                        THEN slope END) AS theil_sen_cents_per_day
+        FROM ranked GROUP BY event_type
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend per series: the MEDIAN of all pairwise
+    day-to-day slopes of the daily revenue series — the estimator that
+    shrugs off the outlier days that wreck least-squares
+    (stat_regr_trend's complement: 29.3% breakdown point vs 0%). The
+    median is an ORDER STATISTIC (the rank-ceil(n/2) slope under a
+    value sort, percentile_disc semantics), never an interpolated
+    quantile — interpolation conventions differ across engines while
+    selection of an existing value is exact everywhere; slope ties at
+    the selection boundary are harmless because row_number permutes
+    only equal VALUES (the selected value is tie-invariant).
+
+    Scale shape: the pairwise relation is per-series days^2 — bounded
+    by the CALENDAR (a year of daily buckets is ~66k pairs per
+    series), not by corpus size; the heavy input reduction is the
+    daily partial aggregate, which is scan-shaped. Slopes are exact
+    BIGINT cent differences over exact integer day gaps with ONE
+    double division, so every value replays bit-identically in
+    DuckDB."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    d0 = daily.agg(F.min("day")).collect()[0][0]
+    d2 = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit(d0)).cast("long").alias("x"),
+        "cents",
+    )
+    a = d2.select(
+        "event_type", F.col("x").alias("xa"), F.col("cents").alias("ca")
+    )
+    b = d2.select(
+        "event_type", F.col("x").alias("xb"), F.col("cents").alias("cb")
+    )
+    slopes = a.join(b, "event_type").filter(F.col("xa") < F.col("xb")).select(
+        "event_type",
+        (
+            (F.col("cb") - F.col("ca")).cast("double")
+            / (F.col("xb") - F.col("xa"))
+        ).alias("slope"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n_pairs"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n_pairs").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(
+                F.col("rk")
+                == F.ceil(F.col("n_pairs") * 0.5).cast("long"),
+                F.col("slope"),
+            )
+        ).alias("theil_sen_cents_per_day"),
+    )
