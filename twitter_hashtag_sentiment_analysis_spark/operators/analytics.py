@@ -1861,10 +1861,15 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile — is invariant under corpus growth: measured 5x-stress
     ratio fell from 5.4 (absolute threshold) to ~linear."""
     li = table(spark, sf_dir, "lineitem")
+    # the deduped basket relation feeds THREE consumers (per-order
+    # baskets, item supports, the order count) — materialize it once
+    # instead of paying the scan+distinct shuffle three times; this is
+    # the relation a production run persists anyway
     baskets = (
         li.select("l_orderkey", "l_partkey")
         .repartition("l_orderkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     per_order = baskets.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("items")
