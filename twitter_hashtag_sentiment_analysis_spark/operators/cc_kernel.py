@@ -36,7 +36,12 @@ STAR_CC_MAX_PARTITIONS = 2048
 def large_star(E: DataFrame) -> DataFrame:
     """Kiveris et al. large-star: every strictly-larger neighbor of u
     re-links to min(N(u) + {u}). Preserves connectivity; shrinks tall
-    structures toward minima."""
+    structures toward minima.
+
+    No closing distinct: star relinking is idempotent on duplicate
+    edges (dups only inflate the intermediate by a bounded factor),
+    and small_star's closing distinct dedups the round's output — one
+    fewer shuffle per round on the iteration hot path."""
     sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
@@ -44,7 +49,6 @@ def large_star(E: DataFrame) -> DataFrame:
         .join(m, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
