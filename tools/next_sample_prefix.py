@@ -51,7 +51,15 @@ def pending_queue_with_ages(root: str) -> tuple[list[str], int, dict]:
     later refactors; age-ordered re-sampling retires that risk)."""
     latest_green: dict[str, bool] = {}
     latest_round: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    # Sort by the PARSED round number, not filename order: lexicographic
+    # sorting only matched round order because the files are zero-padded
+    # (r01..r10); r100 or an unpadded name would let an older round's row
+    # overwrite a newer one (r10 advisor finding).
+    paths = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in paths:
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         with open(path) as f:
             rows = json.load(f)

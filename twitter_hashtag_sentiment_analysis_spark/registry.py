@@ -88,58 +88,58 @@ _loaded = False
 # Every key stays present — only ``dict`` insertion order changes, and
 # all consumers (tests, bench, entry shim) address the registry by key.
 _DRIVER_SAMPLE_PREFIX = (
-    # round-10 block (tools/sample_rotation_plan.json; regenerate with
+    # round-11 block (tools/sample_rotation_plan.json; regenerate with
     # `python tools/apply_next_prefix.py` at round start)
-    "fn_decimal",
-    "ts_stl_decompose",
-    "ts_downsample_m4",
-    "event_funnel_unordered",
-    "event_cohort_ltv_curve",
-    "event_abandoned_conversion",
-    "ts_anomaly_stl_residual",
-    "event_did_analysis",
-    "set_union_by_name",
-    "graph_k_core",
-    "quality_schema_drift",
-    "stat_cohens_kappa",
-    "quality_drift_psi",
-    "fn_stable_surrogate_id",
-    "udf_grouped_arrow",
-    "udf_cogrouped_map",
-    "sample_kfold_assign",
-    "corpus_pretrain_build",
-    "sample_contrastive_pairs",
-    "embed_whitening",
-    "text_paragraph_dedup",
-    "text_tokenizer_fertility",
-    "quality_split_contamination",
-    "text_html_strip",
-    "scan_glob_filtered",
-    "scan_metadata_columns",
-    "scan_nested_pruning",
-    "scan_csv_dialect",
-    "scan_modified_after",
-    "join_interval_overlap",
-    "join_asof_nearest",
-    "join_scd2_pit",
-    "join_skew_hotcold",
-    "join_partition_pruning_dynamic",
-    "join_asof_forward",
-    "agg_entropy",
-    "agg_gini_nation",
-    "stat_crosstab_chi2",
-    "agg_weighted_quantile",
-    "agg_pivot_dynamic",
-    "stat_ab_ttest",
-    "stat_regr_trend",
-    "agg_percentile_within_group",
-    "agg_multi_distinct",
-    "stat_ks_test",
-    "stat_benford",
-    "agg_grouping_id",
-    "agg_bitmap_distinct",
-    "stat_mann_whitney",
-    "agg_string_agg",
+    "ts_theil_sen",
+    "sim_ann_pq_adc",
+    "ml_target_encoding",
+    "agg_percentile_disc",
+    "stat_skew_kurtosis",
+    "agg_filter_clause",
+    "stat_regr_multi",
+    "agg_hll_intersection",
+    "agg_sketch_cms",
+    "stat_bootstrap_ci",
+    "sub_not_in_nulls",
+    "sub_any_all",
+    "win_rank",
+    "win_lag_lead",
+    "win_running_rows",
+    "win_range_frame",
+    "win_topk_group",
+    "sort_multikey",
+    "limit_topk",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_cond",
+    "fn_array",
+    "fn_json",
+    "flagship_sentiment_by_source",
+    "sentiment_expr",
+    "udf_sentiment",
+    "udf_pandas_scalar",
+    "udf_grouped_map",
+    "udf_grouped_agg",
+    "udtf_explode_tokens",
+    "dedup_exact",
+    "ts_resample_gapfill",
+    "scan_parquet",
+    "scan_pruned",
+    "sink_partitioned",
+    "scan_csv",
+    "scan_ndjson",
+    "scan_text_lines",
+    "scan_orc",
+    "scan_partition_pruned",
+    "scan_corrupt_permissive",
+    "project_alias",
+    "filter_eq_lang",
+    "filter_keyword_track",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
