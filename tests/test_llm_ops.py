@@ -1454,3 +1454,68 @@ def test_cosine_neardup_collapse_matches_copy_level_reference(spark, tmp_path):
     # 3 copies (3 pairs each) + 1 group of 5 copies (10 pairs)
     n_identical = sum(1 for k, c in want.items() if c == 1.0)
     assert n_identical >= 16
+
+
+def test_phash_collapse_matches_copy_level_reference(spark, tmp_path):
+    """mm_phash_neardup's duplicate pre-collapse path must emit exactly
+    the copy-level pair set: planted corpus with duplicated blobs,
+    reference = direct copy-level replay (sampled-byte blockhash,
+    copy-count bucket cap, Hamming <= HAM_MAX)."""
+    import itertools
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.multimodal import (
+        MM_PHASH_BANDS,
+        MM_PHASH_BITS,
+        MM_PHASH_BUCKET_CAP,
+        MM_PHASH_HAM_MAX,
+        mm_phash_neardup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    variant = base[:-2] + "~!"          # near-dup: tail bytes changed
+    far = "".join(chr(33 + (i * 7) % 90) for i in range(len(base)))
+    texts = []
+    did = 100
+    for t, copies in ((base, 4), (variant, 1), (far, 3), (base[:50], 1)):
+        for _ in range(copies):
+            texts.append((did, t))
+            did += 3
+    _write_docs(spark, tmp_path, texts)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm_phash_neardup(spark, str(tmp_path)).collect()
+    }
+
+    def ph(text: str) -> int:
+        blob = text.encode("utf-8")
+        n = len(blob)
+        ss = [
+            blob[min(n, int((j + 0.5) * n // MM_PHASH_BITS) + 1) - 1]
+            for j in range(MM_PHASH_BITS)
+        ]
+        mean = sum(ss) / MM_PHASH_BITS
+        return sum(1 << j for j in range(MM_PHASH_BITS) if ss[j] > mean)
+
+    hashes = {i: ph(t) for i, t in texts if t != ""}
+    buckets: dict = {}
+    for i, h in hashes.items():
+        for b in range(MM_PHASH_BANDS):
+            buckets.setdefault((b, (h >> (8 * b)) & 255), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        if 2 <= len(members) <= MM_PHASH_BUCKET_CAP:
+            for a, b in itertools.combinations(sorted(members), 2):
+                cand.add((a, b))
+    want = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a, b in cand
+        if bin(hashes[a] ^ hashes[b]).count("1") <= MM_PHASH_HAM_MAX
+    }
+    assert got == want
+    # the corpus must actually exercise both pair kinds: intra-group
+    # copies (hamming 0 within the 4x base and 3x far groups) and at
+    # least one cross-group pair
+    assert sum(1 for h in want.values() if h == 0) >= 9
+    groups = {i: t for i, t in texts}
+    assert any(groups[a] != groups[b] for a, b in want)

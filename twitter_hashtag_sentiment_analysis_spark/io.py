@@ -101,12 +101,42 @@ def fixture_sig(sf_dir: str, name: str) -> str:
         st = os.stat(src)
         if not os.path.isdir(src):
             return f"{st.st_size}:{st.st_mtime_ns}"
-        return ",".join(
-            f"{n}:{os.stat(os.path.join(src, n)).st_size}"
-            for n in sorted(os.listdir(src))
-        )
+        # mtime_ns per entry, matching the single-file branch: a fixture
+        # dir regenerated in place with deterministic part names and
+        # coincidentally unchanged sizes must still change the signature
+        # (r10 advisor finding).
+        def ent(n: str) -> str:
+            es = os.stat(os.path.join(src, n))
+            return f"{n}:{es.st_size}:{es.st_mtime_ns}"
+
+        return ",".join(ent(n) for n in sorted(os.listdir(src)))
     except OSError:
         return "missing"
+
+
+def memo_put(cache: dict, key: tuple, df: DataFrame) -> DataFrame:
+    """Insert a checkpointed DataFrame into a derived-relation memo,
+    EVICTING any prior entry for the same (applicationId, sf_dir)
+    scope (key[:2]) and unpersisting its storage blocks.
+
+    The kNN-edge / CC-label memos hold one eagerly localCheckpoint'd
+    DataFrame per (app, sf_dir, fixture-signature); without eviction a
+    long-lived app that regenerates fixtures in place pins every stale
+    generation's executor storage blocks for the app lifetime (r10
+    advisor finding). Keeping only the LATEST signature per sf_dir
+    bounds the memo at one relation per fixture dir; the unpersist is
+    best-effort (blocking=False) because a localCheckpoint'd handle
+    someone still holds simply recomputes... nothing — it becomes
+    unusable, which is exactly why eviction only ever targets a
+    SUPERSEDED signature no live query should be reading."""
+    scope = key[:2]
+    for k in [k for k in cache if k[:2] == scope and k != key]:
+        try:
+            cache.pop(k).unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    cache[key] = df
+    return df
 
 
 def durable_fixture_dir(sf_dir: str, src_table: str, tag: str, build) -> str:
@@ -133,7 +163,9 @@ def durable_fixture_dir(sf_dir: str, src_table: str, tag: str, build) -> str:
     except OSError:
         names = sorted(os.listdir(src))
         sig = ",".join(
-            f"{n}:{os.stat(os.path.join(src, n)).st_size}" for n in names
+            f"{n}:{os.stat(os.path.join(src, n)).st_size}:"
+            f"{os.stat(os.path.join(src, n)).st_mtime_ns}"
+            for n in names
         )
     digest = hashlib.sha256(
         f"{tag}:{os.path.abspath(sf_dir)}:{sig}".encode()

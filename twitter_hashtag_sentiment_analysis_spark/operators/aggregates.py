@@ -2446,6 +2446,7 @@ _POISSON1_CUM_HEX_B = ("5e2d", "bc5a", "eb71", "fb23", "ff10")
             SELECT source, r,
                    CAST(sum(w * n_chars) AS DOUBLE) / sum(w) AS mean_r
             FROM w GROUP BY source, r
+            HAVING sum(w) > 0
         ),
         ranked AS (
             SELECT source, mean_r,
@@ -2511,11 +2512,22 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = d.select("doc_id", "source", "n_chars", r).select(
         "source", "n_chars", "r", w.alias("w")
     )
-    rep = weighted.groupBy("source", "r").agg(
-        (
-            F.sum(F.col("w") * F.col("n_chars")).cast("double")
-            / F.sum("w")
-        ).alias("mean_r")
+    # An all-zero-weight replicate (probability 0.368^n_docs per
+    # (source, r) — real only for very small sources) would divide
+    # 0/0; NaN-vs-NULL ordering differs across engines, so such
+    # degenerate resamples are DROPPED identically in both forms
+    # (HAVING sum(w) > 0) instead of ranked (r10 advisor finding).
+    rep = (
+        weighted.groupBy("source", "r")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("n_chars")).cast("double")
+                / F.sum("w")
+            ).alias("mean_r"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .drop("sw")
     )
     wk = Window.partitionBy("source").orderBy(F.asc("mean_r"), F.asc("r"))
     ranked = rep.withColumn("rk", F.row_number().over(wk))

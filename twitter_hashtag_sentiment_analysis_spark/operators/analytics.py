@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..io import table
 from ..registry import register
+from ..session import shuffle_partitions_override
 
 
 @register(
@@ -544,9 +545,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration shuffles to the graph (checkpointed, so count is free),
     # not the session default — same rule as dedup_connected_components
     parts = max(8, min(2048, trans.count() // 100_000))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
+    with shuffle_partitions_override(spark, str(parts)):
         for i in range(PR_ITERS):
             contribs = (
                 trans.join(ranks, trans.src == ranks.word)
@@ -568,8 +567,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint(eager=True)
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return ranks.select("word", F.round("rank", 6).alias("rank"))
 
 
@@ -3018,9 +3015,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("b").alias("v")))
         .distinct()
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with shuffle_partitions_override(spark, "8"):
         for _ in range(KCORE_ROUNDS):
             alive = (
                 edges.join(surv.withColumnRenamed("v", "a"), "a", "left_semi")
@@ -3037,8 +3032,6 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("v")
                 .localCheckpoint(eager=True)
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     alive = (
         edges.join(surv.withColumnRenamed("v", "a"), "a", "left_semi")
         .join(surv.withColumnRenamed("v", "b"), "b", "left_semi")

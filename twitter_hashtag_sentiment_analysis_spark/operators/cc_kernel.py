@@ -33,7 +33,7 @@ STAR_CC_EDGES_PER_PARTITION = 250_000
 STAR_CC_MAX_PARTITIONS = 2048
 
 
-def large_star(E: DataFrame) -> DataFrame:
+def large_star(E: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Kiveris et al. large-star: every strictly-larger neighbor of u
     re-links to min(N(u) + {u}). Preserves connectivity; shrinks tall
     structures toward minima.
@@ -41,8 +41,18 @@ def large_star(E: DataFrame) -> DataFrame:
     No closing distinct: star relinking is idempotent on duplicate
     edges (dups only inflate the intermediate by a bounded factor),
     and small_star's closing distinct dedups the round's output — one
-    fewer shuffle per round on the iteration hot path."""
+    fewer shuffle per round on the iteration hot path.
+
+    ``n_parts`` sizes the round's shuffles PER-PLAN via an explicit
+    repartition(n, u): hash(u, n) satisfies both the groupBy's and the
+    join's clustering requirement, so the single repartition Exchange
+    is shared by both consumers (ReuseExchange) — one shuffle of sym
+    instead of two, and no session-global shuffle.partitions mutation
+    (r10 advisor: the save/set/restore pattern is not reentrant and
+    leaks the reduced count into concurrent queries)."""
     sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if n_parts is not None:
+        sym = sym.repartition(n_parts, "u")
     m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
         sym.filter(F.col("v") > F.col("u"))
@@ -52,17 +62,27 @@ def large_star(E: DataFrame) -> DataFrame:
     )
 
 
-def small_star(E: DataFrame) -> DataFrame:
+def small_star(E: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Kiveris et al. small-star: orient edges toward the larger node,
     re-link each node's smaller neighbors (and itself) to their
-    minimum."""
+    minimum.
+
+    ``n_parts`` sizes the shuffles per-plan (see large_star): one
+    repartition(n, u) feeds the groupBy AND the join exchange-free,
+    and the closing distinct runs as dropDuplicates over an explicit
+    (u, v) repartition so no stage inherits the session default."""
     o = E.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    if n_parts is not None:
+        o = o.repartition(n_parts, "u")
     m = o.groupBy("u").agg(F.min("v").alias("m"))
     em = o.join(m, "u")
     out = em.filter(F.col("v") != F.col("m")).select(
         F.col("v").alias("u"), F.col("m").alias("v")
     ).unionAll(m.select(F.col("u"), F.col("m").alias("v")))
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    out = out.filter(F.col("u") != F.col("v"))
+    if n_parts is not None:
+        return out.repartition(n_parts, "u", "v").dropDuplicates()
+    return out.distinct()
 
 
 def star_contraction_labels(
@@ -82,11 +102,16 @@ def star_contraction_labels(
     STAR_CC_EDGES_PER_PARTITION, clamped) — the per-round stages are
     edge-relation-sized, and a fixed caller-side setting is either too
     many partitions for a fixture graph (scheduling constants
-    dominate) or too few for a 1e9-edge production graph. Per-round
-    localCheckpoint truncates lineage; one semi-join count per round
-    detects the star-forest fixpoint (no edge's parent is itself a
-    child), and once a star forest, one more alternation is a no-op,
-    so exiting there returns the fixpoint itself."""
+    dominate) or too few for a 1e9-edge production graph. The sizing
+    is applied PER-PLAN (explicit repartition inside large/small star,
+    never a session-global shuffle.partitions mutation — r10 advisor:
+    that pattern leaked the reduced count into concurrent queries and
+    overlapping save/restore pairs could clobber the saved value).
+    Per-round localCheckpoint truncates lineage; one semi-join
+    emptiness probe per round detects the star-forest fixpoint (no
+    edge's parent is itself a child), and once a star forest, one more
+    alternation is a no-op, so exiting there returns the fixpoint
+    itself."""
     E = E.select("u", "v").localCheckpoint(eager=True)
     nodes = nodes.select("n").localCheckpoint(eager=True)
     n_edges = E.count()
@@ -97,22 +122,19 @@ def star_contraction_labels(
             -(-n_edges // STAR_CC_EDGES_PER_PARTITION),
         ),
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(target))
     converged = False
-    try:
-        for _ in range(max_iters):
-            E = small_star(large_star(E)).localCheckpoint(eager=True)
-            nonstar = E.join(
-                E.select(F.col("u").alias("p")).distinct(),
-                E.v == F.col("p"),
-                "leftSemi",
-            ).count()
-            if nonstar == 0:
-                converged = True
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    for _ in range(max_iters):
+        E = small_star(large_star(E, target), target).localCheckpoint(
+            eager=True
+        )
+        nonstar = E.join(
+            E.select(F.col("u").alias("p")).repartition(target, "p").distinct(),
+            E.v == F.col("p"),
+            "leftSemi",
+        )
+        if nonstar.isEmpty():
+            converged = True
+            break
     if not converged:
         raise RuntimeError(
             f"star contraction did not converge in {max_iters} rounds"

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..io import spread, table
 from ..registry import register
+from ..session import shuffle_partitions_override
 from .cc_kernel import star_contraction_labels
 
 
@@ -743,9 +744,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus: ~1 partition per 20k docs, floor 8, capped — parquet
     # metadata count, no data read
     parts = max(8, min(2048, docs.count() // 20_000))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
+    with shuffle_partitions_override(spark, str(parts)):
         grp = grp.localCheckpoint(eager=True)  # reused: pair gen + re-expand
         shingled = _shingle_relation(grp).localCheckpoint(
             eager=True
@@ -761,8 +760,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = star_contraction_labels(
             spark, edges, grp.select(F.col("doc_id").alias("n")), CC_MAX_ITERS
         ).select(F.col("n").alias("doc_id"), F.col("lbl").alias("comp"))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # re-expand: rep-level component -> every member of the content group
     has_sh = shingled.select("doc_id").distinct().withColumn(
         "has_sh", F.lit(True)
@@ -800,8 +797,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    _cc_labels_cache[memo_key] = out
-    return out
+    from ..io import memo_put
+
+    return memo_put(_cc_labels_cache, memo_key, out)
 
 
 # Edit-distance blocking: candidates share (lang, n_chars DIV 25) — a

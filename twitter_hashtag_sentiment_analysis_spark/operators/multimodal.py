@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import table
+from ..io import spread, table
 from ..registry import register
 
 N_HIST_BINS = 16
@@ -375,80 +375,226 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     All JVM/SQL expressions (hex parse -> int array -> bit pack), the
     same linear band-cap-verify contract as MinHash: candidate pairs
     are bounded by CAP x band rows, never all-pairs.  Fully
-    SQL-expressible => exact oracle."""
-    d = table(spark, sf_dir, "documents").filter(F.col("text") != "")
-    blob = F.encode(F.col("text"), "utf-8")
-    hexs = F.hex(blob)
-    n = F.length(blob).cast("long")
-    # parse ONLY the 32 sampled bytes (not the whole blob) and hash
-    # against the SAMPLE mean: O(bits) per doc instead of O(bytes),
-    # measured ~5x cheaper at sf0.1 with identical pipeline shape
-    pos = lambda j: F.least(  # noqa: E731
-        n, F.floor(F.lit(j + 0.5) * n / MM_PHASH_BITS).cast("long") + 1
+    SQL-expressible => exact oracle.
+
+    EXACT-DUPLICATE PRE-COLLAPSE (the r10 dedup/similarity discipline,
+    ported here after the x25 stress showed this key at 5.2x wall for
+    25x data): byte-identical blobs hash to identical ph and identical
+    band values, so replication inflates every bucket's occupancy by
+    the copy factor and the below-cap pair budget quadratically.  All
+    hashing, banding, and Hamming verification therefore run on ONE
+    representative per distinct blob (sha2 of the bytes); copy-level
+    pairs are reconstructed exactly afterwards.  Equivalence with the
+    copy-level plan, piece by piece:
+      (a) bucket keep/drop uses the COPY count (sum of group
+          multiplicities per bucket) — identical to the uncollapsed
+          [2, CAP] filter;
+      (b) two docs are candidates iff their GROUPS share a kept bucket
+          (band values are a function of the blob), and Hamming is a
+          function of (ph_a, ph_b) — group-level;
+      (c) co-copies share every band, so they are candidates iff ANY
+          of their group's buckets is kept, and always verify
+          (Hamming 0);
+      (d) a group with more copies than CAP overflows every bucket it
+          touches on its own, so any group whose ids the expansion
+          reads has <= CAP members — the per-group id list is
+          CAP-bounded by construction (viral duplicates self-exclude),
+          never a corpus-sized collect_list.
+    Dup-free corpora (the sf fixtures) skip the bookkeeping entirely —
+    one cheap count pair, then the direct chain; the duplicated regime
+    is pinned by a planted copy-level-reference test.
+
+    spread(): the per-blob hash projection (hex parse + 32 convs +
+    sha2) is the CPU hot spot and a small fixture file scans as ONE
+    split — re-split so the projection uses every core (no-op at real
+    scale where the input has thousands of row groups)."""
+    d = spread(
+        table(spark, sf_dir, "documents").filter(F.col("text") != "")
     )
-    ss = F.array(
-        *[
-            F.conv(
-                F.substring(hexs, (2 * pos(j) - 1).cast("int"), 2), 16, 10
-            ).cast("long")
-            for j in range(MM_PHASH_BITS)
-        ]
-    )
-    parsed = d.select("doc_id", ss.alias("ss"))
-    mean = (
-        F.aggregate("ss", F.lit(0).cast("long"), lambda a, v: a + v)
-        / MM_PHASH_BITS
-    )
-    bit = lambda j: F.when(  # noqa: E731
-        F.element_at("ss", j + 1) > mean, F.lit(1 << j).cast("long")
-    ).otherwise(F.lit(0).cast("long"))
-    hash_expr = bit(0)
-    for j in range(1, MM_PHASH_BITS):
-        hash_expr = hash_expr + bit(j)
-    hashed = parsed.select("doc_id", hash_expr.alias("ph"))
-    bands = hashed.select(
-        "doc_id",
-        "ph",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright("ph", 8 * b)
-                        .bitwiseAND(F.lit(255))
-                        .alias("band_val"),
-                    )
-                    for b in range(MM_PHASH_BANDS)
-                ]
+
+    def with_ph(rel: DataFrame, keep: list[str]) -> DataFrame:
+        """Append the 32-bit blockhash `ph` computed from `text`.
+
+        Both loops are HIGHER-ORDER functions over sequence(0, 31) —
+        one conv/one when in the generated code, looped at runtime —
+        not 32 inlined copies: the unrolled form compiled a
+        multi-thousand-node janino class PER PLAN SHAPE, measured as
+        ~4 s of first-run JIT for every plan that referenced ph."""
+        blob = F.encode(F.col("text"), "utf-8")
+        hexs = F.hex(blob)
+        n = F.length(blob).cast("long")
+        # parse ONLY the 32 sampled bytes (not the whole blob) and hash
+        # against the SAMPLE mean: O(bits) per doc instead of O(bytes),
+        # measured ~5x cheaper at sf0.1 with identical pipeline shape
+        pos = lambda j: F.least(  # noqa: E731
+            n,
+            F.floor((j + F.lit(0.5)) * n / MM_PHASH_BITS).cast("long") + 1,
+        )
+        ss = F.transform(
+            F.sequence(F.lit(0), F.lit(MM_PHASH_BITS - 1)),
+            lambda j: F.conv(
+                hexs.substr((2 * pos(j) - 1).cast("int"), F.lit(2)), 16, 10
+            ).cast("long"),
+        )
+        # staged projections so each building block is computed ONCE
+        # per row (ss -> mu -> bit pack)
+        parsed = rel.select(*keep, ss.alias("ss"))
+        mu = (
+            F.aggregate("ss", F.lit(0).cast("long"), lambda a, v: a + v)
+            / MM_PHASH_BITS
+        )
+        staged = parsed.select(*keep, "ss", mu.alias("mu"))
+        hash_expr = F.aggregate(
+            F.sequence(F.lit(0), F.lit(MM_PHASH_BITS - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                F.element_at("ss", (j + 1).cast("int")) > F.col("mu"),
+                # 2^j as a double is exact through j = 31 (< 2^53)
+                F.pow(F.lit(2.0), j.cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return staged.select(*keep, hash_expr.alias("ph"))
+
+    def band_explode(rel: DataFrame, keep: list[str]) -> DataFrame:
+        return rel.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.shiftright("ph", 8 * b)
+                            .bitwiseAND(F.lit(255))
+                            .alias("band_val"),
+                        )
+                        for b in range(MM_PHASH_BANDS)
+                    ]
+                )
+            ).alias("bd"),
+        ).select(*keep, "bd.band_idx", "bd.band_val")
+
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    n_docs, n_distinct = d.agg(
+        F.count("*"), F.count_distinct(F.sha2("text", 256))
+    ).first()
+    if n_docs == n_distinct:
+        # duplicate-free corpus: the collapse is the identity — run the
+        # direct copy-level chain with none of the bookkeeping
+        hashed = with_ph(d, ["doc_id"])
+        bands = band_explode(hashed, ["doc_id", "ph"])
+        wb = Window.partitionBy("band_idx", "band_val")
+        eligible = (
+            bands.withColumn("bn", F.count("*").over(wb))
+            .filter(
+                (F.col("bn") >= 2) & (F.col("bn") <= MM_PHASH_BUCKET_CAP)
             )
-        ).alias("bd"),
-    ).select("doc_id", "ph", "bd.band_idx", "bd.band_val")
+            .drop("bn")
+        )
+        a, b = eligible.alias("a"), eligible.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("a.ph").alias("ph_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("b.ph").alias("ph_b"),
+            )
+            .distinct()
+        )
+        return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+            F.col("hamming") <= MM_PHASH_HAM_MAX
+        )
+
+    # --- collapsed path: one representative per distinct blob, keyed
+    # by gid = min member doc_id (a LONG — the sha identifies the
+    # group only during collapse, never rides a hot shuffle).  ph is
+    # computed at COPY level (pure projection in the scan stage, no
+    # shuffle) so the one corpus-wide shuffle — the group window —
+    # carries (doc_id, gh, ph), never text bytes.  The id list is
+    # truncated at CAP + 1 members purely as a memory bound — by (d)
+    # above any group the expansion actually reads has <= CAP members,
+    # so the truncation is never observable.
+    hcopy = with_ph(
+        d.select("doc_id", "text", F.sha2("text", 256).alias("gh")),
+        ["doc_id", "gh"],
+    )
+    wg = Window.partitionBy("gh").orderBy("doc_id")
+    wga = Window.partitionBy("gh")
+    grp = (
+        hcopy.withColumn("rn", F.row_number().over(wg))
+        .withColumn("m", F.count("*").over(wga))
+        .filter(F.col("rn") <= MM_PHASH_BUCKET_CAP + 1)
+        .groupBy("gh")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.first("ph").alias("ph"),
+            F.first("m").cast("long").alias("m"),
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        )
+        .drop("gh")
+        .localCheckpoint(eager=True)
+    )
+    idmap = grp.select("gid", "ids")
+    bands = band_explode(grp, ["gid", "ph", "m"])  # slim: longs only
     wb = Window.partitionBy("band_idx", "band_val")
     eligible = (
-        bands.withColumn("bn", F.count("*").over(wb))
+        bands.withColumn("bn", F.sum("m").over(wb))  # COPY count
         .filter((F.col("bn") >= 2) & (F.col("bn") <= MM_PHASH_BUCKET_CAP))
         .drop("bn")
     )
+    # intra-group pairs: a group in >= 1 kept bucket with >= 2 copies —
+    # all C(m, 2) copy pairs verify at Hamming 0
+    intra = (
+        eligible.filter(F.col("m") >= 2)
+        .select("gid")
+        .distinct()
+        .join(idmap, "gid")
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("long").alias("hamming"))
+    )
+    # cross-group pairs: distinct group pairs sharing a kept bucket,
+    # Hamming-verified once per group pair; id lists join in only
+    # AFTER the Hamming filter (the surviving pair set is the small
+    # relation), then expand to every (i in A, j in B) copy pair
+    # oriented (min, max)
     a, b = eligible.alias("a"), eligible.alias("b")
-    cand = (
+    gpairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.gid").alias("gid_a"),
             F.col("a.ph").alias("ph_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.gid").alias("gid_b"),
             F.col("b.ph").alias("ph_b"),
         )
-        .distinct()
+        .dropDuplicates(["gid_a", "gid_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= MM_PHASH_HAM_MAX)
     )
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
-    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
-        F.col("hamming") <= MM_PHASH_HAM_MAX
+    cross = (
+        gpairs.join(idmap.select(F.col("gid").alias("gid_a"), F.col("ids").alias("ids_a")), "gid_a")
+        .join(idmap.select(F.col("gid").alias("gid_b"), F.col("ids").alias("ids_b")), "gid_b")
+        .select("hamming", F.explode("ids_a").alias("i"), "ids_b")
+        .select("hamming", "i", F.explode("ids_b").alias("j"))
+        .select(
+            F.least("i", "j").alias("doc_a"),
+            F.greatest("i", "j").alias("doc_b"),
+            "hamming",
+        )
     )
+    return intra.unionAll(cross).select("doc_a", "doc_b", "hamming")
 
 
 #: Shot-boundary rule: consecutive frames whose 16-bin byte-histogram

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..io import spread, table
 from ..registry import register
+from ..session import shuffle_partitions_override
 from .cc_kernel import STAR_CC_MAX_ITERS, star_contraction_labels
 
 DIM = 64  # FIXTURES.md: 64-dimensional embeddings
@@ -1765,9 +1766,7 @@ def _knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         1, n_distinct // (1 << NEARDUP_BAND_BITS)
     )
     parts = max(8, min(2048, est_pairs // 500_000))
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
+    with shuffle_partitions_override(spark, str(parts)):
         if n_distinct == n_copies:
             # duplicate-free corpus (the sf fixtures): the collapse is
             # the identity and the expansion a no-op — run the direct
@@ -1810,10 +1809,9 @@ def _knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
             edges = _knn_mutual_edges_build(spark, ec, grp)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    _knn_mutual_cache[key] = edges
-    return edges
+    from ..io import memo_put
+
+    return memo_put(_knn_mutual_cache, key, edges)
 
 
 def _mutual(topk: DataFrame) -> DataFrame:

@@ -10,8 +10,10 @@ DuckDB oracle regardless of host timezone.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -34,6 +36,38 @@ _RUNTIME_CONF = {
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+_shuffle_override_lock = threading.RLock()
+
+
+@contextlib.contextmanager
+def shuffle_partitions_override(spark: SparkSession, n: int):
+    """Temporarily set the session-global ``spark.sql.shuffle.partitions``.
+
+    ``spark.sql.shuffle.partitions`` has no per-plan override for window
+    functions and streaming state-store sizing (a ``repartition(n)`` is
+    ignored by the state-store operator), so the streaming drains and a
+    few window-heavy operators size it session-wide for the duration of
+    one materialized execution. That mutation is inherently visible to
+    any OTHER query running concurrently in the same SparkSession — the
+    helper serializes all users behind one process-wide RLock so
+    overlapping save/restore pairs can never clobber the saved value
+    (r10 advisor finding), and documents the remaining contract: code
+    inside the block must fully materialize its result (count/collect/
+    localCheckpoint/stream drain) before exiting, and independent
+    queries sharing the session should not run concurrently with it.
+    Relational operators should prefer true per-plan sizing
+    (``repartition(n, key)`` feeding groupBy/join — see
+    operators/cc_kernel.py) and reserve this helper for the cases Spark
+    cannot express per-plan."""
+    with _shuffle_override_lock:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def get_spark(app_name: str = "thsa-spark", shuffle_partitions: int | None = None) -> SparkSession:

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..io import table
 from ..registry import register
+from ..session import shuffle_partitions_override
 
 #: Deterministic generator constants — mirrored literally in the oracle
 #: SQL below and embedded by value into the pickled reader class.
@@ -250,9 +251,7 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.format("synthetic_tweets_stream").load()
     name = f"pystream_out_{os.getpid()}"
     ck = tempfile.mkdtemp(prefix="thsa_ck_pystream_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with shuffle_partitions_override(spark, "8"):
         q = (
             stream.writeStream.outputMode("append")
             .format("memory")
@@ -269,8 +268,6 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             time.sleep(0.1)
         q.stop()
         q.awaitTermination(30)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # the drained micro-batches are now data at rest; the aggregate is
     # a plain batch plan over them (stateful streaming aggregation is
     # covered by stream_update_mode/stream_tumbling — keeping the
@@ -464,9 +461,7 @@ def stream_python_source_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.format("synthetic_tweets_resharded").load()
     name = f"pyreshard_out_{os.getpid()}"
     ck = tempfile.mkdtemp(prefix="thsa_ck_pyreshard_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with shuffle_partitions_override(spark, "8"):
         q = (
             stream.writeStream.outputMode("append")
             .format("memory")
@@ -483,8 +478,6 @@ def stream_python_source_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
             time.sleep(0.1)
         q.stop()
         q.awaitTermination(30)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.table(name)
         .groupBy("shard_id")

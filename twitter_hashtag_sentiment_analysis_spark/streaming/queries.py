@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.sentiment import sentiment_sql_cte
 from ..io import durable_fixture_dir, table
 from ..registry import register
+from ..session import shuffle_partitions_override
 from .pipeline import transform
 
 _sink_counter = itertools.count()
@@ -45,9 +46,7 @@ def _run_to_memory(sdf, name_prefix: str, output_mode: str = "append") -> str:
     spark = sdf.sparkSession
     name = f"{name_prefix}_{os.getpid()}_{next(_sink_counter)}"
     ck = tempfile.mkdtemp(prefix=f"thsa_ck_{name_prefix}_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with shuffle_partitions_override(spark, "8"):
         q = (
             sdf.writeStream.outputMode(output_mode)
             .format("memory")
@@ -57,8 +56,6 @@ def _run_to_memory(sdf, name_prefix: str, output_mode: str = "append") -> str:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 
@@ -611,9 +608,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with shuffle_partitions_override(spark, "8"):
         q = (
             sdf.writeStream.foreachBatch(merge_batch)
             .option("checkpointLocation", ck)
@@ -621,8 +616,6 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     partials = spark.read.parquet(out_dir)
     return partials.groupBy("event_type").agg(
         F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("total_value")
@@ -976,9 +969,7 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # noop sink with a kept handle: the data plane is irrelevant here,
     # the metrics channel is the API under test
     ck = tempfile.mkdtemp(prefix="thsa_ck_obsm_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with shuffle_partitions_override(spark, "8"):
         handle = (
             observed.groupBy("event_type")
             .count()
@@ -989,8 +980,6 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         handle.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     rows = 0
     val = 0.0
     n_batches = 0
@@ -1028,9 +1017,7 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = _multibatch_stream(spark, sf_dir, "events")
     counts = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
     ck = tempfile.mkdtemp(prefix="thsa_ck_staterd_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with shuffle_partitions_override(spark, "8"):
         q = (
             counts.writeStream.outputMode("update")
             .format("noop")
@@ -1039,8 +1026,6 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     state = (
         spark.read.format("statestore").load(ck)
     )
