@@ -1519,3 +1519,43 @@ def test_phash_collapse_matches_copy_level_reference(spark, tmp_path):
     assert sum(1 for h in want.values() if h == 0) >= 9
     groups = {i: t for i, t in texts}
     assert any(groups[a] != groups[b] for a, b in want)
+
+
+def test_cc_driver_fast_path_matches_star_contraction(spark):
+    """The bounded driver union-find (|E| <= one shuffle partition) and
+    the distributed star-contraction alternation must label identically:
+    planted graph with a chain, a triangle + pendant, duplicate and
+    reversed edges, self-contained singletons in the node relation."""
+    from twitter_hashtag_sentiment_analysis_spark.operators import cc_kernel
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),          # chain -> lbl 1
+        (10, 11), (11, 12), (12, 10), (12, 13),  # triangle + pendant -> 10
+        (20, 21), (21, 20),                      # reversed duplicate -> 20
+        (30, 30),                                # self-loop -> 30
+    ]
+    node_ids = sorted({u for e in edges for u in e} | {100, 101})  # + isolated
+    E = spark.createDataFrame(edges, "u long, v long")
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "n long")
+
+    fast = {
+        (r["n"], r["lbl"])
+        for r in cc_kernel._driver_union_find_labels(spark, E, nodes).collect()
+    }
+    # force the distributed path by dropping the fast-path threshold
+    orig = cc_kernel.STAR_CC_EDGES_PER_PARTITION
+    cc_kernel.STAR_CC_EDGES_PER_PARTITION = -1  # n_edges <= -1 is never true
+    try:
+        dist = {
+            (r["n"], r["lbl"])
+            for r in cc_kernel.star_contraction_labels(spark, E, nodes).collect()
+        }
+    finally:
+        cc_kernel.STAR_CC_EDGES_PER_PARTITION = orig
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20), (30, 30), (100, 100), (101, 101),
+    }
+    assert fast == want
+    assert dist == want

@@ -85,6 +85,50 @@ def small_star(E: DataFrame, n_parts: int | None = None) -> DataFrame:
     return out.distinct()
 
 
+def _driver_union_find_labels(
+    spark: SparkSession, E: DataFrame, nodes: DataFrame
+) -> DataFrame:
+    """Label a SMALL (pre-counted <= STAR_CC_EDGES_PER_PARTITION) edge
+    relation with path-compressed union-find on the driver; lbl = MIN
+    member id, exactly the star-contraction fixpoint. Nodes touching
+    no edge label themselves via a left join against the broadcast
+    label relation (at most 2|E| rows)."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in E.collect():
+        u, v = row[0], row[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+    roots: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in roots or x < roots[r]:
+            roots[r] = x  # min member id per component
+    id_type = E.schema["u"].dataType
+    lbl_df = spark.createDataFrame(
+        [(x, roots[find(x)]) for x in parent],
+        T.StructType(
+            [T.StructField("n", id_type), T.StructField("lbl", id_type)]
+        ),
+    )
+    return nodes.join(F.broadcast(lbl_df), "n", "left").select(
+        "n", F.coalesce("lbl", F.col("n")).alias("lbl")
+    )
+
+
 def star_contraction_labels(
     spark: SparkSession,
     E: DataFrame,
@@ -115,6 +159,17 @@ def star_contraction_labels(
     E = E.select("u", "v").localCheckpoint(eager=True)
     nodes = nodes.select("n").localCheckpoint(eager=True)
     n_edges = E.count()
+    if n_edges <= STAR_CC_EDGES_PER_PARTITION:
+        # Bounded driver fast path: a graph this size would run every
+        # contraction round in ONE task anyway (the partition sizing
+        # below floors at 1), so ~6 rounds x 4 stages of scheduling
+        # constants buy nothing — same discipline as the IVF-codebook /
+        # CMS-sketch bounded collects: the edge relation is <= one
+        # shuffle partition (~4 MB of long pairs) by the SAME constant
+        # that sizes the distributed rounds, union-find labels it in
+        # O(|E| alpha) driver-side, and the label relation broadcasts
+        # back. The distributed alternation below is the 100 TB path.
+        return _driver_union_find_labels(spark, E, nodes)
     target = max(
         1,
         min(

@@ -230,7 +230,7 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         scored, has_kept = _band_pair_score(
-            grp.select("gid", "m", "embedding"), raw_col="raw"
+            grp.select("gid", "m", "embedding"), raw_col="raw", directed=False
         )
         dp = (
             scored.filter(F.col("src") < F.col("dst"))
@@ -1825,12 +1825,23 @@ def _mutual(topk: DataFrame) -> DataFrame:
     )
 
 
-def _band_pair_score(rel: DataFrame, raw_col: str | None = None):
+def _band_pair_score(
+    rel: DataFrame, raw_col: str | None = None, directed: bool = True
+):
     """Shared banding + capped-bucket candidate generation + cosine
     scoring over a (gid, m, embedding) relation; the bucket keep/drop
     filter uses the COPY count (sum of m). Returns (scored pairs,
     gids-with-a-kept-bucket); when ``raw_col`` is set the UNROUNDED
-    cosine rides along for threshold filters."""
+    cosine rides along for threshold filters.
+
+    Each UNORDERED pair is generated and cosine-scored exactly once
+    (src < dst) — cosine is bit-symmetric (per-element multiply and
+    the left-to-right sum are order-identical either way), and the
+    HOF kernel is the build's CPU hot spot, so scoring both directions
+    doubled the dominant cost for nothing. ``directed=True`` (the
+    top-k-window consumers) mirrors each scored row into both
+    directions with ONE explode — never by re-running the kernel;
+    ``directed=False`` returns the canonical half only."""
 
     def band_val(b: int) -> Column:
         bits = [
@@ -1870,7 +1881,7 @@ def _band_pair_score(rel: DataFrame, raw_col: str | None = None):
             F.explode(
                 F.expr(
                     "flatten(transform(ids, x ->"
-                    " transform(filter(ids, y -> y != x),"
+                    " transform(filter(ids, y -> y > x),"
                     " y -> struct(x AS src, y AS dst))))"
                 )
             ).alias("p")
@@ -1897,6 +1908,19 @@ def _band_pair_score(rel: DataFrame, raw_col: str | None = None):
         )
         .select(*cols)
     )
+    if directed:
+        extra = ["cos_sim"] + ([raw_col] if raw_col is not None else [])
+        scored = scored.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("p"),
+            *extra,
+        ).select("p.src", "p.dst", *extra)
     return scored, has_kept
 
 
