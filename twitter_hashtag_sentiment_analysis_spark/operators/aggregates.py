@@ -1400,19 +1400,31 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     priced = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"), cents.alias("cents")
     )
+    # ONE scan of the orders-customer join: price_tot and the segment
+    # list re-aggregate seg_cnt (exchange-reused) instead of each
+    # rescanning `priced` — the r10/r11 sweeps showed this key's
+    # in-sweep first run creeping from the three independent subtrees'
+    # codegen + scan repetition
     seg_cnt = priced.groupBy("segment", "cents").agg(
         F.count("*").cast("long").alias("c")
     )
-    price_tot = priced.groupBy("cents").agg(
-        F.count("*").cast("long").alias("tot")
+    price_tot = seg_cnt.groupBy("cents").agg(
+        F.sum("c").cast("long").alias("tot")
     )
-    segments = priced.select("segment").distinct()
+    # segment list via bounded collect (c_mktsegment is an enumerable
+    # ~5-value dimension — same discipline as the IVF codebook): an
+    # exploded literal replaces the distinct + crossJoin stage pair
+    segs = sorted(
+        r["segment"] for r in seg_cnt.select("segment").distinct().collect()
+    )
     # NOT materialized despite three consumers: a localCheckpoint here
     # measured SLOWER (2.4-2.9 s vs 1.9 s steady at sf0.1) than letting
     # the three subtrees recompute — the exchange-reuse + AQE pipeline
     # beats a storage-block round trip at this relation's size
     grid = (
-        segments.crossJoin(price_tot)
+        price_tot.withColumn(
+            "segment", F.explode(F.array(*[F.lit(s) for s in segs]))
+        )
         .join(seg_cnt, ["segment", "cents"], "left")
         .select(
             "segment",
