@@ -1559,3 +1559,116 @@ def test_cc_driver_fast_path_matches_star_contraction(spark):
     }
     assert fast == want
     assert dist == want
+
+
+def test_memo_put_keeps_only_latest_signature_per_scope(spark):
+    """io.memo_put must evict a superseded fixture signature within the
+    same (app, sf_dir) scope (r10 advisor: unbounded memo growth pinned
+    stale localCheckpoint blocks for the app lifetime) while leaving
+    other sf_dir scopes untouched."""
+    from twitter_hashtag_sentiment_analysis_spark.io import memo_put
+
+    cache = {}
+    df1 = spark.range(5).localCheckpoint(eager=True)
+    df2 = spark.range(7).localCheckpoint(eager=True)
+    df3 = spark.range(3).localCheckpoint(eager=True)
+    memo_put(cache, ("app", "dirA", "sig1"), df1)
+    memo_put(cache, ("app", "dirB", "sigX"), df3)
+    memo_put(cache, ("app", "dirA", "sig2"), df2)  # supersedes sig1
+    assert set(cache) == {("app", "dirA", "sig2"), ("app", "dirB", "sigX")}
+    assert cache[("app", "dirA", "sig2")].count() == 7
+    assert cache[("app", "dirB", "sigX")].count() == 3
+    # re-putting the same key is a no-op eviction-wise
+    memo_put(cache, ("app", "dirA", "sig2"), df2)
+    assert ("app", "dirA", "sig2") in cache
+
+
+def test_fixture_sig_dir_branch_sees_mtime(tmp_path):
+    """A fixture DIR regenerated in place with identical part names and
+    sizes must change the signature (r10 advisor: the dir branch keyed
+    on name+size only, replaying stale memoized relations)."""
+    import os
+
+    from twitter_hashtag_sentiment_analysis_spark.io import fixture_sig
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    f = d / "part-00000"
+    f.write_bytes(b"abcd")
+    s1 = fixture_sig(str(tmp_path), "documents")
+    os.utime(f, ns=(12345, 67890))  # same name, same size, new mtime
+    s2 = fixture_sig(str(tmp_path), "documents")
+    assert s1 != s2
+
+
+def test_shuffle_override_restores_nests_and_survives_errors(spark):
+    """session.shuffle_partitions_override must restore the prior value
+    on clean exit, on exception, and under same-thread nesting (the
+    RLock serializes cross-thread overlap; reentrancy keeps nesting
+    safe)."""
+    import pytest
+
+    from twitter_hashtag_sentiment_analysis_spark.session import (
+        shuffle_partitions_override,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    with shuffle_partitions_override(spark, 7):
+        assert spark.conf.get(key) == "7"
+        with shuffle_partitions_override(spark, 3):
+            assert spark.conf.get(key) == "3"
+        assert spark.conf.get(key) == "7"
+    assert spark.conf.get(key) == prev
+    with pytest.raises(ValueError):
+        with shuffle_partitions_override(spark, 5):
+            raise ValueError("boom")
+    assert spark.conf.get(key) == prev
+
+
+def test_bootstrap_ci_drops_zero_weight_replicates_like_oracle(spark, tmp_path):
+    """A 1-doc source makes ~37% of its 64 Poisson replicates draw total
+    weight 0; those must be DROPPED identically in the Spark form and
+    the DuckDB oracle (r10 advisor: 0/0 ranked a NaN into the CI), so
+    both engines emit the same rows — including a NULL ci_hi when fewer
+    than 63 replicates survive."""
+    import duckdb
+
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = [(1, "only doc of the solo source", "en", "solo", 27)]
+    rows += [
+        (i, f"doc {i} of the big source", "en", "big", 100 + i)
+        for i in range(2, 42)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    q = load_all()["stat_bootstrap_ci"]
+    got = {
+        r["source"]: (r["n_docs"], r["mean_n_chars"], r["ci_lo"], r["ci_hi"])
+        for r in q.fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        src: (n, mean, lo, hi)
+        for src, n, mean, lo, hi, _ in con.execute(q.sql).fetchall()
+    }
+    assert set(got) == {"solo", "big"}
+    for src in got:
+        assert got[src][0] == want[src][0]
+        for a, b in zip(got[src][1:], want[src][1:]):
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert abs(a - b) < 1e-12, (src, a, b)
+    # the solo source's replicate means are all 27 (single doc), so any
+    # surviving rank is 27; with ~40 survivors rank 63 must be absent
+    assert got["solo"][2] == 27.0
+    assert got["solo"][3] is None
