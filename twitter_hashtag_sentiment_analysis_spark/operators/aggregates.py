@@ -288,15 +288,15 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats",
     sql="""
         SELECT l_returnflag,
-               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-               round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_qp,
-               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_samp_qp,
-               round(stddev_samp(l_discount), 6) AS stddev_disc,
-               round(var_pop(l_discount), 6) AS var_pop_disc,
-               round(skewness(l_quantity), 4) AS skew_qty,
-               round(kurtosis(l_quantity), 4) AS kurt_qty,
-               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_qty,
-               round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_price_qty
+               round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+               round(covar_pop(l_quantity, l_extendedprice), 4) + 0.0 AS covar_pop_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS covar_samp_qp,
+               round(stddev_samp(l_discount), 6) + 0.0 AS stddev_disc,
+               round(var_pop(l_discount), 6) + 0.0 AS var_pop_disc,
+               round(skewness(l_quantity), 4) + 0.0 AS skew_qty,
+               round(kurtosis(l_quantity), 4) + 0.0 AS kurt_qty,
+               round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope_price_qty,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS icept_price_qty
         FROM lineitem
         GROUP BY l_returnflag
     """,
@@ -309,18 +309,24 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's skewness/kurtosis and DuckDB's agree on the population
     (biased) definition — verified value-identical, not assumed."""
     li = table(spark, sf_dir, "lineitem")
+    # each rounded moment gets "+ 0.0": DuckDB's scaled-double round
+    # preserves IEEE -0.0 while Spark's BigDecimal HALF_UP cannot
+    # represent it, so a tiny negative moment rounding to zero hashed
+    # differently (found by the sf0.001 sweep); -0.0 + 0.0 = +0.0 and
+    # every other double is unchanged
+    z = F.lit(0.0)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop_qp"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_samp_qp"),
-        F.round(F.stddev_samp("l_discount"), 6).alias("stddev_disc"),
-        F.round(F.var_pop("l_discount"), 6).alias("var_pop_disc"),
-        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
-        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
-        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias(
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + z).alias("corr_qty_price"),
+        (F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4) + z).alias("covar_pop_qp"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + z).alias("covar_samp_qp"),
+        (F.round(F.stddev_samp("l_discount"), 6) + z).alias("stddev_disc"),
+        (F.round(F.var_pop("l_discount"), 6) + z).alias("var_pop_disc"),
+        (F.round(F.skewness("l_quantity"), 4) + z).alias("skew_qty"),
+        (F.round(F.kurtosis("l_quantity"), 4) + z).alias("kurt_qty"),
+        (F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4) + z).alias(
             "slope_price_qty"
         ),
-        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias(
+        (F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4) + z).alias(
             "icept_price_qty"
         ),
     )
@@ -1223,13 +1229,45 @@ def stat_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORDERED_SET_SQL = """
+def _ordered_set_cont_sql(k: int) -> str:
+    """cont(k/4) as explicit order statistics + the SAME interpolation
+    op order as the Spark side (lo + frac*(hi-lo)) — round-trip-exact.
+    DuckDB's native percentile_cont computes the identical double, but
+    round()ing it diverges (DuckDB rounds the scaled double, Spark
+    HALF_UPs the decimal expansion — the sf0.001 sweep caught p50/p75
+    landing one cent apart), so the value is emitted UNROUNDED and the
+    BI spelling is replaced by its exact expansion."""
+    return f"""
+           min(CASE WHEN cw >= ({k} * (tot - 1)) // 4 + 1 THEN v END)
+           + (CAST(min(({k} * (tot - 1)) % 4) AS DOUBLE) / 4.0)
+             * (coalesce(min(CASE WHEN cw >= ({k} * (tot - 1)) // 4 + 2
+                             THEN v END),
+                         min(CASE WHEN cw >= ({k} * (tot - 1)) // 4 + 1
+                             THEN v END))
+                - min(CASE WHEN cw >= ({k} * (tot - 1)) // 4 + 1
+                      THEN v END))"""
+
+
+_ORDERED_SET_SQL = f"""
+    WITH byval AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, v,
+               sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+               sum(cnt) OVER (PARTITION BY l_returnflag) AS tot
+        FROM byval
+    )
     SELECT l_returnflag,
-           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p25_cont,
-           round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p50_cont,
-           round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p50_disc,
-           round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p75_cont
-    FROM lineitem
+           {_ordered_set_cont_sql(1)} AS p25_cont,
+           {_ordered_set_cont_sql(2)} AS p50_cont,
+           min(CASE WHEN cw * 2 >= tot THEN v END) AS p50_disc,
+           {_ordered_set_cont_sql(3)} AS p75_cont
+    FROM cum
     GROUP BY l_returnflag
 """
 
@@ -1279,13 +1317,17 @@ def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo = F.min(F.when(F.col("cw") >= floor_rank + F.lit(1), F.col("v")))
         hi = F.min(F.when(F.col("cw") >= floor_rank + F.lit(2), F.col("v")))
         frac = F.min(kn.bitwiseAND(F.lit(3))).cast("double") / F.lit(4.0)
-        return F.round(lo + frac * (F.coalesce(hi, lo) - lo), 2)
+        # UNROUNDED: both engines compute this exact double from the
+        # same two order statistics; round()ing it is the one step
+        # whose conventions diverge (found by the sf0.001 sweep —
+        # 52724.2449999... rounded to .25 by DuckDB, .24 by Spark)
+        return lo + frac * (F.coalesce(hi, lo) - lo)
 
     return cum.groupBy("l_returnflag").agg(
         cont(1).alias("p25_cont"),
         cont(2).alias("p50_cont"),
-        F.round(
-            F.min(F.when(F.col("cw") * 2 >= F.col("tot"), F.col("v"))), 2
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("tot"), F.col("v"))
         ).alias("p50_disc"),
         cont(3).alias("p75_cont"),
     )
