@@ -1163,9 +1163,10 @@ def stat_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n_name,
                CAST(n AS BIGINT) AS n_months,
-               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                   + 0.0 AS slope,
                round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-                     / n, 2) AS intercept,
+                     / n, 2) + 0.0 AS intercept,
                round(pow(n * sxy - sx * sy, 2)
                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         FROM s
@@ -1217,10 +1218,13 @@ def stat_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n_name",
         F.col("n").cast("long").alias("n_months"),
-        F.round(slope, 4).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 2).alias(
-            "intercept"
-        ),
+        # + 0.0 normalizes IEEE -0.0 (agg_stats' sf0.001 lesson): a flat
+        # series' slope can round to zero from below in one engine only
+        (F.round(slope, 4) + F.lit(0.0)).alias("slope"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 2)
+            + F.lit(0.0)
+        ).alias("intercept"),
         F.round(
             F.pow(num, 2)
             / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
@@ -1994,7 +1998,7 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
                       + 2 * pow(CAST(s1 AS DOUBLE) / n, 3))
                      / pow(CAST(s2 AS DOUBLE) / n
                            - pow(CAST(s1 AS DOUBLE) / n, 2), 1.5), 6)
-                   AS skewness,
+                   + 0.0 AS skewness,
                round((CAST(s4 AS DOUBLE) / n
                       - 4 * (CAST(s1 AS DOUBLE) / n)
                           * (CAST(s3 AS DOUBLE) / n)
@@ -2003,7 +2007,7 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - 3 * pow(CAST(s1 AS DOUBLE) / n, 4))
                      / pow(CAST(s2 AS DOUBLE) / n
                            - pow(CAST(s1 AS DOUBLE) / n, 2), 2) - 3, 6)
-                   AS excess_kurtosis
+                   + 0.0 AS excess_kurtosis
         FROM m
     """,
 )
@@ -2058,8 +2062,8 @@ def stat_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "o_orderpriority",
         "n",
-        F.round(skew, 6).alias("skewness"),
-        F.round(kurt, 6).alias("excess_kurtosis"),
+        (F.round(skew, 6) + F.lit(0.0)).alias("skewness"),
+        (F.round(kurt, 6) + F.lit(0.0)).alias("excess_kurtosis"),
     )
 
 

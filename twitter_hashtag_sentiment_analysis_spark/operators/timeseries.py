@@ -885,7 +885,7 @@ XCORR_MAX_LAG = 6
         lags AS (SELECT unnest(range(0, {XCORR_MAX_LAG + 1})) AS lag_h)
         SELECT l.lag_h,
                CAST(count(*) AS BIGINT) AS n_pairs,
-               round(corr(c.v, b.v), 4) AS xcorr
+               round(corr(c.v, b.v), 4) + 0.0 AS xcorr
         FROM lags l
         JOIN clicks c ON TRUE
         JOIN buys b ON b.bucket = c.bucket + to_hours(l.lag_h)
@@ -928,7 +928,7 @@ def ts_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("lag_h").agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.round(F.corr("cv", "bv"), 4).alias("xcorr"),
+        (F.round(F.corr("cv", "bv"), 4) + F.lit(0.0)).alias("xcorr"),
     )
 
 
