@@ -134,12 +134,30 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact hash gate. The exact side here is verification harness, not
     the production plan; at 100 TB you ship only the sketch."""
     li = table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # The sketches and the exact verification side are SEPARATE
+    # aggregates joined on the 3-row group relation: mixing two
+    # countDistinct columns into the sketch aggregate forced
+    # Catalyst's Expand rewrite (every input row replicated per
+    # distinct group), measured 2.5x slower than two explicit
+    # two-level aggs (groupBy(flag, key) -> count) whose first level
+    # partially dedups map-side
+    ap = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    ep = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .count()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_parts"))
+    )
+    eo = (
+        li.groupBy("l_returnflag", "l_orderkey")
+        .count()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_orders"))
+    )
+    agg = ap.join(ep, "l_returnflag").join(eo, "l_returnflag")
     tol = 0.15
     return agg.select(
         "l_returnflag",
