@@ -541,14 +541,25 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact side is verification harness; at 100 TB only the sketch
     ships."""
     ev = table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
-        F.countDistinct("user_id").alias("exact_users"),
+    # sketch and exact-verify sides aggregate SEPARATELY (the
+    # agg_approx_distinct discipline): mixing countDistinct into the
+    # sketch agg forced Catalyst's Expand over the event stream; the
+    # exact side is a two-level agg whose first level partially dedups
+    # (event_type, user_id) map-side, joined on the tiny type relation
+    sketches = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
     )
+    type_users = ev.select("event_type", "user_id").distinct()
+    exact = type_users.groupBy("event_type").agg(
+        F.count("*").alias("exact_users")
+    )
+    per_type = sketches.join(exact, "event_type")
     merged = (
-        per_type.agg(F.expr("hll_union_agg(sk)").alias("sk"))
+        sketches.agg(F.expr("hll_union_agg(sk)").alias("sk"))
         .crossJoin(
-            ev.agg(F.countDistinct("user_id").alias("exact_users"))
+            type_users.select("user_id")
+            .distinct()
+            .agg(F.count("*").alias("exact_users"))
         )
         .select(F.lit("__all__").alias("event_type"), "sk", "exact_users")
     )

@@ -1124,11 +1124,17 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_late"
         ),
     )
-    per_order = ol.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # two-level distinct (pair dedup with a fused any-late flag, then a
+    # plain count) instead of two countDistinct columns in one agg —
+    # the latter forced Catalyst's Expand (every joined row replicated
+    # per distinct group); max(is_late) per pair is exactly "supplier
+    # had >= 1 late line on this order"
+    per_pair = ol.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.count(F.when(F.col("late"), F.lit(1))).alias("n_late_supp"),
     )
     s = table(spark, sf_dir, "supplier")
     return (
