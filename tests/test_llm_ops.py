@@ -1672,3 +1672,165 @@ def test_bootstrap_ci_drops_zero_weight_replicates_like_oracle(spark, tmp_path):
     # surviving rank is 27; with ~40 survivors rank 63 must be absent
     assert got["solo"][2] == 27.0
     assert got["solo"][3] is None
+
+
+def test_durable_fixture_dir_rekeys_on_inplace_part_overwrite(tmp_path, monkeypatch):
+    """A multi-part fixture DIR whose part file is overwritten in place
+    (same names, same sizes, new mtime, dir mtime unchanged) must miss
+    the durable cache (r11 advisor: os.stat succeeds on directories, so
+    the per-entry branch lived in unreachable except-OSError code and
+    the dir was keyed by its inode alone)."""
+    import os
+
+    from twitter_hashtag_sentiment_analysis_spark.io import durable_fixture_dir
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path / "cache"))
+    import tempfile
+
+    tempfile.tempdir = None  # re-read TMPDIR
+    try:
+        d = tmp_path / "documents.parquet"
+        d.mkdir()
+        part = d / "part-00000"
+        part.write_bytes(b"abcd")
+        dir_stat = os.stat(d)
+
+        builds = []
+
+        def build(dest):
+            os.makedirs(dest)
+            builds.append(dest)
+
+        durable_fixture_dir(str(tmp_path), "documents", "t", build)
+        durable_fixture_dir(str(tmp_path), "documents", "t", build)
+        assert len(builds) == 1  # warm hit on unchanged fixture
+        # in-place overwrite: same entry set+sizes, pin dir mtime back
+        part.write_bytes(b"wxyz")
+        os.utime(part, ns=(111, 222))
+        os.utime(d, ns=(dir_stat.st_mtime_ns, dir_stat.st_mtime_ns))
+        durable_fixture_dir(str(tmp_path), "documents", "t", build)
+        assert len(builds) == 2  # regenerated fixture rebuilt the cache
+    finally:
+        tempfile.tempdir = None
+
+
+def test_memo_put_defers_unpersist_one_generation(spark):
+    """Superseding a memo entry must NOT immediately unpersist it: a
+    caller holding the prior generation's localCheckpoint'd handle has
+    truncated lineage and can never recompute (r11 advisor). Storage is
+    still bounded: the generation before THAT is released."""
+    from twitter_hashtag_sentiment_analysis_spark import io as thsa_io
+
+    cache = {}
+    scope = ("app", "dirMEMO")
+    thsa_io._memo_retired.pop(scope, None)
+    df1 = spark.range(5).localCheckpoint(eager=True)
+    df2 = spark.range(7).localCheckpoint(eager=True)
+    df3 = spark.range(9).localCheckpoint(eager=True)
+    thsa_io.memo_put(cache, scope + ("sig1",), df1)
+    thsa_io.memo_put(cache, scope + ("sig2",), df2)
+    # df1 superseded but RETIRED, not unpersisted: still readable
+    assert df1.count() == 5
+    assert thsa_io._memo_retired[scope] is df1
+    thsa_io.memo_put(cache, scope + ("sig3",), df3)
+    # now df2 is retired and df1's blocks are released
+    assert thsa_io._memo_retired[scope] is df2
+    assert df2.count() == 7
+    assert set(cache) == {scope + ("sig3",)}
+
+
+def test_shuffle_override_accepts_int_or_str_and_rejects_garbage(spark):
+    """Call sites pass int or str interchangeably; both must work and a
+    non-numeric string must fail at entry, not inside Catalyst (r11
+    advisor: the annotation lied and only str happened to work)."""
+    import pytest
+
+    from twitter_hashtag_sentiment_analysis_spark.session import (
+        shuffle_partitions_override,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    with shuffle_partitions_override(spark, "9"):
+        assert spark.conf.get(key) == "9"
+    with shuffle_partitions_override(spark, 6):
+        assert spark.conf.get(key) == "6"
+    assert spark.conf.get(key) == prev
+    with pytest.raises(ValueError):
+        with shuffle_partitions_override(spark, "not-a-number"):
+            pass  # pragma: no cover
+    assert spark.conf.get(key) == prev
+
+
+def test_await_drain_times_out_and_stops_hung_query(spark, tmp_path):
+    """await_drain must bound the time a drain can hold the override
+    lock: a never-terminating rate-source query raises TimeoutError and
+    is stopped (r11 advisor: unbounded awaitTermination under the
+    process-wide RLock serialized every other override user forever)."""
+    import pytest
+
+    from twitter_hashtag_sentiment_analysis_spark.session import await_drain
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    with pytest.raises(TimeoutError):
+        await_drain(q, timeout_sec=2)
+    assert not q.isActive
+
+
+def test_state_probe_attributes_events_by_runid():
+    """The stress tool's listener snapshot must include only runs
+    STARTED since begin(): a late progress event from a previous key's
+    stopped query lands after the clear and must not be attributed to
+    the current key (r11 advisor)."""
+    import importlib.util
+    import os
+    import types
+
+    spec = importlib.util.spec_from_file_location(
+        "stress_streaming_state",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "stress_streaming_state.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    probe = mod._StateProbe()
+
+    def progress_event(run_id, n_rows):
+        import json as _json
+
+        p = types.SimpleNamespace(
+            runId=run_id,
+            json=_json.dumps(
+                {
+                    "stateOperators": [
+                        {
+                            "operatorName": "dedupe",
+                            "numRowsTotal": n_rows,
+                            "memoryUsedBytes": 1,
+                        }
+                    ]
+                }
+            ),
+        )
+        return types.SimpleNamespace(progress=p)
+
+    probe.begin()
+    probe.onQueryStarted(types.SimpleNamespace(runId="run-old"))
+    probe.onQueryProgress(progress_event("run-old", 10))
+    probe.begin()  # next key
+    probe.onQueryStarted(types.SimpleNamespace(runId="run-new"))
+    probe.onQueryProgress(progress_event("run-old", 99))  # late straggler
+    probe.onQueryProgress(progress_event("run-new", 7))
+    snap = probe.snapshot()
+    assert [op["numRowsTotal"] for op in snap] == [7]

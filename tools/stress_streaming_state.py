@@ -30,13 +30,27 @@ from twitter_hashtag_sentiment_analysis_spark.session import get_spark
 
 
 class _StateProbe(StreamingQueryListener):
-    """Keep the latest progress per query run; state ops accumulate."""
+    """Keep the latest progress per query run; state ops accumulate.
+
+    Listener events arrive ASYNCHRONOUSLY on the listener bus, so two
+    races exist (r11 advisor finding): the final progress event of a
+    just-drained query may not have landed yet when the caller reads,
+    and a LATE event from a previous key's stopped query may land after
+    a clear() and be misattributed. Both are closed by attribution, not
+    timing alone: ``started`` records the runIds launched since the
+    last ``begin()``, ``snapshot()`` filters to exactly those, and
+    ``settle()`` polls until the event stream goes quiet."""
 
     def __init__(self):
         self.latest: dict = {}
+        self.started: set = set()
+
+    def begin(self):
+        self.latest = {}
+        self.started = set()
 
     def onQueryStarted(self, event):
-        pass
+        self.started.add(str(event.runId))
 
     def onQueryProgress(self, event):
         p = event.progress
@@ -50,6 +64,28 @@ class _StateProbe(StreamingQueryListener):
         ]
         if ops:
             self.latest[str(p.runId)] = ops
+
+    def settle(self, quiet_sec: float = 0.5, max_sec: float = 5.0) -> None:
+        """Wait until no new progress event arrives for quiet_sec."""
+        deadline = time.time() + max_sec
+        snap = {k: len(v) for k, v in self.latest.items()}
+        quiet_since = time.time()
+        while time.time() < deadline:
+            time.sleep(0.1)
+            cur = {k: len(v) for k, v in self.latest.items()}
+            if cur != snap:
+                snap = cur
+                quiet_since = time.time()
+            elif time.time() - quiet_since >= quiet_sec:
+                return
+
+    def snapshot(self) -> list:
+        return [
+            op
+            for run_id, ops in self.latest.items()
+            if run_id in self.started
+            for op in ops
+        ]
 
     def onQueryTerminated(self, event):
         pass
@@ -66,11 +102,13 @@ def main() -> None:
     spark.streams.addListener(probe)
     reg = load_all()
     for key in keys:
-        probe.latest.clear()
+        probe.begin()
         t0 = time.time()
         n = reg[key].fn(spark, sf_dir).count()
         wall = round(time.time() - t0, 3)
-        state = [op for ops in probe.latest.values() for op in ops]
+        probe.settle()
+        state = probe.snapshot()
+        state_rows = sum(op["numRowsTotal"] or 0 for op in state)
         print(
             json.dumps(
                 {
@@ -78,6 +116,15 @@ def main() -> None:
                     "sf_dir": os.path.basename(sf_dir.rstrip("/")),
                     "wall_sec": wall,
                     "rows": n,
+                    # Normalized columns (r11 verdict item 5): a 25x input
+                    # whose OUTPUT also grows 25x reads as a regression on
+                    # wall alone; rows/sec makes output-bound vs
+                    # state-bound legible at a glance.
+                    "out_rows_per_sec": round(n / wall, 1) if wall > 0 else None,
+                    "state_rows_total": state_rows,
+                    "state_rows_per_sec": (
+                        round(state_rows / wall, 1) if wall > 0 else None
+                    ),
                     "state": state,
                 }
             ),

@@ -114,27 +114,40 @@ def fixture_sig(sf_dir: str, name: str) -> str:
         return "missing"
 
 
+#: Retired memo generations awaiting unpersist, one slot per
+#: (applicationId, sf_dir) scope. Deferring by ONE generation keeps any
+#: handle a caller obtained from the immediately-prior memo hit usable
+#: across a fixture regeneration (r11 advisor finding: eager unpersist
+#: of a localCheckpoint'd DataFrame truncates lineage, so a surviving
+#: handle could never recompute); only the generation BEFORE that —
+#: which no live query can still reference by the time two
+#: regenerations have happened — has its storage blocks released.
+_memo_retired: dict[tuple, DataFrame] = {}
+
+
 def memo_put(cache: dict, key: tuple, df: DataFrame) -> DataFrame:
     """Insert a checkpointed DataFrame into a derived-relation memo,
     EVICTING any prior entry for the same (applicationId, sf_dir)
-    scope (key[:2]) and unpersisting its storage blocks.
+    scope (key[:2]) into a one-deep retirement slot whose previous
+    occupant is unpersisted.
 
     The kNN-edge / CC-label memos hold one eagerly localCheckpoint'd
     DataFrame per (app, sf_dir, fixture-signature); without eviction a
     long-lived app that regenerates fixtures in place pins every stale
     generation's executor storage blocks for the app lifetime (r10
-    advisor finding). Keeping only the LATEST signature per sf_dir
-    bounds the memo at one relation per fixture dir; the unpersist is
-    best-effort (blocking=False) because a localCheckpoint'd handle
-    someone still holds simply recomputes... nothing — it becomes
-    unusable, which is exactly why eviction only ever targets a
-    SUPERSEDED signature no live query should be reading."""
+    advisor finding). The memo itself keeps only the LATEST signature
+    per sf_dir; storage is bounded at TWO generations (live + retired),
+    and the unpersist is best-effort because the session may already be
+    stopped."""
     scope = key[:2]
     for k in [k for k in cache if k[:2] == scope and k != key]:
-        try:
-            cache.pop(k).unpersist()
-        except Exception:  # pragma: no cover - session already stopped
-            pass
+        prior = _memo_retired.get(scope)
+        if prior is not None:
+            try:
+                prior.unpersist()
+            except Exception:  # pragma: no cover - session already stopped
+                pass
+        _memo_retired[scope] = cache.pop(k)
     cache[key] = df
     return df
 
@@ -156,16 +169,17 @@ def durable_fixture_dir(sf_dir: str, src_table: str, tag: str, build) -> str:
     import shutil
     import uuid
 
-    src = os.path.join(sf_dir, f"{src_table}.parquet")
-    try:
-        st = os.stat(src)
-        sig = f"{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        names = sorted(os.listdir(src))
-        sig = ",".join(
-            f"{n}:{os.stat(os.path.join(src, n)).st_size}:"
-            f"{os.stat(os.path.join(src, n)).st_mtime_ns}"
-            for n in names
+    # Shared signature with the in-process memos: fixture_sig takes the
+    # per-entry name:size:mtime_ns branch on an explicit isdir() check —
+    # os.stat() SUCCEEDS on directories, so the old except-OSError
+    # listdir fallback here was unreachable and a multi-part fixture dir
+    # was keyed by the directory inode alone (r11 advisor finding: an
+    # in-place part overwrite with an unchanged entry set left dir mtime
+    # unchanged and reused a stale durable cache).
+    sig = fixture_sig(sf_dir, src_table)
+    if sig == "missing":
+        raise FileNotFoundError(
+            os.path.join(sf_dir, f"{src_table}.parquet")
         )
     digest = hashlib.sha256(
         f"{tag}:{os.path.abspath(sf_dir)}:{sig}".encode()

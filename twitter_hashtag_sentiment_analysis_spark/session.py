@@ -41,8 +41,30 @@ def default_parallelism() -> int:
 _shuffle_override_lock = threading.RLock()
 
 
+#: Upper bound (seconds) a single override-guarded streaming drain may
+#: hold the process-wide lock. availableNow drains at fixture scale
+#: finish in seconds; a genuinely hung query should surface as an error
+#: in ITS operator rather than silently blocking every other override
+#: user forever (r11 advisor finding).
+DRAIN_TIMEOUT_SEC = 600
+
+
+def await_drain(q, timeout_sec: int = DRAIN_TIMEOUT_SEC) -> None:
+    """Bounded awaitTermination for drains running under
+    ``shuffle_partitions_override``: raises TimeoutError (after stopping
+    the query) instead of holding the override lock indefinitely."""
+    if not q.awaitTermination(timeout_sec):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming drain exceeded {timeout_sec}s while holding the "
+                "shuffle-partitions override lock"
+            )
+
+
 @contextlib.contextmanager
-def shuffle_partitions_override(spark: SparkSession, n: int):
+def shuffle_partitions_override(spark: SparkSession, n: int | str):
     """Temporarily set the session-global ``spark.sql.shuffle.partitions``.
 
     ``spark.sql.shuffle.partitions`` has no per-plan override for window
@@ -63,7 +85,9 @@ def shuffle_partitions_override(spark: SparkSession, n: int):
     cannot express per-plan."""
     with _shuffle_override_lock:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        # int(n) first: callers pass int or str interchangeably, and a
+        # non-numeric string should fail HERE, not deep inside Catalyst.
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
         try:
             yield
         finally:

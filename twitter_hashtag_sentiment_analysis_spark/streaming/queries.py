@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.sentiment import sentiment_sql_cte
 from ..io import durable_fixture_dir, table
 from ..registry import register
-from ..session import shuffle_partitions_override
+from ..session import await_drain, shuffle_partitions_override
 from .pipeline import transform
 
 _sink_counter = itertools.count()
@@ -55,7 +55,7 @@ def _run_to_memory(sdf, name_prefix: str, output_mode: str = "append") -> str:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        await_drain(q)
     return name
 
 
@@ -615,7 +615,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        await_drain(q)
     partials = spark.read.parquet(out_dir)
     return partials.groupBy("event_type").agg(
         F.sum("n").alias("n"), F.round(F.sum("sv"), 2).alias("total_value")
@@ -979,7 +979,7 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        handle.awaitTermination()
+        await_drain(handle)
     rows = 0
     val = 0.0
     n_batches = 0
@@ -1025,7 +1025,7 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        await_drain(q)
     state = (
         spark.read.format("statestore").load(ck)
     )
