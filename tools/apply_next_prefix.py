@@ -38,7 +38,7 @@ def main() -> None:
         int(sys.argv[1]) if len(sys.argv) > 1 else infer_next_round(ROOT)
     )
     queue, n_green, latest_round = pending_queue_with_ages(ROOT)
-    prefix = build_prefix(queue, latest_round)
+    prefix = build_prefix(queue, latest_round, ROOT)
 
     reg_path = os.path.join(
         ROOT, "twitter_hashtag_sentiment_analysis_spark", "registry.py"

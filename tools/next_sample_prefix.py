@@ -91,6 +91,52 @@ def pending_queue_with_ages(root: str) -> tuple[list[str], int, dict]:
     return queue, n_green, latest_round
 
 
+def source_change_rounds(root: str) -> dict[str, int]:
+    """{repo-relative source file: newest ROUND whose work changed it},
+    from git history. Commits between ``round N: verdict...`` and
+    ``round N+1: verdict...`` markers are round-(N+1) work; work after
+    the newest marker belongs to the in-flight round. Used to rank
+    CHANGED-SINCE-ADJUDICATED keys ahead of untouched older keys in the
+    sample padding (r11 verdict item 1: 35 keys' latest driver row was
+    r4-era while their files took r8-r11 kernel refactors)."""
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "-C", root, "log", "--reverse", "--format=@@%s", "--name-only"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    cur_round = 1
+    file_round: dict[str, int] = {}
+    for line in out.splitlines():
+        if line.startswith("@@"):
+            commit_round = cur_round
+            m = re.match(r"@@round (\d+): verdict", line)
+            if m:
+                cur_round = int(m.group(1)) + 1
+        elif line.strip():
+            file_round[line.strip()] = max(
+                file_round.get(line.strip(), 0), commit_round
+            )
+    return file_round
+
+
+def key_source_files(root: str) -> dict[str, str]:
+    """{registry key: repo-relative source file of its query fn}."""
+    import inspect
+
+    reg = load_all()
+    out = {}
+    for k, q in reg.items():
+        try:
+            src = inspect.getsourcefile(inspect.unwrap(q.fn))
+            out[k] = os.path.relpath(src, root)
+        except TypeError:  # pragma: no cover - builtins
+            pass
+    return out
+
+
 def infer_next_round(root: str) -> int:
     """Next round number = newest CORRECTNESS_r*.json + 1."""
     rounds = [
@@ -100,18 +146,42 @@ def infer_next_round(root: str) -> int:
     return (max(rounds) if rounds else 0) + 1
 
 
-def build_prefix(queue: list[str], latest_round: dict | None = None) -> list[str]:
+def build_prefix(
+    queue: list[str],
+    latest_round: dict | None = None,
+    root: str | None = None,
+) -> list[str]:
     """The 50-key driver block: the pending queue, padded with
     already-green keys when fewer than 50 remain (re-adjudication is
-    harmless). Padding order is OLDEST driver row first (then registry
-    order as the tie-break) so stale greens that predate refactors are
-    re-adjudicated before fresh ones."""
+    harmless). Padding order (r11 verdict item 1):
+
+    1. CHANGED-SINCE-ADJUDICATED first — any key whose source file was
+       touched by a round AFTER its latest driver row (its green may
+       predate the code it certifies), oldest driver row first so
+       r4-era rows retire before fresher ones;
+    2. untouched keys, oldest driver row first;
+    registry order breaks ties throughout."""
     reg = load_all()
     oracle = [k for k, q in reg.items() if q.sql is not None]
     order = {k: i for i, k in enumerate(oracle)}
     done = [k for k in oracle if k not in queue]
     if latest_round:
-        done.sort(key=lambda k: (latest_round.get(k, 0), order[k]))
+        changed_after: dict[str, bool] = {}
+        if root is not None:
+            file_round = source_change_rounds(root)
+            key_file = key_source_files(root)
+            changed_after = {
+                k: file_round.get(key_file.get(k, ""), 0)
+                > latest_round.get(k, 0)
+                for k in done
+            }
+        done.sort(
+            key=lambda k: (
+                not changed_after.get(k, False),
+                latest_round.get(k, 0),
+                order[k],
+            )
+        )
     return (queue + done)[:50]
 
 
@@ -134,7 +204,7 @@ def main() -> None:
         int(sys.argv[1]) if len(sys.argv) > 1 else infer_next_round(root)
     )
     queue, n_green, latest_round = pending_queue_with_ages(root)
-    prefix = build_prefix(queue, latest_round)
+    prefix = build_prefix(queue, latest_round, root)
     print(
         f"# oracle-backed keys latest-green: {n_green}; pending (latest red or"
         f" never sampled): {len(queue)}; proposed r{next_round} prefix:"

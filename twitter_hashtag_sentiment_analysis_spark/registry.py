@@ -88,58 +88,58 @@ _loaded = False
 # Every key stays present — only ``dict`` insertion order changes, and
 # all consumers (tests, bench, entry shim) address the registry by key.
 _DRIVER_SAMPLE_PREFIX = (
-    # round-11 block (tools/sample_rotation_plan.json; regenerate with
+    # round-12 block (tools/sample_rotation_plan.json; regenerate with
     # `python tools/apply_next_prefix.py` at round start)
-    "ts_theil_sen",
-    "sim_ann_pq_adc",
-    "ml_target_encoding",
-    "agg_percentile_disc",
-    "stat_skew_kurtosis",
-    "agg_filter_clause",
-    "stat_regr_multi",
-    "agg_hll_intersection",
-    "agg_sketch_cms",
-    "stat_bootstrap_ci",
-    "sub_not_in_nulls",
-    "sub_any_all",
-    "win_rank",
-    "win_lag_lead",
-    "win_running_rows",
-    "win_range_frame",
-    "win_topk_group",
-    "sort_multikey",
-    "limit_topk",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_cond",
-    "fn_array",
-    "fn_json",
-    "flagship_sentiment_by_source",
-    "sentiment_expr",
-    "udf_sentiment",
-    "udf_pandas_scalar",
-    "udf_grouped_map",
-    "udf_grouped_agg",
-    "udtf_explode_tokens",
-    "dedup_exact",
-    "ts_resample_gapfill",
-    "scan_parquet",
-    "scan_pruned",
-    "sink_partitioned",
-    "scan_csv",
-    "scan_ndjson",
-    "scan_text_lines",
-    "scan_orc",
-    "scan_partition_pruned",
-    "scan_corrupt_permissive",
-    "project_alias",
-    "filter_eq_lang",
-    "filter_keyword_track",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_outer_left",
+    "join_outer_full",
+    "join_semi",
+    "join_anti",
+    "join_theta_range",
+    "join_asof",
+    "join_cross",
+    "join_skew_salted",
+    "join_range_binned",
+    "join_null_safe",
+    "join_bloom_runtime",
+    "join_asof_tolerance",
+    "agg_hash_groupby",
+    "agg_global",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_gsets",
+    "agg_having",
+    "agg_quantiles",
+    "agg_stats",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_argmax_mode",
+    "agg_collect_sorted",
+    "agg_count_if_bool",
+    "agg_histogram",
+    "agg_approx_top_k",
+    "sub_scalar",
+    "sub_exists_correlated",
+    "sub_in_agg",
+    "sub_lateral",
+    "ts_anomaly_zscore",
+    "event_funnel",
+    "ts_ohlc_resample",
+    "win_first_last",
+    "win_ntile_cume",
+    "win_ignore_nulls",
+    "win_time_range",
+    "set_intersect_all",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_returned_items",
+    "q_pricing_summary",
+    "q_order_priority",
+    "q_forecast_revenue",
+    "sql_api_query",
+    "sql_recursive_cte",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
