@@ -1521,6 +1521,198 @@ def test_phash_collapse_matches_copy_level_reference(spark, tmp_path):
     assert any(groups[a] != groups[b] for a, b in want)
 
 
+def test_minhash_collapse_matches_copy_level_reference(spark, tmp_path):
+    """dedup_minhash's duplicate pre-collapse path must emit exactly the
+    copy-level pair set: planted corpus with duplicated texts (incl. a
+    viral > CAP group that must self-exclude), reference = direct
+    copy-level replay (md5 Kirsch-Mitzenmacher minhash, copy-count
+    bucket cap, exact Jaccard >= 0.7)."""
+    import hashlib
+    import itertools
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_BUCKET_CAP,
+        MINHASH_N,
+        MINHASH_ROWS,
+        _MH_MOD,
+        dedup_minhash,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(20))
+    near = " ".join(f"tok{i}" for i in range(19)) + " zzz"  # jac 19/21
+    near2 = " ".join(f"tok{i}" for i in range(20)) + " yyy"  # jac 20/21
+    far = " ".join(f"other{i}" for i in range(20))
+    texts = []
+    did = 100
+    for t, copies in (
+        (base, 3),
+        (near, 1),
+        (near2, 2),
+        (far, 4),
+        ("solo token run", 1),
+        # viral: disjoint tokens, m > CAP -> overflows every bucket it
+        # touches on its own and must self-exclude
+        (" ".join(f"viral{i}" for i in range(20)), MINHASH_BUCKET_CAP + 2),
+    ):
+        for _ in range(copies):
+            texts.append((did, t))
+            did += 7
+    _write_docs(spark, tmp_path, texts)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_dist"]
+        for r in dedup_minhash(spark, str(tmp_path)).collect()
+    }
+
+    # ---- copy-level reference replay ----
+    def sig(text):
+        mins = [None] * MINHASH_N
+        for tok in set(text.split(" ")):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            hm = int(h[:15], 16) % _MH_MOD
+            hd = int(h[15:30], 16) % _MH_MOD
+            for i in range(MINHASH_N):
+                v = hm + i * hd
+                if mins[i] is None or v < mins[i]:
+                    mins[i] = v
+        return mins
+
+    sigs = {i: sig(t) for i, t in texts if t != ""}
+    toksets = {i: set(t.split(" ")) for i, t in texts if t != ""}
+    buckets: dict = {}
+    for i, s in sigs.items():
+        for b in range(MINHASH_BANDS):
+            key = "_".join(
+                str(s[b * MINHASH_ROWS + j]) for j in range(MINHASH_ROWS)
+            )
+            buckets.setdefault((b, key), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        if 2 <= len(members) <= MINHASH_BUCKET_CAP:
+            for a, b in itertools.combinations(sorted(members), 2):
+                cand.add((a, b))
+    want = {}
+    for a, b in cand:
+        inter = len(toksets[a] & toksets[b])
+        jac = inter / len(toksets[a] | toksets[b])
+        if jac >= 0.7:
+            want[(a, b)] = round(1.0 - jac, 4)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # the corpus must exercise every regime: intra-copy pairs at 0.0
+    # (3x base + 2x near2 + 4x far), at least one cross-group pair at
+    # 0 < dist <= 0.3, and the viral group contributing nothing
+    assert sum(1 for v in want.values() if v == 0.0) >= 10
+    assert any(0.0 < v <= 0.3 for v in want.values())
+    by_text = {i: t for i, t in texts}
+    viral = " ".join(f"viral{i}" for i in range(20))
+    assert not any(
+        by_text[a] == viral or by_text[b] == viral for a, b in want
+    )
+
+
+def test_ann_lsh_collapse_matches_copy_level_reference(spark, tmp_path):
+    """sim_ann_lsh's duplicate pre-collapse path must emit exactly the
+    copy-level top-5: planted corpus with duplicated vectors (incl.
+    duplicated PROBES and a probe whose own co-copies are its nearest
+    neighbors), reference = direct copy-level replay (plane signatures,
+    band collision, left-to-right double cosine, rank by cos desc /
+    vec_id asc)."""
+    import math
+
+    import numpy as np
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.similarity import (
+        DIM,
+        LSH_BANDS,
+        LSH_BAND_BITS,
+        LSH_BITS,
+        _LSH_PLANES,
+        sim_ann_lsh,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(12, DIM).astype(np.float32)
+    base[1] = base[0] + np.float32(0.01) * rng.randn(DIM).astype(np.float32)
+    rows = []
+    # probes: vec_id < 20. Probe 3 is a copy of probe 1's vector, and
+    # vec 2's vector is duplicated out in the corpus as well.
+    rows.append((1, base[0]))
+    rows.append((3, base[0]))          # duplicate probe vector
+    rows.append((2, base[1]))
+    rows.append((7, base[2]))
+    vid = 30
+    for i, v in enumerate(base):
+        copies = 7 if i == 0 else (3 if i in (1, 4) else 1)
+        for _ in range(copies):
+            rows.append((vid, v))
+            vid += 5
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        (r["probe_id"], r["rk"]): (r["vec_id"], r["cos_sim"])
+        for r in sim_ann_lsh(spark, str(tmp_path)).collect()
+    }
+
+    # ---- copy-level reference replay ----
+    def dot_ltr(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def sig(v):
+        s = 0
+        for i in range(LSH_BITS):
+            if dot_ltr(v, _LSH_PLANES[i]) >= 0:
+                s += 1 << i
+        return s
+
+    vecs = {i: v for i, v in rows}
+    sigs = {i: sig(v) for i, v in vecs.items()}
+    mask = (1 << LSH_BAND_BITS) - 1
+
+    def bands(s):
+        return {
+            (b, (s >> (LSH_BAND_BITS * b)) & mask) for b in range(LSH_BANDS)
+        }
+
+    want = {}
+    for pid in [i for i in vecs if i < 20]:
+        pb = bands(sigs[pid])
+        cand = [
+            i
+            for i in vecs
+            if i != pid and bands(sigs[i]) & pb
+        ]
+        scored = []
+        for i in cand:
+            c = dot_ltr(vecs[pid], vecs[i]) / (
+                math.sqrt(dot_ltr(vecs[pid], vecs[pid]))
+                * math.sqrt(dot_ltr(vecs[i], vecs[i]))
+            )
+            scored.append((i, round(c, 6)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rk, (i, c) in enumerate(scored[:5], 1):
+            want[(pid, rk)] = (i, c)
+    assert set(got) == set(want)
+    for k, (i, c) in want.items():
+        gi, gc = got[k]
+        assert gi == i, (k, got[k], want[k])
+        assert abs(gc - c) < 1e-9, (k, got[k], want[k])
+    # regimes actually exercised: a probe's co-copies rank at cos 1.0,
+    # and at least one group is big enough that the 6-id truncation is
+    # live (7 copies of base[0] + probes 1 and 3)
+    assert any(c == 1.0 for (_, c) in want.values())
+    n_copies_base0 = sum(1 for v in vecs.values() if np.array_equal(v, base[0]))
+    assert n_copies_base0 >= 7
+
+
 def test_cc_driver_fast_path_matches_star_contraction(spark):
     """The bounded driver union-find (|E| <= one shuffle partition) and
     the distributed star-contraction alternation must label identically:

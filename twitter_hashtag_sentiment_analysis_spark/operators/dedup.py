@@ -74,6 +74,12 @@ _MH_MOD = 1 << 40
 #: 256 buckets, so an uncapped degenerate band is quadratic.
 SIMHASH_BUCKET_CAP = 64
 
+#: Run the exact-duplicate pre-collapse only when copies inflate the
+#: corpus by >= 25% — below that the collapse's bookkeeping (slim
+#: group aggregate, id-map, representative join) costs more than the
+#: duplicate work it removes, and the direct chain is equally exact.
+_COLLAPSE_MIN_RATIO = 1.25
+
 _MINHASH_SQL = f"""
         WITH tok AS (
             SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
@@ -155,74 +161,231 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 on this operator (measured 1.8 s -> 3.6 s at sf0.1); when
     cross-engine verification isn't needed, swapping the two conv(md5)
     halves back to two xxhash64 seeds recovers it with no other plan
-    change — the hash is one narrow projection."""
+    change — the hash is one narrow projection.
+
+    EXACT-DUPLICATE PRE-COLLAPSE (the mm_phash_neardup discipline,
+    ported here after the x25 replication stress showed this key at
+    2.5x wall for 25x data): every stage — token set, signature, band
+    keys, exact Jaccard — is a pure function of `text`, so
+    byte-identical copies inflate the token explode, the signature
+    aggregate, AND every below-cap bucket's pair budget quadratically.
+    On a corpus with duplicates the whole chain therefore runs on ONE
+    representative per distinct text (group key sha2(text); gid = min
+    member doc_id), and copy-level pairs are reconstructed exactly:
+      (a) bucket keep/drop uses the COPY count sum(m) per bucket —
+          identical to the uncollapsed [2, CAP] filter, because copies
+          land in exactly the same buckets;
+      (b) two docs are candidates iff their GROUPS share a kept
+          bucket, and the Jaccard verify is a function of the two
+          token SETS — group-level;
+      (c) co-copies share every band and verify at Jaccard 1, so they
+          pair iff ANY of their group's buckets is kept and m >= 2,
+          always at distance 0.0;
+      (d) a group with m > CAP copies overflows every bucket it
+          touches on its own, so every group the id expansion reads
+          has m <= CAP — the per-group id lists are CAP-bounded by
+          construction (viral duplicates self-exclude), never a
+          corpus-sized collect_list.
+    Dup-free corpora (the sf fixtures) skip the bookkeeping entirely —
+    one cheap count pair, then the direct copy-level chain; the
+    duplicated regime is pinned by a planted copy-level-reference
+    test (tests/test_llm_ops.py)."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text").filter(
         F.col("text") != ""
     )
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
-    )
-    md5 = F.md5("token")
-    th = toks.select(
-        "doc_id",
-        "token",
-        (F.conv(F.substring(md5, 1, 15), 16, 10).cast("long") % _MH_MOD).alias("hm"),
-        (F.conv(F.substring(md5, 16, 15), 16, 10).cast("long") % _MH_MOD).alias("hd"),
-    )
-    sig = th.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("hm") + F.lit(i) * F.col("hd")).alias(f"h{i}")
-            for i in range(MINHASH_N)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.concat_ws(
-                            "_",
-                            *[F.col(f"h{b * MINHASH_ROWS + j}") for j in range(MINHASH_ROWS)],
-                        ).alias("band_key"),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
+
+    def tok_hashes(rel: DataFrame, keep: list[str]) -> DataFrame:
+        """(*keep, token, hm, hd) — one md5 per distinct token per doc."""
+        toks = rel.select(
+            *keep,
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+        md5 = F.md5("token")
+        return toks.select(
+            *keep,
+            "token",
+            (F.conv(F.substring(md5, 1, 15), 16, 10).cast("long") % _MH_MOD).alias(
+                "hm"
+            ),
+            (F.conv(F.substring(md5, 16, 15), 16, 10).cast("long") % _MH_MOD).alias(
+                "hd"
+            ),
+        )
+
+    def band_explode(sig: DataFrame, keep: list[str]) -> DataFrame:
+        """16 minima -> 4 (band_idx, band_key) rows per signature."""
+        return sig.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"h{b * MINHASH_ROWS + j}")
+                                    for j in range(MINHASH_ROWS)
+                                ],
+                            ).alias("band_key"),
+                        )
+                        for b in range(MINHASH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select(*keep, "band.band_idx", "band.band_key")
+
+    _mins = [
+        F.min(F.col("hm") + F.lit(i) * F.col("hd")).alias(f"h{i}")
+        for i in range(MINHASH_N)
+    ]
+    n_common = F.size(F.array_intersect("ts_a", "ts_b"))
+    jac = n_common / (F.size("ts_a") + F.size("ts_b") - n_common)
+
+    # Cheap dup-ratio probe: xxhash64 instead of sha2 — a collision
+    # UNDERcounts n_distinct, which only overestimates the ratio and
+    # harmlessly picks the (exact) collapsed path. Both branches are
+    # exact: the direct chain IS the copy-level semantics (its bucket
+    # counts and pair expansion see every copy); the collapse merely
+    # removes redundant work when duplication is heavy enough to pay
+    # for its bookkeeping (_COLLAPSE_MIN_RATIO).
+    n_docs, n_distinct = d.agg(
+        F.count("*"), F.count_distinct(F.xxhash64("text"))
+    ).first()
+    if n_docs < _COLLAPSE_MIN_RATIO * n_distinct:
+        # (near-)duplicate-free corpus: run the direct copy-level chain
+        # with none of the bookkeeping
+        th = tok_hashes(d, ["doc_id"])
+        sig = th.groupBy("doc_id").agg(*_mins)
+        bands = band_explode(sig, ["doc_id"])
+        bucket_sizes = bands.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("bucket_n")
+        )
+        eligible = bands.join(
+            bucket_sizes.filter(
+                (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= MINHASH_BUCKET_CAP)
+            ).select("band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        a, b = eligible.alias("a"), eligible.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_key")
-    bucket_sizes = bands.groupBy("band_idx", "band_key").agg(
-        F.count("*").alias("bucket_n")
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        tsets = th.groupBy("doc_id").agg(F.collect_set("token").alias("tokset"))
+        ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("ts_a"))
+        tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("ts_b"))
+        return (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .filter(jac >= 0.7)
+            .select("doc_a", "doc_b", F.round(1.0 - jac, 4).alias("jaccard_dist"))
+        )
+
+    # --- collapsed path: group by content hash; the only corpus-wide
+    # work is the slim (doc_id, gh) aggregate and one doc_id-hash join
+    # pulling each representative's text — tokenize/md5/signature run
+    # on n_distinct rows, not n_docs.
+    # One window pass over the slim (doc_id, gh) projection yields the
+    # group key, copy count, and the CAP-bounded sorted id list (by (d)
+    # above only m <= CAP groups are ever expanded, so the rn filter is
+    # a pure memory bound, never observable); a single localCheckpoint
+    # materializes it for its three consumers (reps join, intra, cross).
+    wg = Window.partitionBy("gh").orderBy("doc_id")
+    wga = Window.partitionBy("gh")
+    grp = (
+        d.select("doc_id", F.sha2("text", 256).alias("gh"))
+        .withColumn("rn", F.row_number().over(wg))
+        .withColumn("m", F.count("*").over(wga))
+        .filter(F.col("rn") <= MINHASH_BUCKET_CAP + 1)
+        .groupBy("gh")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.first("m").cast("long").alias("m"),
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        )
+        .drop("gh")
+        .localCheckpoint(eager=True)
     )
-    eligible = bands.join(
-        bucket_sizes.filter(
-            (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= MINHASH_BUCKET_CAP)
-        ).select("band_idx", "band_key"),
-        ["band_idx", "band_key"],
+    idmap = grp.select("gid", "ids")
+    reps = d.join(
+        grp.select(F.col("gid").alias("doc_id"), "m"), "doc_id"
+    ).select(F.col("doc_id").alias("gid"), "text", "m")
+    # one explode+aggregate over representative tokens yields the
+    # signature AND the verify token set AND the copy count per group
+    grp_sig = (
+        tok_hashes(reps, ["gid", "m"])
+        .groupBy("gid")
+        .agg(*_mins, F.collect_set("token").alias("tokset"), F.first("m").alias("m"))
+        .localCheckpoint(eager=True)
     )
+    bands = band_explode(grp_sig, ["gid", "m"])
+    wb = Window.partitionBy("band_idx", "band_key")
+    eligible = (
+        bands.withColumn("bn", F.sum("m").over(wb))  # COPY count per bucket
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= MINHASH_BUCKET_CAP))
+        .drop("bn")
+    )
+    # intra-group pairs: a group with >= 2 copies in >= 1 kept bucket —
+    # all C(m, 2) copy pairs verify at Jaccard 1 => distance 0.0
+    intra = (
+        eligible.filter(F.col("m") >= 2)
+        .select("gid")
+        .distinct()
+        .join(idmap, "gid")
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0.0).alias("jaccard_dist"))
+    )
+    # cross-group pairs: distinct group pairs sharing a kept bucket,
+    # Jaccard-verified ONCE per group pair; id lists join in only after
+    # the verify (the surviving pair set is the small relation)
     a, b = eligible.alias("a"), eligible.alias("b")
-    cand = (
+    gpairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(F.col("a.gid").alias("gid_a"), F.col("b.gid").alias("gid_b"))
+        .dropDuplicates(["gid_a", "gid_b"])
     )
-    tsets = toks.groupBy("doc_id").agg(F.collect_set("token").alias("tokset"))
-    ta = tsets.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("ts_a"))
-    tb = tsets.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("ts_b"))
-    n_common = F.size(F.array_intersect("ts_a", "ts_b"))
-    jac = n_common / (F.size("ts_a") + F.size("ts_b") - n_common)
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
+    ta = grp_sig.select(F.col("gid").alias("gid_a"), F.col("tokset").alias("ts_a"))
+    tb = grp_sig.select(F.col("gid").alias("gid_b"), F.col("tokset").alias("ts_b"))
+    verified = (
+        gpairs.join(ta, "gid_a")
+        .join(tb, "gid_b")
         .filter(jac >= 0.7)
-        .select("doc_a", "doc_b", F.round(1.0 - jac, 4).alias("jaccard_dist"))
+        .select("gid_a", "gid_b", F.round(1.0 - jac, 4).alias("jaccard_dist"))
     )
+    cross = (
+        verified.join(
+            idmap.select(F.col("gid").alias("gid_a"), F.col("ids").alias("ids_a")),
+            "gid_a",
+        )
+        .join(
+            idmap.select(F.col("gid").alias("gid_b"), F.col("ids").alias("ids_b")),
+            "gid_b",
+        )
+        .select("jaccard_dist", F.explode("ids_a").alias("i"), "ids_b")
+        .select("jaccard_dist", "i", F.explode("ids_b").alias("j"))
+        .select(
+            F.least("i", "j").alias("doc_a"),
+            F.greatest("i", "j").alias("doc_b"),
+            "jaccard_dist",
+        )
+    )
+    return intra.unionAll(cross).select("doc_a", "doc_b", "jaccard_dist")
 
 
 _SIMHASH_SQL = f"""

@@ -27,6 +27,7 @@ from ..io import spread, table
 from ..registry import register
 from ..session import shuffle_partitions_override
 from .cc_kernel import STAR_CC_MAX_ITERS, star_contraction_labels
+from .dedup import _COLLAPSE_MIN_RATIO
 
 DIM = 64  # FIXTURES.md: 64-dimensional embeddings
 
@@ -455,7 +456,32 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     this ANN op carries a full value-hash oracle since round 5 (was
     rows-only); the recall-floor property test remains the semantic
     contract. At 100 TB the bucket join touches only colliding pairs
-    instead of |probes| x |corpus|."""
+    instead of |probes| x |corpus|.
+
+    EXACT-DUPLICATE PRE-COLLAPSE (the mm_phash/dedup_minhash
+    discipline, ported after the x25 replication stress showed this
+    key at 3.2x wall for 25x data): signature, band values, and the
+    rounded cosine to any probe are pure functions of the embedding,
+    so byte-identical vectors multiply the signature projection, the
+    bucket join, the candidate distinct, and the rerank by the copy
+    factor. On a corpus with duplicates the chain runs on ONE
+    representative per distinct embedding and copy-level rows are
+    reconstructed exactly before the final top-5 window:
+      (a) a copy collides with a probe iff its GROUP does (bands are a
+          function of the vector), and its rounded cosine equals the
+          group's — so scoring once per (probe, group) is exact;
+      (b) the per-group id list is truncated to the 6 SMALLEST vec_ids:
+          group members tie on cos_sim and break ties by vec_id asc,
+          so at most 5 members of any group (6 minus a possible
+          probe-self exclusion) can appear in a probe's top-5 — the
+          7th-smallest id always has >= 5 group-mates ranked ahead;
+      (c) the probe itself is excluded AFTER expansion (vec_id !=
+          probe_id), matching the copy-level predicate — the probe's
+          co-copies remain candidates at cosine 1.0, as in the direct
+          chain.
+    Dup-free corpora (the sf fixtures) skip the bookkeeping — one
+    count pair, then the direct chain; the duplicated regime is pinned
+    by a planted copy-level-reference test (tests/test_llm_ops.py)."""
     planes = _LSH_PLANES
 
     e = table(spark, sf_dir, "embeddings")
@@ -470,46 +496,124 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return sum(bits[1:], bits[0]).cast("int")
 
-    sig = e.select("vec_id", "embedding", signature(F.col("embedding")).alias("sig"))
-    banded = sig.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright("sig", 4 * i).bitwiseAND(F.lit(0xF)).alias("band_val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select("vec_id", "embedding", "band.band_idx", "band.band_val")
+    def band_explode(rel: DataFrame, keep: list[str]) -> DataFrame:
+        return rel.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.shiftright("sig", 4 * i)
+                            .bitwiseAND(F.lit(0xF))
+                            .alias("band_val"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("band"),
+        ).select(*keep, "band.band_idx", "band.band_val")
 
-    probes = banded.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pe"),
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+
+    # Cheap dup-ratio probe: xxhash64 of the array instead of a raw
+    # array distinct (measured ~5x cheaper) — a collision UNDERcounts
+    # n_distinct, overestimating the ratio, which harmlessly picks the
+    # (exact) collapsed path. Both branches are exact; the collapse
+    # only pays off when duplication is heavy (dedup._COLLAPSE_MIN_RATIO
+    # rationale).
+    n_rows, n_distinct = e.agg(
+        F.count("*"), F.count_distinct(F.xxhash64("embedding"))
+    ).first()
+    if n_rows < _COLLAPSE_MIN_RATIO * n_distinct:
+        # (near-)duplicate-free corpus: run the direct copy-level chain
+        # with none of the bookkeeping
+        sig = e.select(
+            "vec_id", "embedding", signature(F.col("embedding")).alias("sig")
+        )
+        banded = band_explode(sig, ["vec_id", "embedding"])
+        probes = banded.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            F.col("band_idx").alias("p_band_idx"),
+            F.col("band_val").alias("p_band_val"),
+        )
+        cand = (
+            banded.join(
+                F.broadcast(probes),
+                (F.col("band_idx") == F.col("p_band_idx"))
+                & (F.col("band_val") == F.col("p_band_val"))
+                & (F.col("vec_id") != F.col("probe_id")),
+            )
+            .select("probe_id", "pe", "vec_id", "embedding")
+            .distinct()
+        )
+        scored = cand.select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+        return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+            F.col("rk") <= 5
+        )
+
+    # --- collapsed path: one representative per distinct embedding
+    # (gid = min member vec_id), ids truncated to the 6 smallest per
+    # (b) above; the signature projection, bucket join, distinct, and
+    # cosine all run at group granularity.
+    wg = Window.partitionBy("embedding").orderBy("vec_id")
+    grp = (
+        e.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= 6)
+        .groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("gid"),
+            F.sort_array(F.collect_list("vec_id")).alias("ids"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sig_g = grp.select(
+        "gid", "embedding", signature(F.col("embedding")).alias("sig")
+    )
+    banded_g = band_explode(sig_g, ["gid", "embedding"])
+    # probes stay copy-level (their ids matter) but REUSE the group
+    # signatures via an embedding-equality join — every probe's vector
+    # is some group's representative vector, and inlining signature()
+    # here again would compile a second multi-thousand-node janino
+    # class for the 16 literal-plane dots (the mm_phash JIT lesson)
+    probe_sig = (
+        e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+        .join(sig_g.select("embedding", "sig"), F.col("pe") == F.col("embedding"))
+        .select("probe_id", "pe", "sig")
+    )
+    probes = band_explode(probe_sig, ["probe_id", "pe"]).select(
+        "probe_id",
+        "pe",
         F.col("band_idx").alias("p_band_idx"),
         F.col("band_val").alias("p_band_val"),
     )
     cand = (
-        banded.join(
+        banded_g.join(
             F.broadcast(probes),
             (F.col("band_idx") == F.col("p_band_idx"))
-            & (F.col("band_val") == F.col("p_band_val"))
-            & (F.col("vec_id") != F.col("probe_id")),
+            & (F.col("band_val") == F.col("p_band_val")),
         )
-        .select("probe_id", "pe", "vec_id", "embedding")
-        .distinct()
+        .select("probe_id", "pe", "gid", "embedding")
+        .dropDuplicates(["probe_id", "gid"])
     )
     scored = cand.select(
         "probe_id",
-        "vec_id",
+        "gid",
         F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+    expanded = (
+        scored.join(grp.select("gid", "ids"), "gid")
+        .select("probe_id", "cos_sim", F.explode("ids").alias("vec_id"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "cos_sim")
+    )
+    return expanded.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= 5
     )
 
