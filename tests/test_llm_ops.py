@@ -1613,6 +1613,41 @@ def test_minhash_collapse_matches_copy_level_reference(spark, tmp_path):
     )
 
 
+def test_knn_graph_build_cold_matches_memoized(spark, tmp_path):
+    """knn_graph_build_cold must emit exactly the memoized pair's edge
+    set while neither reading nor writing the per-(session, fixture)
+    memo — it exists so BENCH_DETAIL carries the graph's real build
+    cost instead of a cache read."""
+    import numpy as np
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.similarity import (
+        _knn_mutual_cache,
+        knn_graph_build_cold,
+        sim_knn_graph_mutual,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(8, 64).astype(np.float32)
+    base[1] = base[0] + np.float32(0.01) * rng.randn(64).astype(np.float32)
+    spark.createDataFrame(
+        [(100 + 3 * i, [float(x) for x in v], 0) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    _knn_mutual_cache.clear()
+    cold = {
+        (r["src"], r["dst"]): r["cos_sim"]
+        for r in knn_graph_build_cold(spark, str(tmp_path)).collect()
+    }
+    assert not _knn_mutual_cache  # cold build never populates the memo
+    warm = {
+        (r["src"], r["dst"]): r["cos_sim"]
+        for r in sim_knn_graph_mutual(spark, str(tmp_path)).collect()
+    }
+    assert len(_knn_mutual_cache) == 1  # the memoized key DID populate it
+    assert cold == warm and cold
+
+
 def test_ann_lsh_collapse_matches_copy_level_reference(spark, tmp_path):
     """sim_ann_lsh's duplicate pre-collapse path must emit exactly the
     copy-level top-5: planted corpus with duplicated vectors (incl.
