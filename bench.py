@@ -60,6 +60,21 @@ def main() -> None:
     spark.read.format("synthetic_tweets").option("numRows", 32).option(
         "numPartitions", 1
     ).load().write.format("noop").mode("overwrite").save()
+    # ...and MLlib's class graph + native BLAS binding, which load on
+    # the JVM's first estimator fit (~2-3 s measured cold) and land on
+    # whichever ml_* key runs first — the r11->r12 drift attribution
+    # traced ml_kmeans_embeddings' 3.5->6.4 s swing to exactly this
+    # once-per-JVM cost, not to any plan change
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    KMeans(k=2, seed=1, maxIter=1).fit(
+        spark.range(8)
+        .select(F.array(F.col("id").cast("double")).alias("v"))
+        .withColumn("features", array_to_vector("v"))
+        .coalesce(1)
+    )
 
     # Isolation between queries (on by default, SPARK_GRAFT_ISOLATE=0
     # to disable): a Python gc + JVM gc + settle pause after each query

@@ -1,0 +1,69 @@
+"""Replication-stress the pairwise dedup/similarity family with output
+normalization.
+
+Usage: python tools/stress_family.py <sf_dir> <key> [key ...]
+
+bench.py's exact measurement shape — warm session, noop-sink write
+timed, gc + JVM gc + settle between keys — plus an UNTIMED count() per
+key so the artifact carries output rows beside wall. The pairwise
+family's output grows quadratically in the copy factor (C(25,2) = 300
+intra pairs per duplicated group at x25 vs 0 at sf0.1), so wall ratios
+alone read as regressions when the key is actually output-bound
+(r11 verdict item 5, extended from the streaming family to this one).
+
+Prints one JSON line per key:
+  {"key": ..., "sf_dir": ..., "wall_sec": ..., "out_rows": ...,
+   "out_rows_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+from twitter_hashtag_sentiment_analysis_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    keys = sys.argv[2:]
+    spark = get_spark("thsa-family-stress")
+    reg = load_all()
+    # bench.py's warmup shape: JVM + parquet footers + one shuffle
+    warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    warm.count()
+    warm.groupBy("l_returnflag").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for key in keys:
+        t0 = time.perf_counter()
+        df = reg[key].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 3)
+        n = reg[key].fn(spark, sf_dir).count()  # untimed re-run
+        print(
+            json.dumps(
+                {
+                    "key": key,
+                    "sf_dir": os.path.basename(sf_dir.rstrip("/")),
+                    "wall_sec": wall,
+                    "out_rows": n,
+                    "out_rows_per_sec": round(n / wall, 1) if wall > 0 else None,
+                }
+            ),
+            flush=True,
+        )
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(0.5)
+
+
+if __name__ == "__main__":
+    main()
