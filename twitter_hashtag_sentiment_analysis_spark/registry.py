@@ -90,6 +90,7 @@ _loaded = False
 _DRIVER_SAMPLE_PREFIX = (
     # round-12 block (tools/sample_rotation_plan.json; regenerate with
     # `python tools/apply_next_prefix.py` at round start)
+    "knn_graph_build_cold",
     "join_broadcast",
     "join_sortmerge",
     "join_outer_left",
@@ -139,7 +140,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "q_order_priority",
     "q_forecast_revenue",
     "sql_api_query",
-    "sql_recursive_cte",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
