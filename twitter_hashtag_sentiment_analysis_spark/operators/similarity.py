@@ -560,31 +560,41 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- collapsed path: one representative per distinct embedding
     # (gid = min member vec_id), ids truncated to the 6 smallest per
     # (b) above; the signature projection, bucket join, distinct, and
-    # cosine all run at group granularity.
-    wg = Window.partitionBy("embedding").orderBy("vec_id")
+    # cosine all run at group granularity. The group key is
+    # sha2(to_json(embedding)) — _knn_mutual_edges' discipline — NOT
+    # the raw array: windowing/grouping by the array sorts rows with
+    # interpreted 64-element comparisons (measured 5 s for 50k rows at
+    # x25), while the fixed-width string key stays in codegen.
+    ec = e.select(
+        "vec_id",
+        "embedding",
+        F.sha2(F.to_json(F.col("embedding")), 256).alias("gh"),
+    )
+    wg = Window.partitionBy("gh").orderBy("vec_id")
     grp = (
-        e.withColumn("rn", F.row_number().over(wg))
+        ec.withColumn("rn", F.row_number().over(wg))
         .filter(F.col("rn") <= 6)
-        .groupBy("embedding")
+        .groupBy("gh")
         .agg(
             F.min("vec_id").alias("gid"),
+            F.first("embedding").alias("embedding"),
             F.sort_array(F.collect_list("vec_id")).alias("ids"),
         )
         .localCheckpoint(eager=True)
     )
     sig_g = grp.select(
-        "gid", "embedding", signature(F.col("embedding")).alias("sig")
+        "gid", "gh", "embedding", signature(F.col("embedding")).alias("sig")
     )
     banded_g = band_explode(sig_g, ["gid", "embedding"])
     # probes stay copy-level (their ids matter) but REUSE the group
-    # signatures via an embedding-equality join — every probe's vector
-    # is some group's representative vector, and inlining signature()
-    # here again would compile a second multi-thousand-node janino
-    # class for the 16 literal-plane dots (the mm_phash JIT lesson)
+    # signatures via a group-key join — every probe's vector is some
+    # group's representative vector, and inlining signature() here
+    # again would compile a second multi-thousand-node janino class
+    # for the 16 literal-plane dots (the mm_phash JIT lesson)
     probe_sig = (
-        e.filter(F.col("vec_id") < 20)
-        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
-        .join(sig_g.select("embedding", "sig"), F.col("pe") == F.col("embedding"))
+        ec.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "gh")
+        .join(sig_g.select("gh", "sig"), "gh")
         .select("probe_id", "pe", "sig")
     )
     probes = band_explode(probe_sig, ["probe_id", "pe"]).select(
