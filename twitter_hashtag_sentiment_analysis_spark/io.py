@@ -9,6 +9,7 @@ executors; nothing here collects to the driver.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 
@@ -123,6 +124,31 @@ def fixture_sig(sf_dir: str, name: str) -> str:
 #: which no live query can still reference by the time two
 #: regenerations have happened — has its storage blocks released.
 _memo_retired: dict[tuple, DataFrame] = {}
+
+
+def release_retired_memos() -> int:
+    """Best-effort unpersist + drop of every retired memo generation.
+
+    The one-deep retirement slot (see ``memo_put``) intentionally holds
+    the LAST retiree until the next regeneration — which at process end
+    never comes, so without this hook the final retiree's storage
+    blocks are only reclaimed by JVM teardown.  Registered atexit (and
+    callable directly by long-lived embedders between workloads) so the
+    bound is "zero retirees after release", not "one forever".  Safe
+    against an already-stopped session; returns the number of slots
+    released for observability."""
+    n = 0
+    for scope in list(_memo_retired):
+        df = _memo_retired.pop(scope)
+        try:
+            df.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+        n += 1
+    return n
+
+
+atexit.register(release_retired_memos)
 
 
 def memo_put(cache: dict, key: tuple, df: DataFrame) -> DataFrame:

@@ -74,11 +74,16 @@ _MH_MOD = 1 << 40
 #: 256 buckets, so an uncapped degenerate band is quadratic.
 SIMHASH_BUCKET_CAP = 64
 
-#: Run the exact-duplicate pre-collapse only when copies inflate the
-#: corpus by >= 25% — below that the collapse's bookkeeping (slim
-#: group aggregate, id-map, representative join) costs more than the
-#: duplicate work it removes, and the direct chain is equally exact.
-_COLLAPSE_MIN_RATIO = 1.25
+#: PUBLIC shared threshold: run the exact-duplicate pre-collapse only
+#: when copies inflate the relation by >= 25% — below that the
+#: collapse's bookkeeping (slim group aggregate, id-map,
+#: representative join) costs more than the duplicate work it removes,
+#: and the direct chain is equally exact.  Every adaptive operator in
+#: the pairwise family (dedup_minhash here, sim_ann_lsh in
+#: operators/similarity.py, text_paragraph_dedup in
+#: operators/text_analysis.py) branches on this ONE constant so the
+#: collapse policy cannot drift per-operator.
+COLLAPSE_MIN_RATIO = 1.25
 
 _MINHASH_SQL = f"""
         WITH tok AS (
@@ -139,7 +144,7 @@ _MINHASH_SQL = f"""
 """
 
 
-@register("dedup_minhash", sql=_MINHASH_SQL)
+@register("dedup_minhash", sql=_MINHASH_SQL, eager=True)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup pairs, explicit banded implementation (replaces
     MLlib approxSimilarityJoin, which was 887 s at sf0.1 — the estimator
@@ -248,11 +253,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact: the direct chain IS the copy-level semantics (its bucket
     # counts and pair expansion see every copy); the collapse merely
     # removes redundant work when duplication is heavy enough to pay
-    # for its bookkeeping (_COLLAPSE_MIN_RATIO).
+    # for its bookkeeping (COLLAPSE_MIN_RATIO).
     n_docs, n_distinct = d.agg(
         F.count("*"), F.count_distinct(F.xxhash64("text"))
     ).first()
-    if n_docs < _COLLAPSE_MIN_RATIO * n_distinct:
+    if n_docs < COLLAPSE_MIN_RATIO * n_distinct:
         # (near-)duplicate-free corpus: run the direct copy-level chain
         # with none of the bookkeeping
         th = tok_hashes(d, ["doc_id"])
@@ -846,6 +851,7 @@ _cc_labels_cache: dict = {}
                CAST(count(*) AS BIGINT) AS component_size
         FROM reach GROUP BY src
     """,
+    eager=True,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> dedup DECISION: connected components over the
@@ -1190,6 +1196,7 @@ def dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                rn = 1 AS is_best
         FROM ranked
     """,
+    eager=True,
 )
 def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup decision a curation pipeline actually ships: one

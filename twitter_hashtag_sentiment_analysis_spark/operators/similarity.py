@@ -27,7 +27,7 @@ from ..io import spread, table
 from ..registry import register
 from ..session import shuffle_partitions_override
 from .cc_kernel import STAR_CC_MAX_ITERS, star_contraction_labels
-from .dedup import _COLLAPSE_MIN_RATIO
+from .dedup import COLLAPSE_MIN_RATIO
 
 DIM = 64  # FIXTURES.md: 64-dimensional embeddings
 
@@ -436,6 +436,7 @@ _LSH_BANDS_SQL = ", ".join(
         SELECT probe_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= 5
     """,
+    eager=True,
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: 16 seeded hyperplanes -> 16-bit
@@ -520,12 +521,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array distinct (measured ~5x cheaper) — a collision UNDERcounts
     # n_distinct, overestimating the ratio, which harmlessly picks the
     # (exact) collapsed path. Both branches are exact; the collapse
-    # only pays off when duplication is heavy (dedup._COLLAPSE_MIN_RATIO
+    # only pays off when duplication is heavy (dedup.COLLAPSE_MIN_RATIO
     # rationale).
     n_rows, n_distinct = e.agg(
         F.count("*"), F.count_distinct(F.xxhash64("embedding"))
     ).first()
-    if n_rows < _COLLAPSE_MIN_RATIO * n_distinct:
+    if n_rows < COLLAPSE_MIN_RATIO * n_distinct:
         # (near-)duplicate-free corpus: run the direct copy-level chain
         # with none of the bookkeeping
         sig = e.select(
@@ -1792,6 +1793,7 @@ _KNN_MUTUAL_CTES = f"""
         WITH {_KNN_MUTUAL_CTES}
         SELECT src, dst, cos_sim FROM mutual
     """,
+    eager=True,
 )
 def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual k-NN graph over the embedding corpus — the edge set
@@ -1940,6 +1942,7 @@ def _knn_mutual_edges_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH {_KNN_MUTUAL_CTES}
         SELECT src, dst, cos_sim FROM mutual
     """,
+    eager=True,
 )
 def knn_graph_build_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mutual-kNN graph build with the per-(session, fixture) memo
@@ -2157,6 +2160,7 @@ SEMCC_MAX_ITERS = STAR_CC_MAX_ITERS
                CAST(count(*) AS BIGINT) AS cluster_size
         FROM reach GROUP BY root
     """,
+    eager=True,
 )
 def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup decision: connected components

@@ -31,6 +31,18 @@ class Query:
     fn: QueryFn
     sql: str | None  # DuckDB oracle; None => rows-only check
     doc: str = ""
+    #: EAGER-EXECUTION CONTRACT.  ``fn`` is normally a lazy plan
+    #: builder: calling it runs no Spark job, so schema/explain-only
+    #: callers pay nothing.  A few ADAPTIVE operators break that —
+    #: they run bounded Spark jobs at plan-construction time (a
+    #: duplication-ratio probe choosing the pre-collapse branch, or an
+    #: eager localCheckpoint pinning an iterative kernel's result) —
+    #: so calling ``fn`` costs cluster work even if the returned
+    #: DataFrame is never executed.  ``eager=True`` declares that
+    #: here, at the registry level, so callers doing explain-only
+    #: work know to expect jobs (bench.py's timed region deliberately
+    #: includes the fn call for exactly this reason).
+    eager: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
@@ -168,11 +180,19 @@ def _rotated(reg: dict[str, "Query"]) -> dict[str, "Query"]:
     return {k: reg[k] for k in (*_DRIVER_SAMPLE_PREFIX, *rest)}
 
 
-def register(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, sql: str | None = None, eager: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query key {name!r}")
-        REGISTRY[name] = Query(name=name, fn=fn, sql=sql, doc=(fn.__doc__ or "").strip())
+        REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            sql=sql,
+            doc=(fn.__doc__ or "").strip(),
+            eager=eager,
+        )
         return fn
 
     return deco
