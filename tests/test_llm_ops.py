@@ -2061,3 +2061,67 @@ def test_state_probe_attributes_events_by_runid():
     probe.onQueryProgress(progress_event("run-new", 7))
     snap = probe.snapshot()
     assert [op["numRowsTotal"] for op in snap] == [7]
+
+
+def test_paragraph_dedup_collapse_matches_copy_level_reference(spark, tmp_path):
+    """text_paragraph_dedup's duplicate pre-collapse path must emit
+    exactly the copy-level rows: planted corpus with duplicated texts
+    (incl. a viral 70-copy group — the collapse has NO cap because no
+    id list is ever collected), cross-text shared boilerplate chunks,
+    a short doc and an empty doc; reference = direct copy-level replay
+    of the first-occurrence window ordered by (doc_id, chunk_idx)."""
+    import math
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.text_analysis import (
+        PARA_CHUNK_TOKENS,
+        text_paragraph_dedup,
+    )
+
+    C = PARA_CHUNK_TOKENS
+    boiler = " ".join(f"nav{i}" for i in range(C))  # shared 16-token chunk
+    body_a = " ".join(f"worda{i}" for i in range(C))
+    body_b = " ".join(f"wordb{i}" for i in range(C + 3))  # ragged tail
+    texts = []
+    did = 100
+    for t, copies in (
+        (f"{boiler} {body_a}", 3),     # dup group, rep keeps, copies zero
+        (f"{boiler} {body_b}", 2),     # distinct text sharing the boiler chunk
+        (body_a, 1),                   # whole text equals an already-seen chunk
+        ("short run", 1),              # sub-chunk doc
+        ("", 1),                       # empty -> one '' chunk
+        (" ".join(f"viral{i}" for i in range(2 * C)), 70),  # viral group
+    ):
+        for _ in range(copies):
+            texts.append((did, t))
+            did += 7
+    _write_docs(spark, tmp_path, texts)
+
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["dedup_text"])
+        for r in text_paragraph_dedup(spark, str(tmp_path)).collect()
+    }
+
+    # ---- copy-level reference replay ----
+    def chunks_of(t):
+        w = t.split(" ")
+        n = math.ceil(len(w) / C)
+        return [" ".join(w[i * C : (i + 1) * C]) for i in range(n)]
+
+    first: dict = {}  # chunk -> (doc_id, chunk_idx) global first occurrence
+    for i, t in sorted(texts):
+        for ci, c in enumerate(chunks_of(t)):
+            if c not in first:
+                first[c] = (i, ci)
+    want = {}
+    for i, t in sorted(texts):
+        ch = chunks_of(t)
+        kept = [c for ci, c in enumerate(ch) if first[c] == (i, ci)]
+        want[i] = (len(ch), len(kept), " ".join(kept))
+    assert got == want
+    # regime coverage: the duplicated groups' non-reps all zeroed, the
+    # boiler chunk kept exactly once corpus-wide, the viral group's rep
+    # keeps its 2 chunks and 69 copies keep nothing
+    reps_with_keep = [i for i, (_, k, _t) in want.items() if k > 0]
+    assert len(reps_with_keep) < len(texts) / 5
+    all_kept_text = " | ".join(t for _, _, t in want.values())
+    assert all_kept_text.count("nav0") == 1

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..io import spread, table
 from ..registry import register
+from .dedup import COLLAPSE_MIN_RATIO
 
 # tiny per-language stopword sets over the fixture vocabulary; the
 # determinism (not linguistic accuracy) is the contract
@@ -1882,6 +1883,7 @@ PARA_CHUNK_TOKENS = 16
 
 @register(
     "text_paragraph_dedup",
+    eager=True,
     sql=f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1932,43 +1934,117 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph dedup is embarrassingly shuffle-shaped, which is why
     production crawls run it at full corpus size where MinHash needs
     banding. The window's per-chunk ordering (doc_id, chunk_idx) is a
-    total order, so keeper choice is deterministic on both engines."""
+    total order, so keeper choice is deterministic on both engines.
+
+    EXACT-DUPLICATE PRE-COLLAPSE (the dedup_minhash discipline, ported
+    here after the x25 replication stress showed this key as the
+    family's worst wall ratio, 2.52x for 25x data): the chunk stream
+    is a pure function of `text`, so byte-identical copies inflate the
+    explode AND the first-occurrence window quadratically in the copy
+    factor while contributing NOTHING to the output but zeros —
+    because a non-representative copy d of text T can never keep a
+    chunk: its group's representative rep(d) = min(doc_id) carries the
+    identical chunk at the identical chunk_idx, and
+    (rep(d), idx) < (d, idx) in the window's total order. Hence on a
+    duplicated corpus the chunk window runs over ONE representative
+    per distinct text and the expansion is exact:
+      (a) the global keeper of any chunk c is always attained AT a
+          representative (any non-rep occurrence (d, i) is dominated
+          by its rep's (rep(d), i)), so the rep-only window computes
+          the same rn=1 set as the full window restricted to reps;
+      (b) a rep's output row is therefore byte-identical to its row
+          in the direct chain;
+      (c) every non-rep copy emits (n_chunks(T), 0, '') — n_chunks is
+          a pure function of T, shared via the rep.
+    No per-group id list is ever collected (membership flows through a
+    slim (doc_id, content-hash) join), so the collapse is safe at ANY
+    copy multiplicity — a viral million-copy document costs one rep
+    row plus a broadcast-joinable group relation. Dup-free corpora
+    (the sf fixtures) skip the bookkeeping after one cheap count pair;
+    the duplicated regime is pinned by a planted copy-level-reference
+    equality test (tests/test_llm_ops.py)."""
     d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     w = F.split("text", " ")
-    chunks = d.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.floor(
-                        (F.size(w) + PARA_CHUNK_TOKENS - 1)
-                        / PARA_CHUNK_TOKENS
-                    ).cast("int")
-                    - 1,
+
+    def chunk_dedup(rel: DataFrame) -> DataFrame:
+        """The direct chain: per-doc chunk explode -> first-occurrence
+        window -> reassembly. Runs over whatever (doc_id, text)
+        relation it is given — the whole corpus on the dup-free path,
+        representatives only on the collapsed path."""
+        chunks = rel.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(
+                            (F.size(w) + PARA_CHUNK_TOKENS - 1)
+                            / PARA_CHUNK_TOKENS
+                        ).cast("int")
+                        - 1,
+                    ),
+                    lambda ci: F.array_join(
+                        F.slice(
+                            w, ci * PARA_CHUNK_TOKENS + 1, PARA_CHUNK_TOKENS
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        ).select(
+            "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk"
+        )
+        win = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+        ranked = chunks.withColumn("rn", F.row_number().over(win))
+        kept_struct = F.when(
+            F.col("rn") == 1, F.struct("chunk_idx", "chunk")
+        )  # NULL (dropped by collect_list) when not kept
+        return ranked.groupBy("doc_id").agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(F.col("rn") == 1).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.chunk,
                 ),
-                lambda ci: F.array_join(
-                    F.slice(w, ci * PARA_CHUNK_TOKENS + 1, PARA_CHUNK_TOKENS),
-                    " ",
-                ),
-            )
-        ).alias("chunk_idx", "chunk"),
-    ).select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk")
-    win = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
-    ranked = chunks.withColumn("rn", F.row_number().over(win))
-    kept_struct = F.when(
-        F.col("rn") == 1, F.struct("chunk_idx", "chunk")
-    )  # NULL (dropped by collect_list) when not kept
-    return ranked.groupBy("doc_id").agg(
-        F.count("*").alias("n_chunks"),
-        F.count_if(F.col("rn") == 1).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda s: s.chunk,
-            ),
-            " ",
-        ).alias("dedup_text"),
+                " ",
+            ).alias("dedup_text"),
+        )
+
+    # Cheap dup-ratio probe (the shared COLLAPSE_MIN_RATIO contract —
+    # see operators/dedup.py): xxhash64 collisions UNDERcount
+    # n_distinct, which only overestimates the ratio and harmlessly
+    # picks the (exact) collapsed path.
+    n_docs, n_distinct = d.agg(
+        F.count("*"), F.count_distinct(F.xxhash64("text"))
+    ).first()
+    if n_docs < COLLAPSE_MIN_RATIO * n_distinct:
+        return chunk_dedup(d)
+
+    # --- collapsed path: the only corpus-wide work is the slim
+    # (doc_id, gh) projection, its group aggregate, and two hash joins
+    # expanding group results back to members — the chunk explode and
+    # window run on n_distinct rows, not n_docs.
+    slim = d.select("doc_id", F.sha2("text", 256).alias("gh"))
+    groups = slim.groupBy("gh").agg(F.min("doc_id").alias("gid"))
+    reps = d.join(
+        groups.select(F.col("gid").alias("doc_id")), "doc_id"
+    )
+    rep_out = chunk_dedup(reps).withColumnRenamed("doc_id", "gid")
+    return (
+        slim.join(groups, "gh")
+        .join(rep_out, "gid")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.when(F.col("doc_id") == F.col("gid"), F.col("n_kept"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.when(F.col("doc_id") == F.col("gid"), F.col("dedup_text"))
+            .otherwise(F.lit(""))
+            .alias("dedup_text"),
+        )
     )
 
 
