@@ -100,58 +100,63 @@ _loaded = False
 # Every key stays present — only ``dict`` insertion order changes, and
 # all consumers (tests, bench, entry shim) address the registry by key.
 _DRIVER_SAMPLE_PREFIX = (
-    # round-12 block (tools/sample_rotation_plan.json; regenerate with
+    # round-13 block (tools/sample_rotation_plan.json; regenerate with
     # `python tools/apply_next_prefix.py` at round start)
-    "knn_graph_build_cold",
-    "join_broadcast",
-    "join_sortmerge",
-    "join_outer_left",
-    "join_outer_full",
-    "join_semi",
-    "join_anti",
-    "join_theta_range",
-    "join_asof",
-    "join_cross",
-    "join_skew_salted",
-    "join_range_binned",
-    "join_null_safe",
-    "join_bloom_runtime",
-    "join_asof_tolerance",
-    "agg_hash_groupby",
-    "agg_global",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_gsets",
-    "agg_having",
-    "agg_quantiles",
-    "agg_stats",
-    "agg_pivot",
-    "agg_unpivot",
-    "agg_argmax_mode",
-    "agg_collect_sorted",
-    "agg_count_if_bool",
-    "agg_histogram",
-    "agg_approx_top_k",
-    "sub_scalar",
-    "sub_exists_correlated",
-    "sub_in_agg",
-    "sub_lateral",
-    "ts_anomaly_zscore",
-    "event_funnel",
-    "ts_ohlc_resample",
-    "win_first_last",
-    "win_ntile_cume",
-    "win_ignore_nulls",
-    "win_time_range",
-    "set_intersect_all",
-    "q_shipping_priority",
-    "q_local_supplier_volume",
-    "q_returned_items",
-    "q_pricing_summary",
-    "q_order_priority",
-    "q_forecast_revenue",
-    "sql_api_query",
+    "sql_recursive_cte",
+    "cache_reuse",
+    "obs_metrics",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_promo_revenue",
+    "q_big_orders",
+    "q_discounted_revenue",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_levenshtein",
+    "sample_hash_split",
+    "sample_quota_per_source",
+    "sample_mixture_weighted",
+    "pack_sequences",
+    "corpus_curation_pipeline",
+    "sample_stratified",
+    "sample_fixed_k",
+    "sample_temperature",
+    "sim_cosine_topk",
+    "sim_cosine_neardup",
+    "embed_normalize_quantize",
+    "embed_centroid_stats",
+    "text_langid",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "text_tfidf",
+    "text_ngrams",
+    "text_pii_redact",
+    "text_normalize",
+    "text_perplexity_proxy",
+    "text_decontaminate",
+    "text_repetition_filter",
+    "mm_blob_meta",
+    "ts_sessionize",
+    "ts_interpolate_linear",
+    "event_retention_cohort",
+    "event_attribution",
+    "ts_ewma",
+    "event_streaks",
+    "event_markov",
+    "q_customer_distribution",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_waiting_suppliers",
+    "q_dormant_customers",
+    "q_min_cost_supplier",
+    "q_product_type_profit",
+    # hand-swap for the r6-era q_important_stock: the r4-era
+    # filter_range_in_null is the single oldest driver row in the
+    # ledger (r12 verdict item 2) but its file is untouched, so the
+    # changed-first padding order left it one slot short — retiring it
+    # here empties the <=r5 population in one round
+    "filter_range_in_null",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
