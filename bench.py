@@ -42,6 +42,17 @@ from twitter_hashtag_sentiment_analysis_spark.registry import load_all
 from twitter_hashtag_sentiment_analysis_spark.session import get_spark
 
 
+def needs_retry(runs: list[float], ref: float | None, budget: int) -> bool:
+    """Jitter-guard retry decision, factored for testability: retry
+    while the BEST run so far still exceeds 1.4x the pinned reference
+    by more than 0.2 s absolute and budget remains. Both thresholds
+    together: the ratio alone would retry 10 ms keys on noise, the
+    absolute alone would ignore a 2x regression on a 0.3 s key."""
+    if ref is None or budget <= 0:
+        return False
+    return min(runs) > 1.4 * ref and min(runs) - ref > 0.2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only = sys.argv[1:]
@@ -171,12 +182,9 @@ def main() -> None:
         runs = [run_once(name)]
         settle()
         ref = reference.get(name)
-        if ref is not None and name not in memo_backed:
-            while (
-                len(runs) <= max_retries
-                and retry_budget > 0
-                and min(runs) > 1.4 * ref
-                and min(runs) - ref > 0.2
+        if name not in memo_backed:
+            while len(runs) <= max_retries and needs_retry(
+                runs, ref, retry_budget
             ):
                 retry_budget -= 1
                 runs.append(run_once(name))

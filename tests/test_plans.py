@@ -974,3 +974,28 @@ def test_cohort_ltv_broadcasts_sizes_and_windows_small_relation(spark, sf_dir):
     not over the raw event log."""
     plan = plan_of(spark, sf_dir, "event_cohort_ltv_curve")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bench_jitter_guard_retry_decision():
+    """bench.needs_retry: fire only when the best run exceeds BOTH the
+    1.4x ratio and the +0.2 s absolute threshold vs the pinned
+    reference, never without a reference, never with a spent budget
+    (r12 verdict item 6: single-sample driver rows swung untouched
+    keys 3.5x on machine-day jitter)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "thsa_bench",
+        os.path.join(os.path.dirname(__file__), os.pardir, "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench.needs_retry([2.5], 0.7, 60)            # the r12 agg_cube shape
+    assert not bench.needs_retry([2.5, 0.72], 0.7, 60)  # best run recovered
+    assert not bench.needs_retry([0.9], 0.7, 60)        # within 1.4x
+    assert not bench.needs_retry([0.05], 0.01, 60)      # ratio yes, absolute no
+    assert not bench.needs_retry([2.5], None, 60)       # no pinned reference
+    assert not bench.needs_retry([2.5], 0.7, 0)         # budget spent
+    assert bench.needs_retry([1.0], 0.7, 1)             # 1.43x and +0.3 s
