@@ -64,7 +64,9 @@ def main() -> None:
         "method": (
             "family: tools/stress_family.py — bench.py's measurement shape "
             "(warm session, noop-sink write timed, gc+settle between keys) "
-            "plus an untimed count() so out_rows / rows/sec sit beside wall "
+            "with out_rows OBSERVED ON THE TIMED RUN via df.observe "
+            "(r12 advisor: the earlier untimed-replay count mixed two "
+            "executions for the adaptive operators) "
             "(pairwise output grows ~quadratically in the copy factor: "
             "C(25,2)=300 intra pairs per duplicated group at x25 vs 0 at "
             "sf0.1); x5/x25 = FK-consistent replication of sf0.1 "

@@ -253,9 +253,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact: the direct chain IS the copy-level semantics (its bucket
     # counts and pair expansion see every copy); the collapse merely
     # removes redundant work when duplication is heavy enough to pay
-    # for its bookkeeping (COLLAPSE_MIN_RATIO).
+    # for its bookkeeping (COLLAPSE_MIN_RATIO). At warehouse scale the
+    # probe's answer is usually already IN the catalog — a deployment
+    # with ANALYZE'd tables (or a lakehouse NDV sketch on a content
+    # digest column) should branch on those statistics instead of
+    # paying this one extra scan; the probe is the fixture-friendly
+    # fallback, and the wrong branch is never wrong, only slower.
+    # Single-pass HLL instead of exact distinct: the branch decision
+    # tolerates the ~2% sketch error in either direction (both branches
+    # are exact; a misestimate only trades a little speed), and the
+    # sketch drops the probe's distinct-exchange — one scan, tiny state.
     n_docs, n_distinct = d.agg(
-        F.count("*"), F.count_distinct(F.xxhash64("text"))
+        F.count("*"), F.approx_count_distinct(F.xxhash64("text"))
     ).first()
     if n_docs < COLLAPSE_MIN_RATIO * n_distinct:
         # (near-)duplicate-free corpus: run the direct copy-level chain

@@ -523,8 +523,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (exact) collapsed path. Both branches are exact; the collapse
     # only pays off when duplication is heavy (dedup.COLLAPSE_MIN_RATIO
     # rationale).
+    # ...and single-pass HLL for the same reason as dedup_minhash's
+    # probe: the sketch error only ever flips WHICH exact branch runs.
     n_rows, n_distinct = e.agg(
-        F.count("*"), F.count_distinct(F.xxhash64("embedding"))
+        F.count("*"), F.approx_count_distinct(F.xxhash64("embedding"))
     ).first()
     if n_rows < COLLAPSE_MIN_RATIO * n_distinct:
         # (near-)duplicate-free corpus: run the direct copy-level chain
