@@ -147,13 +147,10 @@ def main() -> None:
     retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "60"))
     # In-process-memo-backed keys: a re-run reads the memo the first
     # run built (sim_knn_graph_mutual's disclosed 0.04 s cache read),
-    # so MIN-of-runs would score a cache hit. First run stands.
-    memo_backed = {
-        "dedup_connected_components",
-        "dedup_cluster_keep_best",
-        "dedup_semantic_cc",
-        "sim_knn_graph_mutual",
-    }
+    # so MIN-of-runs would score a cache hit. First run stands. The
+    # set is declared by the operators themselves (registry
+    # memo_backed contract), not duplicated here.
+    memo_backed = {k for k, q in reg.items() if q.memo_backed}
 
     def settle() -> None:
         # drop cached relations a query may have left behind (e.g.

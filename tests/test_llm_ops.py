@@ -2170,3 +2170,13 @@ def test_registry_declares_eager_execution_contract():
         "sim_knn_graph_mutual",
         "knn_graph_build_cold",
     }
+    # ...and the memo-backed subset (re-run = cache read, so bench's
+    # jitter guard must not MIN-score them) is declared the same way
+    memo_keys = {k for k, q in reg.items() if q.memo_backed}
+    assert memo_keys == {
+        "dedup_connected_components",
+        "dedup_cluster_keep_best",
+        "dedup_semantic_cc",
+        "sim_knn_graph_mutual",
+    }
+    assert memo_keys < eager_keys  # memoized implies eager checkpoint

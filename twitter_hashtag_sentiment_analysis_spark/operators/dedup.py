@@ -861,6 +861,7 @@ _cc_labels_cache: dict = {}
         FROM reach GROUP BY src
     """,
     eager=True,
+    memo_backed=True,
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> dedup DECISION: connected components over the
@@ -1206,6 +1207,7 @@ def dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
     """,
     eager=True,
+    memo_backed=True,
 )
 def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup decision a curation pipeline actually ships: one

@@ -1796,6 +1796,7 @@ _KNN_MUTUAL_CTES = f"""
         SELECT src, dst, cos_sim FROM mutual
     """,
     eager=True,
+    memo_backed=True,
 )
 def sim_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual k-NN graph over the embedding corpus — the edge set
@@ -2163,6 +2164,7 @@ SEMCC_MAX_ITERS = STAR_CC_MAX_ITERS
         FROM reach GROUP BY root
     """,
     eager=True,
+    memo_backed=True,
 )
 def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup decision: connected components
