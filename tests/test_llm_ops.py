@@ -2180,3 +2180,28 @@ def test_registry_declares_eager_execution_contract():
         "sim_knn_graph_mutual",
     }
     assert memo_keys < eager_keys  # memoized implies eager checkpoint
+
+
+def test_multiprobe_lsh_recall_monotone_over_single_probe(spark, sf_dir):
+    """Multi-probe LSH's candidate set is a strict superset of plain
+    banding (mask 0 is one of the probe masks), so its recall against
+    the exact top-5 must be >= sim_ann_lsh's — and the extra
+    Hamming-1 probes must actually reach vectors plain banding missed
+    on at least one probe (else the masks are dead code)."""
+    reg = load_all()
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in reg["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    single = {
+        (r["probe_id"], r["vec_id"])
+        for r in reg["sim_ann_lsh"].fn(spark, sf_dir).collect()
+    }
+    multi = {
+        (r["probe_id"], r["vec_id"])
+        for r in reg["sim_ann_lsh_multiprobe"].fn(spark, sf_dir).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert multi - single, "multi-probe found nothing beyond plain banding"

@@ -109,7 +109,10 @@ _loaded = False
 # all consumers (tests, bench, entry shim) address the registry by key.
 _DRIVER_SAMPLE_PREFIX = (
     # round-13 block (tools/sample_rotation_plan.json; regenerate with
-    # `python tools/apply_next_prefix.py` at round start)
+    # `python tools/apply_next_prefix.py` at round start).
+    # sim_ann_lsh_multiprobe is the round's ONE new key — the only
+    # never-adjudicated key leads the sample, as every round since r11
+    "sim_ann_lsh_multiprobe",
     "sql_recursive_cte",
     "cache_reuse",
     "obs_metrics",
@@ -155,10 +158,8 @@ _DRIVER_SAMPLE_PREFIX = (
     "q_customer_distribution",
     "q_top_supplier",
     "q_small_qty_revenue",
-    "q_waiting_suppliers",
-    # hand-swaps over the generated padding tail (three r6-era
-    # stale-greens pushed to next round): the three kernels r13
-    # actually CHANGED — the pre-collapse port + single-pass HLL
+    # hand-swaps over the generated padding tail (r6-era stale-greens
+    # pushed to next round): the three kernels r13 actually CHANGED — the pre-collapse port + single-pass HLL
     # probes — must be driver-adjudicated the round they changed,
     # ahead of untouched stale rows (r11/r12 rotation discipline)
     "dedup_minhash",
