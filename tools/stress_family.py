@@ -48,13 +48,15 @@ def main() -> None:
     warm.groupBy("l_returnflag").count().write.format("noop").mode(
         "overwrite"
     ).save()
-    for key in keys:
+    for i, key in enumerate(keys):
         t0 = time.perf_counter()
         df = reg[key].fn(spark, sf_dir)
         # observe() piggybacks a count(*) on the SAME noop-sink action,
         # so out_rows is the timed run's own cardinality — no replay,
         # and the observation adds one scalar accumulator, not a job.
-        obs = Observation(f"stress:{key}")
+        # The position suffix keeps names unique when the CLI is given
+        # the same key twice (Observation names are session-unique).
+        obs = Observation(f"stress:{key}:{i}")
         df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
             "noop"
         ).mode("overwrite").save()
