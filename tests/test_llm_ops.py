@@ -2205,3 +2205,35 @@ def test_multiprobe_lsh_recall_monotone_over_single_probe(spark, sf_dir):
     r_multi = len(exact & multi) / len(exact)
     assert r_multi >= r_single, (r_multi, r_single)
     assert multi - single, "multi-probe found nothing beyond plain banding"
+
+
+def test_jl_projection_distance_preservation(spark, sf_dir):
+    """JL contract: 64->16-dim seeded Gaussian projection preserves
+    norms in expectation — per-row norm_ratio concentrates around 1.0
+    (loose eps band; a systematic shift means the 1/sqrt(K) scale or
+    the literal matrix is wrong), and the projected PAIRWISE distance
+    of the first two vectors sits within the same band of the original
+    distance (linearity: proj(a)-proj(b) = proj(a-b))."""
+    import math
+
+    reg = load_all()
+    rows = reg["embed_jl_projection"].fn(spark, sf_dir).collect()
+    ratios = [r["norm_ratio"] for r in rows]
+    assert all(0.3 <= x <= 2.0 for x in ratios), (min(ratios), max(ratios))
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 <= mean <= 1.15, mean
+    # pairwise distance preservation on one planted pair
+    e = {r["vec_id"]: r for r in rows}
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+
+    raw = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, sf_dir, "embeddings")
+        .filter("vec_id < 2")
+        .collect()
+    }
+    p0 = [float(x) for x in e[0]["proj"].split(",")]
+    p1 = [float(x) for x in e[1]["proj"].split(",")]
+    d_proj = math.dist(p0, p1)
+    d_raw = math.dist(raw[0], raw[1])
+    assert 0.3 <= d_proj / d_raw <= 2.0, (d_proj, d_raw)

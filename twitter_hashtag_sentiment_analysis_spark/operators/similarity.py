@@ -2366,6 +2366,104 @@ def dedup_semantic_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Johnson-Lindenstrauss target dimensionality: 64 -> 16 dims. The
+#: projection matrix is seeded-Gaussian, fixed at import, and embedded
+#: as literals on BOTH engines (the _LSH_PLANES discipline), so the
+#: whole transform is deterministic and value-hash verifiable.
+JL_K = 16
+
+
+def _jl_planes():
+    import numpy as np
+
+    return np.random.RandomState(7).randn(JL_K, DIM)
+
+
+_JL_PLANES = _jl_planes()
+_JL_SCALE = 1.0 / (JL_K ** 0.5)
+
+
+@register(
+    "embed_jl_projection",
+    sql=f"""
+        SELECT vec_id,
+               round({_sql_norm('embedding')}, 6) AS l2_norm,
+               concat_ws(',', {", ".join(
+                   f"CAST(CAST(round({_sql_dot_literal('embedding', _JL_PLANES[i])}"
+                   f" * {_JL_SCALE!r}, 6) AS DECIMAL(18,6)) AS VARCHAR)"
+                   for i in range(JL_K)
+               )}) AS proj,
+               round(sqrt({" + ".join(
+                   f"({_sql_dot_literal('embedding', _JL_PLANES[i])}"
+                   f" * {_JL_SCALE!r}) * "
+                   f"({_sql_dot_literal('embedding', _JL_PLANES[i])}"
+                   f" * {_JL_SCALE!r})"
+                   for i in range(JL_K)
+               )}) / {_sql_norm('embedding')}, 4) AS norm_ratio
+        FROM embeddings
+    """,
+)
+def embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: 64 -> 16 dims via a
+    seeded Gaussian matrix scaled 1/sqrt(K) — THE cheap dimensionality
+    reduction a vector pipeline runs before an ANN index build when
+    the raw dimension makes bucketing/scoring memory-bound. JL
+    guarantees pairwise distances are preserved within (1 +- eps) with
+    high probability at K = O(log n / eps^2); the norm_ratio column
+    (||proj|| / ||x||) is the per-row distortion diagnostic a quality
+    gate would alert on (its concentration around 1.0 is pinned by the
+    planted test).
+
+    Spark-first shape: a NARROW per-row projection — 16 literal-plane
+    dots via the same zip_with/aggregate kernel as the exact cosine
+    path, zero shuffle, fully codegen (same plan family as
+    embed_normalize_quantize). At 100 TB this runs at scan speed and
+    cuts every downstream shuffle/score 4x. The matrix is literal on
+    both engines, sequential accumulation in the same element order,
+    so projected coordinates are bit-identical before the 6 dp round —
+    full value-hash oracle despite the operator being 'random'.
+    Output: vec_id, l2_norm, proj (comma-joined rounded coords —
+    arrays stringify for cross-engine hashing), norm_ratio."""
+    e = table(spark, sf_dir, "embeddings")
+    planes = _JL_PLANES
+
+    def comp(i: int) -> Column:
+        return _dot(
+            F.col("embedding"),
+            F.array(*[F.lit(float(v)) for v in planes[i]]),
+        ) * F.lit(_JL_SCALE)
+
+    # compute each coordinate ONCE under an alias, then derive the
+    # stringified vector and the norm diagnostic from the aliased
+    # columns (inlining comp(i) twice would double the 16x64 dots)
+    with_coords = e.select(
+        "vec_id",
+        _norm("embedding").alias("raw_norm"),
+        *[comp(i).alias(f"y{i}") for i in range(JL_K)],
+    )
+    sq_sum = None
+    for i in range(JL_K):
+        term = F.col(f"y{i}") * F.col(f"y{i}")
+        sq_sum = term if sq_sum is None else sq_sum + term
+    return with_coords.select(
+        "vec_id",
+        F.round("raw_norm", 6).alias("l2_norm"),
+        # DECIMAL(18,6) before the string cast: plain double->string
+        # renders 0.000109 as 1.09E-4 on Spark but 0.000109 on DuckDB;
+        # the fixed-scale decimal prints identically on both engines
+        F.concat_ws(
+            ",",
+            *[
+                F.round(F.col(f"y{i}"), 6)
+                .cast("decimal(18,6)")
+                .cast("string")
+                for i in range(JL_K)
+            ],
+        ).alias("proj"),
+        F.round(F.sqrt(sq_sum) / F.col("raw_norm"), 4).alias("norm_ratio"),
+    )
+
+
 #: Fixed-point scale for per-dimension embedding statistics: values
 #: quantize to millionths, making every moment sum an exact integer.
 DIMSTAT_SCALE = 1_000_000

@@ -110,9 +110,10 @@ _loaded = False
 _DRIVER_SAMPLE_PREFIX = (
     # round-13 block (tools/sample_rotation_plan.json; regenerate with
     # `python tools/apply_next_prefix.py` at round start).
-    # sim_ann_lsh_multiprobe is the round's ONE new key — the only
-    # never-adjudicated key leads the sample, as every round since r11
+    # the round's TWO new keys — the only never-adjudicated keys lead
+    # the sample, as every round since r11
     "sim_ann_lsh_multiprobe",
+    "embed_jl_projection",
     "sql_recursive_cte",
     "cache_reuse",
     "obs_metrics",
@@ -155,7 +156,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "ts_ewma",
     "event_streaks",
     "event_markov",
-    "q_customer_distribution",
     "q_top_supplier",
     "q_small_qty_revenue",
     # hand-swaps over the generated padding tail (r6-era stale-greens
