@@ -230,6 +230,19 @@ def main() -> None:
                 json.dump(
                     {**summary, "queries": timings}, f, indent=1, sort_keys=True
                 )
+    elif os.environ.get("SPARK_GRAFT_WRITE_REF") == "1":
+        # The reference is only meaningful for a FULL sweep at the
+        # canonical fixture/core config; silently skipping the pin
+        # here would leave the next round's guard comparing against a
+        # stale baseline (r13 self-review finding) — say so loudly.
+        sys.stderr.write(
+            "[bench] SPARK_GRAFT_WRITE_REF=1 IGNORED: reference pin "
+            "requires a full sweep (no query args) at "
+            "/root/testdata/sf0.1 with SPARK_GRAFT_CPUS=32; "
+            f"this run: only={bool(only)} sf_dir={sf_dir} "
+            f"cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')} — "
+            "BENCH_REF.json NOT updated\n"
+        )
 
 
 if __name__ == "__main__":

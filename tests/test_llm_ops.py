@@ -2151,25 +2151,38 @@ def test_release_retired_memos_frees_last_generation(spark):
 
 
 def test_registry_declares_eager_execution_contract():
-    """Adaptive operators (dup-ratio probe / eager checkpoint at
-    plan-construction time) must carry eager=True at the registry
-    level; ordinary lazy plan builders must not (r12 advisor: callers
-    doing schema/explain-only work need the contract declared where
-    they look, not buried in one operator's implementation)."""
+    """Every operator that performs PLAN-TIME driver work (dup-ratio
+    probe, eager checkpoint, iterative kernel, materializing sink
+    write, streaming drain) must carry eager=True at the registry
+    level, and nothing else may (r12 advisor + r13 self-review: the
+    contract was under-declared and a hand-pinned test certified the
+    wrong set). The expected set is RECOMPUTED from source by the ast
+    auditor (tools/eager_audit.py), so a new operator that runs
+    plan-time jobs cannot ship undeclared and a declaration cannot
+    outlive the code it describes."""
+    import importlib.util
+    import os
+
     from twitter_hashtag_sentiment_analysis_spark.registry import load_all
 
+    spec = importlib.util.spec_from_file_location(
+        "thsa_eager_audit",
+        os.path.join(
+            os.path.dirname(__file__), os.pardir, "tools", "eager_audit.py"
+        ),
+    )
+    auditor = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(auditor)
+
     reg = load_all()
-    eager_keys = {k for k, q in reg.items() if q.eager}
-    assert eager_keys == {
-        "dedup_minhash",
-        "sim_ann_lsh",
-        "text_paragraph_dedup",
-        "dedup_connected_components",
-        "dedup_cluster_keep_best",
-        "dedup_semantic_cc",
-        "sim_knn_graph_mutual",
-        "knn_graph_build_cold",
+    declared = {k for k, q in reg.items() if q.eager}
+    audited = set(auditor.audit())
+    assert declared == audited, {
+        "undeclared": sorted(audited - declared),
+        "over-declared": sorted(declared - audited),
     }
+    # the original adaptive core must be in the set (spot anchor)
+    assert {"dedup_minhash", "sim_ann_lsh", "text_paragraph_dedup"} <= declared
     # ...and the memo-backed subset (re-run = cache read, so bench's
     # jitter guard must not MIN-score them) is declared the same way
     memo_keys = {k for k, q in reg.items() if q.memo_backed}
@@ -2179,7 +2192,7 @@ def test_registry_declares_eager_execution_contract():
         "dedup_semantic_cc",
         "sim_knn_graph_mutual",
     }
-    assert memo_keys < eager_keys  # memoized implies eager checkpoint
+    assert memo_keys < declared  # memoized implies eager checkpoint
 
 
 def test_multiprobe_lsh_recall_monotone_over_single_probe(spark, sf_dir):

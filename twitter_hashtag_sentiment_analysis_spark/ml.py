@@ -267,6 +267,7 @@ def kmeans_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                TRUE AS inertia_beats_global
         FROM embeddings
     """,
+    eager=True,
 )
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated surface of the KMeans pipeline. Lloyd's is an

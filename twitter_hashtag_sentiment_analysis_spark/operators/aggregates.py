@@ -1017,6 +1017,7 @@ PIVOT_DISCOVER_CAP = 25
             GROUP BY o_orderstatus
         )
     """,
+    eager=True,
 )
 def agg_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with DISCOVERED values: the column set comes from the data
@@ -1443,6 +1444,7 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS ks_d
         FROM cdf GROUP BY segment, n_in, n_out
     """,
+    eager=True,
 )
 def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distance per market segment: for
@@ -2438,6 +2440,7 @@ CMS_TRACKED = ("table", "value", "fast", "row", "data", "key", "scan", "window")
         LEFT JOIN toks k ON k.token = t.token
         GROUP BY t.token
     """,
+    eager=True,
 )
 def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT-MIN SKETCH heavy-hitter frequency estimation — the

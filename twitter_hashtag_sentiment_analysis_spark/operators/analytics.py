@@ -494,7 +494,7 @@ def _pagerank_oracle_sql() -> str:
     )
 
 
-@register("graph_pagerank", sql=_pagerank_oracle_sql())
+@register("graph_pagerank", sql=_pagerank_oracle_sql(), eager=True)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the word co-occurrence graph (edges =
     bigram counts from the corpus, the text-derived graph a keyword/
@@ -608,7 +608,7 @@ _TRIANGLE_SQL = """
 """
 
 
-@register("graph_triangle_count", sql=_TRIANGLE_SQL)
+@register("graph_triangle_count", sql=_TRIANGLE_SQL, eager=True)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient over the word
     co-occurrence graph (same bigram edges as graph_pagerank, made
@@ -1845,6 +1845,7 @@ BASKET_TOP_K = 100
         ORDER BY lift DESC, part_a, part_b
         LIMIT {BASKET_TOP_K}
     """,
+    eager=True,
 )
 def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence with lift scoring — the association-
@@ -2210,6 +2211,7 @@ def _global_rank_by_range(df: DataFrame, order: list) -> DataFrame:
         WHERE covered * 2 >= t
         ORDER BY k LIMIT 1
     """,
+    eager=True,
 )
 def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4.0 SQL scripting (BEGIN/END compound statements with
@@ -2401,7 +2403,7 @@ def _bfs_oracle_sql() -> str:
     )
 
 
-@register("graph_bfs_hops", sql=_bfs_oracle_sql())
+@register("graph_bfs_hops", sql=_bfs_oracle_sql(), eager=True)
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded breadth-first search over the word co-occurrence graph
     (same edge relation as graph_pagerank): minimum hop count from a
@@ -2579,6 +2581,7 @@ LINKPRED_TOPK = 20
         ORDER BY jaccard DESC, a, b
         LIMIT {LINKPRED_TOPK}
     """,
+    eager=True,
 )
 def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard link prediction over the word co-occurrence graph (the
@@ -2977,6 +2980,7 @@ _KCORE_PEEL_CTES = "\n".join(
         SELECT v AS token, CAST(sum(d) AS BIGINT) AS core_degree
         FROM final_deg GROUP BY v
     """,
+    eager=True,
 )
 def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-CORE decomposition of the word co-occurrence graph (same
@@ -3063,6 +3067,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS row_count,
                TRUE AS size_known
     """,
+    eager=True,
 )
 def sql_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE COMPUTE STATISTICS — the catalog-statistics

@@ -760,6 +760,7 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     sql=f"WITH{_NGRAM_PAIRS_CTES}\n        SELECT doc_a, doc_b, jaccard FROM pairs",
+    eager=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-token shingle) Jaccard over candidate pairs from
@@ -794,6 +795,7 @@ CONTAINMENT_MIN = 0.8
         WHERE greatest(c.n_common * 1.0 / sa.n_sh,
                        c.n_common * 1.0 / sb.n_sh) >= {CONTAINMENT_MIN}
     """,
+    eager=True,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle-containment near-dup (the web-dedup check
@@ -1097,6 +1099,7 @@ DUP_DOC_FRAC = 0.5
                dup_grams * 1.0 / n_grams >= {DUP_DOC_FRAC} AS is_dup
         FROM per_doc
     """,
+    eager=True,
 )
 def dedup_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-substring coverage — the distributed
@@ -1280,6 +1283,7 @@ _AUDIT_SALT = ":audit"
                                / (SELECT count(*) FROM truth), 4)
                END AS recall
     """,
+    eager=True,
 )
 def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine LSH quality audit: recall of the full `dedup_minhash`

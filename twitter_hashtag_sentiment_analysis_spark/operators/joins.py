@@ -901,6 +901,7 @@ _dpp_dir_cache: dict[str, str] = {}
         WHERE n.n_regionkey = 2
         GROUP BY n.n_name
     """,
+    eager=True,
 )
 def join_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning (DPP): the fact side is laid out as

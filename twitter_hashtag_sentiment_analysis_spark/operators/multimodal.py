@@ -360,6 +360,7 @@ _PHASH_CTES = f"""
         FROM cand
         WHERE bit_count(xor(ph_a, ph_b)) <= {MM_PHASH_HAM_MAX}
     """,
+    eager=True,
 )
 def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash-shaped near-dup over the opaque BINARY column:

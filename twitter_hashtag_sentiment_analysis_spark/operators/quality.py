@@ -423,6 +423,7 @@ def quality_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('text',    'unchanged',    'string', 'string')
         ) AS t(column_name, status, from_type, to_type)
     """,
+    eager=True,
 )
 def quality_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCHEMA DRIFT detection between two snapshots of a table — the

@@ -66,6 +66,7 @@ def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY l_returnflag
     """,
+    eager=True,
 )
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet write + read-back (the R8 S3-append-sink
@@ -231,6 +232,7 @@ _part_dir_cache: dict[str, str] = {}
         SELECT event_id, user_id, round(value, 2) AS value, event_type
         FROM events WHERE event_type = 'click'
     """,
+    eager=True,
 )
 def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition PRUNING on read (the other half of sink_partitioned's
@@ -271,6 +273,7 @@ _corrupt_ndjson_cache: dict[str, str] = {}
         FROM documents
         GROUP BY 1
     """,
+    eager=True,
 )
 def scan_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch R9: PERMISSIVE scan of an NDJSON drop where every 50th
@@ -334,6 +337,7 @@ def scan_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM merged
         GROUP BY 1
     """,
+    eager=True,
 )
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on read (`mergeSchema`): two parquet batches
@@ -376,6 +380,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_returnflag IN ('A', 'N')
         GROUP BY l_returnflag
     """,
+    eager=True,
 )
 def scan_glob_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory-layout-aware reading: a Hive-partitioned dataset
@@ -454,6 +459,7 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(string_split(text, ' ')) AS BIGINT) AS stat_tokens
         FROM documents
     """,
+    eager=True,
 )
 def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-schema pruning: a parquet table with STRUCT columns read
@@ -513,6 +519,7 @@ _nested_dir_cache: dict[tuple[str, str], str] = {}
         FROM documents
         WHERE doc_id % 7 = 0
     """,
+    eager=True,
 )
 def scan_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV DIALECT hardening — the failure modes that eat real crawl
@@ -566,6 +573,7 @@ def scan_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id % 2 = 1
         GROUP BY lang
     """,
+    eager=True,
 )
 def scan_modified_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MTIME-incremental ingest: the `modifiedAfter` scan option reads

@@ -190,6 +190,7 @@ _NEARDUP_BANDS_SQL = ", ".join(
         FROM cand
         WHERE {_sql_cosine('ea', 'eb')} >= 0.3
     """,
+    eager=True,
 )
 def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by deterministic
@@ -396,10 +397,12 @@ _LSH_BANDS_SQL = ", ".join(
 )
 
 
-@register(
-    "sim_ann_lsh",
-    sql=f"""
-        WITH sig AS (
+#: Shared oracle CTE prefix: signature -> banded -> flat (band_idx,
+#: band_val) rows. Used verbatim by sim_ann_lsh AND
+#: sim_ann_lsh_multiprobe so the two operators' band layouts cannot
+#: drift apart (the documented strict-superset relationship between
+#: them depends on identical banding).
+_LSH_SIG_CTES = f"""sig AS (
             SELECT vec_id, embedding, {_lsh_sig_sql('embedding')} AS sig
             FROM embeddings
         ),
@@ -411,7 +414,49 @@ _LSH_BANDS_SQL = ", ".join(
             SELECT vec_id, embedding,
                    band.band_idx AS band_idx, band.band_val AS band_val
             FROM banded
-        ),
+        )"""
+
+
+def _lsh_signature(col: Column) -> Column:
+    """16-bit sign signature against the literal seeded hyperplanes —
+    the ONE Spark-side definition shared by every LSH operator (a
+    drifted copy would silently break multiprobe's superset
+    guarantee)."""
+    bits = [
+        F.when(
+            _dot(col, F.array(*[F.lit(float(v)) for v in _LSH_PLANES[i]])) >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(LSH_BITS)
+    ]
+    return sum(bits[1:], bits[0]).cast("int")
+
+
+def _lsh_band_explode(rel: DataFrame, keep: list[str]) -> DataFrame:
+    """sig column -> LSH_BANDS flat (band_idx, band_val) rows, keeping
+    ``keep`` alongside — shared by both LSH operators."""
+    return rel.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("sig", LSH_BAND_BITS * i)
+                        .bitwiseAND(F.lit((1 << LSH_BAND_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(*keep, "band.band_idx", "band.band_val")
+
+
+@register(
+    "sim_ann_lsh",
+    sql=f"""
+        WITH {_LSH_SIG_CTES},
         probes AS (
             SELECT vec_id AS probe_id, embedding AS pe,
                    band_idx AS p_band_idx, band_val AS p_band_val
@@ -483,37 +528,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dup-free corpora (the sf fixtures) skip the bookkeeping — one
     count pair, then the direct chain; the duplicated regime is pinned
     by a planted copy-level-reference test (tests/test_llm_ops.py)."""
-    planes = _LSH_PLANES
-
     e = table(spark, sf_dir, "embeddings")
-
-    def signature(col: Column) -> Column:
-        bits = [
-            F.when(
-                _dot(col, F.array(*[F.lit(float(v)) for v in planes[i]])) >= 0,
-                F.lit(1 << i),
-            ).otherwise(F.lit(0))
-            for i in range(16)
-        ]
-        return sum(bits[1:], bits[0]).cast("int")
-
-    def band_explode(rel: DataFrame, keep: list[str]) -> DataFrame:
-        return rel.select(
-            *keep,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band_idx"),
-                            F.shiftright("sig", 4 * i)
-                            .bitwiseAND(F.lit(0xF))
-                            .alias("band_val"),
-                        )
-                        for i in range(4)
-                    ]
-                )
-            ).alias("band"),
-        ).select(*keep, "band.band_idx", "band.band_val")
+    # module-level shared kernels (r13 self-review: the multiprobe
+    # operator must band IDENTICALLY or its superset guarantee breaks)
+    signature, band_explode = _lsh_signature, _lsh_band_explode
 
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
 
@@ -643,19 +661,7 @@ LSH_MULTIPROBE_MASKS = (0, 1, 2, 4, 8)
 @register(
     "sim_ann_lsh_multiprobe",
     sql=f"""
-        WITH sig AS (
-            SELECT vec_id, embedding, {_lsh_sig_sql('embedding')} AS sig
-            FROM embeddings
-        ),
-        banded AS (
-            SELECT vec_id, embedding, unnest([{_LSH_BANDS_SQL}]) AS band
-            FROM sig
-        ),
-        b AS (
-            SELECT vec_id, embedding,
-                   band.band_idx AS band_idx, band.band_val AS band_val
-            FROM banded
-        ),
+        WITH {_LSH_SIG_CTES},
         probes AS (
             SELECT vec_id AS probe_id, embedding AS pe,
                    band_idx AS p_band_idx,
@@ -709,39 +715,10 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion — run dedup_exact upstream or the collapsed base
     operator when copies dominate."""
     e = table(spark, sf_dir, "embeddings")
-    planes = _LSH_PLANES
-
-    def signature(col: Column) -> Column:
-        bits = [
-            F.when(
-                _dot(col, F.array(*[F.lit(float(v)) for v in planes[i]])) >= 0,
-                F.lit(1 << i),
-            ).otherwise(F.lit(0))
-            for i in range(16)
-        ]
-        return sum(bits[1:], bits[0]).cast("int")
-
     sig = e.select(
-        "vec_id", "embedding", signature(F.col("embedding")).alias("sig")
+        "vec_id", "embedding", _lsh_signature(F.col("embedding")).alias("sig")
     )
-    banded = sig.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        (
-                            F.shiftright("sig", LSH_BAND_BITS * i)
-                            .bitwiseAND(F.lit((1 << LSH_BAND_BITS) - 1))
-                        ).alias("band_val"),
-                    )
-                    for i in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("vec_id", "embedding", "band.band_idx", "band.band_val")
+    banded = _lsh_band_explode(sig, ["vec_id", "embedding"])
     probes = (
         banded.filter(F.col("vec_id") < 20)
         .select(
@@ -1050,7 +1027,7 @@ def _ivf_trained_oracle_sql() -> str:
 
 
 
-@register("sim_ann_ivf_trained", sql=_ivf_trained_oracle_sql())
+@register("sim_ann_ivf_trained", sql=_ivf_trained_oracle_sql(), eager=True)
 def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED codebook — the real production split:
     the codebook is fit OFFLINE on a bounded sample (a deterministic
@@ -1570,7 +1547,7 @@ def _mmr_sql() -> str:
     )
 
 
-@register("sim_mmr_rerank", sql=_mmr_sql())
+@register("sim_mmr_rerank", sql=_mmr_sql(), eager=True)
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance diversified top-K — the serving-side
     re-rank between ANN retrieval and the consumer (RAG context
@@ -2386,21 +2363,25 @@ _JL_SCALE = 1.0 / (JL_K ** 0.5)
 @register(
     "embed_jl_projection",
     sql=f"""
+        WITH y AS (
+            SELECT vec_id,
+                   {_sql_norm('embedding')} AS raw_norm,
+                   {", ".join(
+                       f"{_sql_dot_literal('embedding', _JL_PLANES[i])}"
+                       f" * {_JL_SCALE!r} AS y{i}"
+                       for i in range(JL_K)
+                   )}
+            FROM embeddings
+        )
         SELECT vec_id,
-               round({_sql_norm('embedding')}, 6) AS l2_norm,
+               round(raw_norm, 6) AS l2_norm,
                concat_ws(',', {", ".join(
-                   f"CAST(CAST(round({_sql_dot_literal('embedding', _JL_PLANES[i])}"
-                   f" * {_JL_SCALE!r}, 6) AS DECIMAL(18,6)) AS VARCHAR)"
+                   f"CAST(CAST(round(y{i}, 6) AS DECIMAL(18,6)) AS VARCHAR)"
                    for i in range(JL_K)
                )}) AS proj,
-               round(sqrt({" + ".join(
-                   f"({_sql_dot_literal('embedding', _JL_PLANES[i])}"
-                   f" * {_JL_SCALE!r}) * "
-                   f"({_sql_dot_literal('embedding', _JL_PLANES[i])}"
-                   f" * {_JL_SCALE!r})"
-                   for i in range(JL_K)
-               )}) / {_sql_norm('embedding')}, 4) AS norm_ratio
-        FROM embeddings
+               round(sqrt({" + ".join(f"y{i} * y{i}" for i in range(JL_K))})
+                     / raw_norm, 4) AS norm_ratio
+        FROM y
     """,
 )
 def embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:

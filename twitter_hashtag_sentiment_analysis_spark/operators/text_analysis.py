@@ -396,6 +396,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN uni ON b.w1 = uni.w1
         GROUP BY b.lang
     """,
+    eager=True,
 )
 def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-model quality proxy (the KenLM-style filter signal
@@ -1232,6 +1233,7 @@ LM_NLL_MAX = 6.5
         CROSS JOIN vocab
         GROUP BY d.doc_id, vocab.v
     """,
+    eager=True,
 )
 def text_lm_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-DOCUMENT language-model fluency score — the decision signal
@@ -1457,6 +1459,7 @@ DSIR_BUCKETS = 1024
         SELECT d.doc_id, s.n_tokens, s.logw, s.logw >= thr.t AS selected
         FROM docs d JOIN scored s USING (chash) CROSS JOIN thr
     """,
+    eager=True,
 )
 def quality_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, "Data Selection for

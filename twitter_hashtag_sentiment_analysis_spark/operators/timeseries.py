@@ -2551,6 +2551,7 @@ M4_BUCKETS = 20
         FROM r
         GROUP BY event_type, px
     """,
+    eager=True,
 )
 def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 downsampling (Jugel et al., VLDB'14) — the pixel-exact
@@ -3074,6 +3075,7 @@ def event_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN slope END) AS theil_sen_cents_per_day
         FROM ranked GROUP BY event_type
     """,
+    eager=True,
 )
 def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THEIL-SEN robust trend per series: the MEDIAN of all pairwise

@@ -32,16 +32,21 @@ class Query:
     sql: str | None  # DuckDB oracle; None => rows-only check
     doc: str = ""
     #: EAGER-EXECUTION CONTRACT.  ``fn`` is normally a lazy plan
-    #: builder: calling it runs no Spark job, so schema/explain-only
-    #: callers pay nothing.  A few ADAPTIVE operators break that —
-    #: they run bounded Spark jobs at plan-construction time (a
-    #: duplication-ratio probe choosing the pre-collapse branch, or an
-    #: eager localCheckpoint pinning an iterative kernel's result) —
-    #: so calling ``fn`` costs cluster work even if the returned
-    #: DataFrame is never executed.  ``eager=True`` declares that
-    #: here, at the registry level, so callers doing explain-only
-    #: work know to expect jobs (bench.py's timed region deliberately
-    #: includes the fn call for exactly this reason).
+    #: builder: calling it costs at most tiny parquet footer/schema
+    #: reads.  ``eager=True`` declares that calling ``fn`` performs
+    #: REAL plan-time driver work even if the returned DataFrame is
+    #: never executed: an adaptive duplication-ratio probe, an eager
+    #: localCheckpoint pinning an iterative kernel, a collect of a
+    #: bounded model/codebook, a materializing sink write, or a
+    #: streaming drain.  The set is NOT hand-maintained: the ast
+    #: auditor (tools/eager_audit.py) recomputes it from source and
+    #: the planted contract test asserts declared == audited, so a
+    #: new operator with plan-time actions cannot ship undeclared
+    #: (r13 self-review finding).  Not flagged: universal footer
+    #: reads, and durable_fixture_dir build closures (first call per
+    #: fixture generation only, cached across processes — see the
+    #: auditor docstring).  bench.py's timed region deliberately
+    #: includes the fn call, so eager work is always measured.
     eager: bool = False
     #: IN-PROCESS-MEMO CONTRACT.  A ``memo_backed`` key's fn consults a
     #: per-(session, fixture-signature) memo (the kNN-edge / CC-label

@@ -156,6 +156,7 @@ _stream_registered = False
         FROM range(0, {PYDS_ROWS}) t(i)
         GROUP BY 1
     """,
+    eager=True,
 )
 def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python STREAMING data source (SimpleDataSourceStreamReader)
@@ -343,6 +344,7 @@ _reshard_registered = False
         FROM assigned
         GROUP BY shard_id
     """,
+    eager=True,
 )
 def stream_python_source_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Kinesis-shaped streaming source UNDER RESHARDING — the gap
@@ -599,6 +601,7 @@ def source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_python_stream_writer",
     sql="SELECT event_id, event_type, value FROM events",
+    eager=True,
 )
 def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python Data Source STREAMING WRITER — the sink-side twin
@@ -749,6 +752,7 @@ _pybatch_dir_cache: dict[str, str] = {}
         SELECT o_orderkey, o_orderpriority, o_totalprice
         FROM orders WHERE o_orderkey % 20 = 0
     """,
+    eager=True,
 )
 def sink_python_batch_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python Data Source BATCH WRITER — completes the

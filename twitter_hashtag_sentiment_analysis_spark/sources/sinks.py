@@ -36,6 +36,7 @@ _ndjson_cache: dict[str, str] = {}
         FROM documents
         GROUP BY lang
     """,
+    eager=True,
 )
 def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 as a real file stream: documents written as NDJSON drops,
@@ -73,6 +74,7 @@ def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderkey
     """,
+    eager=True,
 )
 def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed tables: write orders + lineitem bucketed on the join
@@ -189,6 +191,7 @@ def _range_layout_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(0 AS BIGINT) AS overlapping_files
         FROM events
     """,
+    eager=True,
 )
 def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-clustered file layout (the z-order-lite every lakehouse
@@ -241,6 +244,7 @@ BLOOM_MIN_CHARS = 300
         SELECT doc_id, source, n_chars FROM documents
         WHERE source = '{BLOOM_SRC}' AND n_chars >= {BLOOM_MIN_CHARS}
     """,
+    eager=True,
 )
 def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet row-group Bloom filters as a write-side index: documents
@@ -306,6 +310,7 @@ COMPACT_FRAG_FILES = 32
         FROM documents
         GROUP BY lang
     """,
+    eager=True,
 )
 def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The small-file maintenance pass every lake needs: a fragmented
@@ -428,6 +433,7 @@ _zorder_cache: dict[str, str] = {}
         FROM zed
         GROUP BY zbucket
     """,
+    eager=True,
 )
 def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER clustered file layout — the multi-column data-skipping
@@ -582,6 +588,7 @@ def _txn_write_files(df: DataFrame, table_dir: str, n: int, tag: str) -> list[di
         UNION ALL
         SELECT 2, 2, full_t.n, full_t.s FROM full_t
     """,
+    eager=True,
 )
 def catalog_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A minimal lakehouse TRANSACTION LOG over plain parquet — the
@@ -662,6 +669,7 @@ _blobdir_cache: dict[str, str] = {}
         FROM documents
         WHERE doc_id % 10 = 0
     """,
+    eager=True,
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``binaryFile`` source — how an image/audio corpus actually
@@ -740,6 +748,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM monthly
         GROUP BY order_month
     """,
+    eager=True,
 )
 def sink_dynamic_partition_overwrite(
     spark: SparkSession, sf_dir: str
@@ -810,6 +819,7 @@ SINK_CODECS = ("snappy", "gzip", "zstd", "lz4")
         SELECT codec, n_rows, cents, n_cust
         FROM src, (SELECT unnest(['{"', '".join(SINK_CODECS)}']) AS codec)
     """,
+    eager=True,
 )
 def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-codec roundtrip fidelity: the orders table written

@@ -229,6 +229,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
                <= (SELECT max(ts) - INTERVAL '1 hour' FROM events)
     """,
+    eager=True,
 )
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming run: watermark(1 h) + tumbling(1 h) in append
@@ -251,6 +252,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_state",
     sql="SELECT DISTINCT user_id, event_type FROM events",
+    eager=True,
 )
 def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming stateful dedup: dropDuplicates on (user_id,
@@ -276,6 +278,7 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
         WHERE lang = 'en' AND contains(lower(text), 'spark')
     """,
+    eager=True,
 )
 def stream_sentiment_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming run of the R1-R8 pipeline transform (lang +
@@ -334,7 +337,7 @@ def _socket_pipe_oracle_sql() -> str:
     """
 
 
-@register("stream_socket_pipe", sql=_socket_pipe_oracle_sql())
+@register("stream_socket_pipe", sql=_socket_pipe_oracle_sql(), eager=True)
 def stream_socket_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 as a true PUSH source, registered end to end: an in-process
     TCP server emits a deterministic newline-framed tweet corpus (every
@@ -435,6 +438,7 @@ def stream_socket_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         WHERE e.event_type = 'purchase'
     """,
+    eager=True,
 )
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming run: stream-static enrichment join — each
@@ -462,6 +466,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         GROUP BY user_id
     """,
+    eager=True,
 )
 def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming run of a CUSTOM stateful operator:
@@ -513,6 +518,7 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND c.ts < p.ts
         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
+    eager=True,
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream inner join — the stateful join the reference's
@@ -585,6 +591,7 @@ def _multibatch_stream(spark: SparkSession, sf_dir: str, name: str):
                round(sum(value), 2) AS total_value
         FROM events GROUP BY event_type
     """,
+    eager=True,
 )
 def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink: each micro-batch computes a PARTIAL aggregate
@@ -628,6 +635,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY event_type
     """,
+    eager=True,
 )
 def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Update output mode over a REAL 4-batch stream: the running
@@ -665,6 +673,7 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, token, n, CAST(rk AS INTEGER) AS rk
         FROM ranked WHERE rk <= 3
     """,
+    eager=True,
 )
 def stream_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending terms per source — the engine's 'trending hashtags'
@@ -725,6 +734,7 @@ def stream_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(max(n) AS BIGINT) AS peak_hourly
         FROM hourly GROUP BY 1, 2
     """,
+    eager=True,
 )
 def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful operators in one streaming query (Spark 4
@@ -843,6 +853,7 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_within_watermark",
     sql="SELECT event_id, event_type FROM events",
+    eager=True,
 )
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark (Spark 3.5+): duplicate suppression
@@ -887,6 +898,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
                round(sum(value), 2) AS total_value
         FROM events GROUP BY user_id, event_type
     """,
+    eager=True,
 )
 def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming aggregate under the ROCKSDB state store
@@ -945,6 +957,7 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(4 AS INTEGER) AS n_batches
     FROM events
     """,
+    eager=True,
 )
 def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed metrics on a STREAMING query (df.observe + the
@@ -1003,6 +1016,7 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY event_type
     """,
+    eager=True,
 )
 def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The State Data Source (Spark 4 `statestore` format): after a
@@ -1098,7 +1112,7 @@ def curation_pipeline(stream: DataFrame) -> DataFrame:
     )
 
 
-@register("stream_curation_pipe", sql=_curation_oracle_sql())
+@register("stream_curation_pipe", sql=_curation_oracle_sql(), eager=True)
 def stream_curation_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole thesis in ONE streaming query: the reference's
     streaming shape (push source -> filter -> enrich -> aggregate,
@@ -1134,6 +1148,7 @@ def stream_curation_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(max(value) AS BIGINT) AS max_value
         FROM vals GROUP BY 1
     """,
+    eager=True,
 )
 def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The built-in ``rate-micro-batch`` source — Spark's deterministic
@@ -1218,6 +1233,7 @@ def _events_stream_with_sentinel(spark: SparkSession, sf_dir: str):
          AND c.ts < p.ts
         WHERE p.event_type = 'purchase'
     """,
+    eager=True,
 )
 def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join — the attribution join that also
@@ -1312,6 +1328,7 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
          AND c.c_ts < p.p_ts
     """,
+    eager=True,
 )
 def stream_full_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream FULL OUTER join (Spark 3.1+): the attribution
@@ -1395,6 +1412,7 @@ def stream_full_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFr
                 AND c.ts < p.ts
           )
     """,
+    eager=True,
 )
 def stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT SEMI join (Spark 3.1+): purchases that HAD a
@@ -1542,6 +1560,7 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         GROUP BY lang
     """,
+    eager=True,
 )
 def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INCREMENTAL-ETL job pattern: a scheduled Trigger.AvailableNow
@@ -1610,6 +1629,7 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base
         WHERE o_orderkey % 5 <> 0
     """,
+    eager=True,
 )
 def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CHANGE-DATA-CAPTURE apply — the Kafka-CDC-to-lakehouse
@@ -1771,6 +1791,7 @@ STATE_TIMEOUT_GAP_S = 1800
         FROM sess
         GROUP BY user_id, sid
     """,
+    eager=True,
 )
 def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EVENT-TIME STATE TIMEOUTS — the applyInPandasWithState
