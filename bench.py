@@ -48,9 +48,34 @@ def needs_retry(runs: list[float], ref: float | None, budget: int) -> bool:
     by more than 0.2 s absolute and budget remains. Both thresholds
     together: the ratio alone would retry 10 ms keys on noise, the
     absolute alone would ignore a 2x regression on a 0.3 s key."""
-    if ref is None or budget <= 0:
+    if ref is None or ref <= 0 or budget <= 0:
+        # ref <= 0 can reach here after round(..., 3) of a
+        # sub-millisecond key in a pinned sweep; the ratio term then
+        # degenerates and the 0.2 s absolute floor alone would retry
+        # on any blip of a ~0 s key — treat it as no reference.
         return False
     return min(runs) > 1.4 * ref and min(runs) - ref > 0.2
+
+
+def repin_movers(
+    reference: dict[str, float], timings: dict[str, float]
+) -> tuple[list[tuple[str, float, float]], int]:
+    """Pin-governance movement scan (r13 verdict item 8), factored for
+    testability: returns (keys that moved >1.5x in either direction by
+    >0.2 s absolute vs the previous pin, count of shared keys). A
+    re-pin with movers > 5% of shared requires an explicit
+    SPARK_GRAFT_REPIN_ACK=1 plus a SCALING.md adjudication note, so a
+    noisy sweep can never silently become the next round's jitter-guard
+    reference."""
+    moved = []
+    for k, old in reference.items():
+        new = timings.get(k)
+        if new is None or min(old, new) <= 0:
+            continue  # sub-ms rounding floor: ratio undefined
+        if max(new / old, old / new) > 1.5 and abs(new - old) > 0.2:
+            moved.append((k, old, new))
+    shared = sum(1 for k in reference if k in timings)
+    return moved, shared
 
 
 def main() -> None:
@@ -173,9 +198,23 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    from twitter_hashtag_sentiment_analysis_spark.io import (
+        dir_cache_restore,
+        dir_cache_snapshot,
+    )
+
     timings: dict[str, float] = {}
     rep_log: dict[str, list[float]] = {}
     for name in names:
+        # Snapshot the in-process fixture-dir caches so a jitter-guard
+        # RETRY re-enters the exact cache state run 1 saw: without the
+        # rewind a retry skips the one-time fixture build run 1 paid,
+        # and min-of-runs scores a structurally warmer shape than the
+        # first-run semantics BENCH_REF was pinned with (r13 advisor
+        # finding). Rewinding only drops entries THIS key built, so
+        # shared-cache warmth inherited from earlier keys — identical
+        # in the pin sweep — is preserved.
+        cache_state = dir_cache_snapshot()
         runs = [run_once(name)]
         settle()
         ref = reference.get(name)
@@ -184,6 +223,7 @@ def main() -> None:
                 runs, ref, retry_budget
             ):
                 retry_budget -= 1
+                dir_cache_restore(cache_state)
                 runs.append(run_once(name))
                 settle()
         timings[name] = min(runs)
@@ -226,10 +266,43 @@ def main() -> None:
         # machine-quiet measurement rather than inheriting whatever
         # the last driver machine-day produced.
         if os.environ.get("SPARK_GRAFT_WRITE_REF") == "1":
-            with open(ref_path, "w") as f:
-                json.dump(
-                    {**summary, "queries": timings}, f, indent=1, sort_keys=True
+            # Pin governance (r13 verdict item 8): a noisy sweep must
+            # never silently become the next round's jitter-guard
+            # reference. If >5% of the keys shared with the previous
+            # pin moved >1.5x IN EITHER DIRECTION (a machine-day that
+            # is globally fast is as unrepresentative as one that is
+            # globally slow), the re-pin is refused unless the builder
+            # acknowledges with SPARK_GRAFT_REPIN_ACK=1 — and the ack
+            # contract is that a SCALING.md adjudication note for the
+            # movement lands in the same commit as the new pin.
+            moved, shared = repin_movers(reference, timings)
+            if (
+                shared
+                and len(moved) > 0.05 * shared
+                and os.environ.get("SPARK_GRAFT_REPIN_ACK") != "1"
+            ):
+                moved.sort(key=lambda t: -max(t[2] / t[1], t[1] / t[2]))
+                sys.stderr.write(
+                    "[bench] RE-PIN REFUSED: "
+                    f"{len(moved)}/{shared} keys moved >1.5x vs the "
+                    "previous BENCH_REF pin (governance threshold 5%). "
+                    "If this sweep is the trustworthy one, re-run with "
+                    "SPARK_GRAFT_REPIN_ACK=1 and record the adjudication "
+                    "in SCALING.md. Worst movers: "
+                    + ", ".join(
+                        f"{k} {old:.3f}->{new:.3f}s"
+                        for k, old, new in moved[:8]
+                    )
+                    + "\n"
                 )
+            else:
+                with open(ref_path, "w") as f:
+                    json.dump(
+                        {**summary, "queries": timings},
+                        f,
+                        indent=1,
+                        sort_keys=True,
+                    )
     elif os.environ.get("SPARK_GRAFT_WRITE_REF") == "1":
         # The reference is only meaningful for a FULL sweep at the
         # canonical fixture/core config; silently skipping the pin

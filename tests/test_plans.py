@@ -999,3 +999,45 @@ def test_bench_jitter_guard_retry_decision():
     assert not bench.needs_retry([2.5], None, 60)       # no pinned reference
     assert not bench.needs_retry([2.5], 0.7, 0)         # budget spent
     assert bench.needs_retry([1.0], 0.7, 1)             # 1.43x and +0.3 s
+    # ref == 0.0 (round(...,3) of a sub-ms key in the pin sweep): the
+    # ratio term degenerates and the absolute floor alone would retry
+    # on any 0.2 s blip — treated as no reference (r13 advisor)
+    assert not bench.needs_retry([0.3], 0.0, 60)
+    assert not bench.needs_retry([5.0], -0.1, 60)
+
+    # pin governance (r13 verdict item 8): movers = shared keys that
+    # shifted >1.5x either direction AND >0.2 s absolute; zero-valued
+    # pins and sub-floor wobbles never count
+    ref = {"a": 1.0, "b": 0.5, "c": 0.0, "d": 2.0, "e": 0.05}
+    now = {"a": 1.6, "b": 0.31, "c": 3.0, "d": 2.1, "e": 0.09}
+    moved, shared = bench.repin_movers(ref, now)
+    assert shared == 5
+    # a: 1.6x and +0.6s -> moves; b: 1.61x but only 0.19s -> no;
+    # c: zero pin -> excluded; d: 1.05x -> no; e: 1.8x but 0.04s -> no
+    assert [m[0] for m in moved] == ["a"]
+    assert bench.repin_movers({}, now) == ([], 0)
+
+
+def test_bench_retry_rewinds_dir_caches():
+    """The jitter-guard retry must re-enter the exact fixture-dir cache
+    state run 1 saw (r13 advisor): without the rewind a retry skips the
+    one-time fixture build and min-of-runs scores a structurally warmer
+    run than the first-run semantics BENCH_REF was pinned with. The
+    snapshot/restore pair is the contract bench.py relies on."""
+    from twitter_hashtag_sentiment_analysis_spark import io as thsa_io
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    load_all()  # imports every operator module => registers its caches
+    cache = thsa_io.register_dir_cache({})
+    try:
+        cache["pre"] = "/tmp/built-by-an-earlier-key"
+        snap = thsa_io.dir_cache_snapshot()
+        cache["run1"] = "/tmp/built-by-run-1"   # what a first run builds
+        thsa_io.dir_cache_restore(snap)
+        # inherited warmth preserved, this key's own build dropped
+        assert cache == {"pre": "/tmp/built-by-an-earlier-key"}
+        # every in-process fixture-dir cache is registered (the two
+        # DataFrame memos are covered by the memo_backed contract)
+        assert len(thsa_io._dir_caches) >= 17  # 16 package + this one
+    finally:
+        thsa_io._dir_caches.remove(cache)

@@ -13,9 +13,15 @@ ever executed:
 * streaming drains: ``.writeStream....start()``,
   ``processAllAvailable``, ``awaitTermination``, ``await_drain``.
 
-The walk is transitive over same-package helper calls (by bare name,
-depth-capped), so an operator that delegates its checkpoint to
-``cc_kernel.star_contraction_labels`` is still flagged.
+The walk is transitive over helper calls and keyed by (module, name):
+a callee resolves FIRST within the defining module's own namespace,
+then through that module's explicit imports (``from ..x import y`` /
+``import x`` aliases, including function-local imports), so an
+operator that delegates its checkpoint to
+``cc_kernel.star_contraction_labels`` is still flagged while a lazy
+operator calling a helper that merely SHARES a name with an eager
+helper in another module is not (r13 advisor finding: the old
+bare-name global merge produced exactly that false positive class).
 
 This is the SOURCE OF TRUTH for ``registry.Query.eager``: the planted
 test (tests/test_llm_ops.py) recomputes this set and asserts it equals
@@ -33,7 +39,7 @@ Usage: python tools/eager_audit.py   # prints the audited key set
 from __future__ import annotations
 
 import ast
-import collections
+
 import os
 import sys
 
@@ -66,6 +72,11 @@ def _chain_attrs(node: ast.AST) -> set[str]:
 
 
 def _scan_fn(node: ast.AST) -> tuple[list, set]:
+    """Scan one function body (nested defs excluded) for plan-time
+    actions and outgoing calls. Calls are recorded as ('bare', name)
+    for ``helper(...)`` and ('attr', recv, name) for ``mod.helper(...)``
+    where the receiver is a plain name — the resolver maps both through
+    the defining module's namespace/imports."""
     acts: list = []
     calls: set = set()
 
@@ -95,51 +106,111 @@ def _scan_fn(node: ast.AST) -> tuple[list, set]:
                         acts.append(("stream.start", ch.lineno))
                     elif fn.attr in ("processAllAvailable", "awaitTermination"):
                         acts.append((fn.attr, ch.lineno))
-                    calls.add(fn.attr)
+                    if isinstance(recv, ast.Name):
+                        calls.add(("attr", recv.id, fn.attr))
                 elif isinstance(fn, ast.Name):
                     if fn.id == "await_drain":
                         acts.append(("await_drain", ch.lineno))
-                    calls.add(fn.id)
+                    calls.add(("bare", fn.id))
             walk(ch)
 
     walk(node)
     return acts, calls
 
 
+def _module_of(path: str) -> str:
+    """Dotted module name of a package file relative to PKG_DIR's
+    parent (e.g. .../operators/dedup.py -> pkg.operators.dedup)."""
+    rel = os.path.relpath(path, os.path.dirname(PKG_DIR))
+    rel = rel[:-3] if rel.endswith(".py") else rel
+    parts = rel.split(os.sep)
+    if parts[-1] == "__init__":
+        parts = parts[:-1]
+    return ".".join(parts)
+
+
+def _collect_imports(tree: ast.AST, module: str) -> dict:
+    """Local alias -> fully-qualified target for EVERY import in the
+    module (function-local imports included — the memo_put pattern).
+    ``from X import y as z`` maps z -> 'X.y'; ``import X.Y as z`` maps
+    z -> 'X.Y'. Relative levels resolve against the module's package."""
+    pkg_parts = module.split(".")[:-1]  # the module's own package
+    out: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            if node.level:
+                base = pkg_parts[: len(pkg_parts) - node.level + 1]
+                target = ".".join(base + ([node.module] if node.module else []))
+            else:
+                target = node.module or ""
+            for a in node.names:
+                out[a.asname or a.name] = f"{target}.{a.name}"
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                out[a.asname or a.name.split(".")[0]] = a.name
+    return out
+
+
 def audit() -> dict[str, list[str]]:
     """{registry key: [file:line:action evidence]} for every key whose
     fn transitively performs a plan-time driver action."""
-    defs: dict = {}
+    pkg_name = os.path.basename(PKG_DIR)
+    defs: dict = {}  # (module, fn name) -> (acts, calls)
+    imports: dict = {}  # module -> {alias: fq target}
     for root, _, files in os.walk(PKG_DIR):
         for f in files:
             if not f.endswith(".py"):
                 continue
             path = os.path.join(root, f)
             tree = ast.parse(open(path).read())
+            module = _module_of(path)
+            imports[module] = _collect_imports(tree, module)
             for node in tree.body:
                 if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                    defs[(path, node.name)] = _scan_fn(node)
+                    defs[(module, node.name)] = (
+                        _scan_fn(node),
+                        path,
+                    )
 
-    byname: dict = collections.defaultdict(list)
-    for (p, n), (a, c) in defs.items():
-        byname[n].append((p, a, c))
+    def resolve(module: str, call: tuple):
+        """(module, call site) -> (module, name) def key, or None.
+        Bare names resolve in the defining module first, then through
+        its explicit imports; attr calls resolve only through an
+        imported-module alias. Cross-module hits require the target
+        to be an actual function def inside this package."""
+        imp = imports.get(module, {})
+        if call[0] == "bare":
+            name = call[1]
+            if (module, name) in defs:
+                return (module, name)
+            fq = imp.get(name)
+            if fq and fq.startswith(pkg_name + "."):
+                mod, _, fn_name = fq.rpartition(".")
+                if (mod, fn_name) in defs:
+                    return (mod, fn_name)
+        else:  # ('attr', recv, name): recv must alias a package module
+            _, recv, name = call
+            fq = imp.get(recv)
+            if fq and fq.startswith(pkg_name) and (fq, name) in defs:
+                return (fq, name)
+        return None
 
-    def eager_of(name: str, depth: int = 0, chain: tuple = ()) -> list:
-        if depth > 6 or name not in byname or name in chain:
+    def eager_of(key: tuple, depth: int = 0, chain: tuple = ()) -> list:
+        if depth > 6 or key not in defs or key in chain:
             return []
-        out = []
-        for p, a, c in byname[name]:
-            out += [(p, act, ln) for act, ln in a]
-            for cal in c:
-                if cal in byname and cal != name:
-                    out += eager_of(cal, depth + 1, chain + (name,))
+        (a, c), path = defs[key]
+        out = [(path, act, ln) for act, ln in a]
+        for call in c:
+            target = resolve(key[0], call)
+            if target is not None and target != key:
+                out += eager_of(target, depth + 1, chain + (key,))
         return out
 
     from twitter_hashtag_sentiment_analysis_spark.registry import load_all
 
     out: dict[str, list[str]] = {}
     for k, q in sorted(load_all().items()):
-        hits = eager_of(q.fn.__name__)
+        hits = eager_of((q.fn.__module__, q.fn.__name__))
         if hits:
             out[k] = sorted(
                 {f"{os.path.basename(p)}:{ln}:{a}" for p, a, ln in hits}

@@ -178,6 +178,40 @@ def memo_put(cache: dict, key: tuple, df: DataFrame) -> DataFrame:
     return df
 
 
+#: Central ledger of the IN-PROCESS fixture-DIRECTORY caches (path
+#: valued, distinct from the DataFrame memos above): each module
+#: registers its get-or-build dict at import so measurement harnesses
+#: can snapshot/restore cache state around re-runs.  bench.py's jitter
+#: guard uses this to make a RETRY structurally identical to the run it
+#: re-measures — without the restore, a retry skips the one-time
+#: fixture build its first run paid, and min-of-runs scores a warmer
+#: shape than the one BENCH_REF was pinned with (r13 advisor finding).
+_dir_caches: list[dict] = []
+
+
+def register_dir_cache(cache: dict) -> dict:
+    """Declare a module-level get-or-build fixture-dir dict; returns it
+    unchanged so the declaration composes with the assignment."""
+    _dir_caches.append(cache)
+    return cache
+
+
+def dir_cache_snapshot() -> list[dict]:
+    """Shallow copies of every registered dir cache (values are plain
+    path strings / small tuples, so a dict copy captures full state)."""
+    return [dict(c) for c in _dir_caches]
+
+
+def dir_cache_restore(snapshot: list[dict]) -> None:
+    """Rewind every registered dir cache to a snapshot. Entries built
+    after the snapshot point back to still-on-disk temp dirs, so
+    dropping them only forces the next caller to rebuild — exactly the
+    first-run semantics a jitter-guard retry must reproduce."""
+    for cache, state in zip(_dir_caches, snapshot):
+        cache.clear()
+        cache.update(state)
+
+
 def durable_fixture_dir(sf_dir: str, src_table: str, tag: str, build) -> str:
     """DURABLE digest-keyed fixture cache with ATOMIC populate.
 

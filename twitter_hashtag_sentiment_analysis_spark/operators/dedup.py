@@ -260,9 +260,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # paying this one extra scan; the probe is the fixture-friendly
     # fallback, and the wrong branch is never wrong, only slower.
     # Single-pass HLL instead of exact distinct: the branch decision
-    # tolerates the ~2% sketch error in either direction (both branches
+    # tolerates the sketch error in either direction (both branches
     # are exact; a misestimate only trades a little speed), and the
-    # sketch drops the probe's distinct-exchange — one scan, tiny state.
+    # sketch drops the probe's distinct-exchange — one scan, tiny
+    # state. approx_count_distinct's default rsd is 5% (tail
+    # deviations larger) — ample headroom against the 25%
+    # COLLAPSE_MIN_RATIO threshold either way.
     n_docs, n_distinct = d.agg(
         F.count("*"), F.approx_count_distinct(F.xxhash64("text"))
     ).first()

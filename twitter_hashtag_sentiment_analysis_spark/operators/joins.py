@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import epoch_us, table
+from ..io import epoch_us, register_dir_cache, table
 from ..registry import register
 
 
@@ -888,7 +888,7 @@ def join_skew_hotcold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # customer-partitioned-by-nation dirs, written once per process per
 # sf_dir (same lifecycle as scans._part_dir_cache)
-_dpp_dir_cache: dict[str, str] = {}
+_dpp_dir_cache: dict[str, str] = register_dir_cache({})
 
 
 @register(

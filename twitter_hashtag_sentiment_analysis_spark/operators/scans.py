@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import register_dir_cache, table
 from ..registry import register
 
 
@@ -223,7 +223,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # partitioned-events dirs already written this process, keyed by sf_dir
-_part_dir_cache: dict[str, str] = {}
+_part_dir_cache: dict[str, str] = register_dir_cache({})
 
 
 @register(
@@ -262,7 +262,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # corrupt-NDJSON drop dirs, keyed by sf_dir; every 50th line is mangled
-_corrupt_ndjson_cache: dict[str, str] = {}
+_corrupt_ndjson_cache: dict[str, str] = register_dir_cache({})
 
 
 @register(
@@ -505,7 +505,7 @@ def scan_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_nested_dir_cache: dict[tuple[str, str], str] = {}
+_nested_dir_cache: dict[tuple[str, str], str] = register_dir_cache({})
 
 
 @register(

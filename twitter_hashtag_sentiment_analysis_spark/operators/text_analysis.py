@@ -2018,8 +2018,10 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # see operators/dedup.py). Two probe-cost choices matter at scale:
     # it runs on the RAW scan (spread()'s repartition would shuffle the
     # full text payload just to count it), and it uses single-pass HLL
-    # approx_count_distinct — the branch decision tolerates the ~2%
-    # sketch error in either direction because BOTH branches are exact;
+    # approx_count_distinct (default rsd 5%, tail deviations larger —
+    # still far inside the 25% COLLAPSE_MIN_RATIO margin) — the branch
+    # decision tolerates the sketch error either way because BOTH
+    # branches are exact;
     # a misestimate only trades a little speed (measured: exact-distinct
     # probe 1.8 s at x25, HLL probe 0.3 s).
     n_docs, n_distinct = raw.agg(

@@ -35,7 +35,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import register_dir_cache, table
 from ..registry import register
 from ..session import shuffle_partitions_override
 
@@ -54,7 +54,7 @@ _registered = False
 
 # stream-writer output dirs already allocated this process, keyed by
 # (sf_dir, purpose) — wiped and reused per invocation, never leaked
-_pywriter_dir_cache: dict[tuple[str, str], str] = {}
+_pywriter_dir_cache: dict[tuple[str, str], str] = register_dir_cache({})
 
 
 @register(
@@ -743,7 +743,7 @@ def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # one output dir per fixture dir for the BATCH writer, wiped per run
-_pybatch_dir_cache: dict[str, str] = {}
+_pybatch_dir_cache: dict[str, str] = register_dir_cache({})
 
 
 @register(

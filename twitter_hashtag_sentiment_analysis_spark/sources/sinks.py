@@ -19,13 +19,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import durable_fixture_dir as _durable_fixture_dir
-from ..io import table
+from ..io import register_dir_cache, table
 from ..registry import register
 from ..streaming.queries import _run_to_memory
 
 # NDJSON drop dirs already written this process, keyed by sf_dir — the
 # write exists to prove the wire-format roundtrip, once is proof enough
-_ndjson_cache: dict[str, str] = {}
+_ndjson_cache: dict[str, str] = register_dir_cache({})
 
 
 @register(
@@ -231,7 +231,7 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Bloom-filtered parquet dirs already written this process, keyed by
 # sf_dir — the write proves the layout; once per process is enough.
-_bloom_cache: dict[str, str] = {}
+_bloom_cache: dict[str, str] = register_dir_cache({})
 
 #: Selection the bloom-layout scan answers: one source's large docs.
 BLOOM_SRC = "src7"
@@ -286,7 +286,7 @@ def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Compaction scratch dirs already processed, keyed by sf_dir.
-_compact_cache: dict[str, tuple[str, int, int]] = {}
+_compact_cache: dict[str, tuple[str, int, int]] = register_dir_cache({})
 
 #: Compaction target: rows per output file (drives the repartition).
 COMPACT_ROWS_PER_FILE = 25_000
@@ -402,7 +402,7 @@ def _zorder_cols():
 
 
 # z-ordered lineitem dirs written this process, keyed by sf_dir
-_zorder_cache: dict[str, str] = {}
+_zorder_cache: dict[str, str] = register_dir_cache({})
 
 
 @register(
@@ -512,7 +512,7 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 TXN_CUT = "1999-01-01"
 
 # table dirs with a committed _txn_log, keyed by sf_dir
-_txn_cache: dict[str, str] = {}
+_txn_cache: dict[str, str] = register_dir_cache({})
 
 
 def _txn_commit(log_dir: str, version: int, actions: list[dict]) -> None:
@@ -657,7 +657,7 @@ def catalog_txn_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # blob drop dirs already materialized this process, keyed by sf_dir
-_blobdir_cache: dict[str, str] = {}
+_blobdir_cache: dict[str, str] = register_dir_cache({})
 
 
 @register(
@@ -859,4 +859,4 @@ def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames
 
 
-_codec_dir_cache: dict[str, str] = {}
+_codec_dir_cache: dict[str, str] = register_dir_cache({})

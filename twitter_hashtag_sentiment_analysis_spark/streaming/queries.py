@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.sentiment import sentiment_sql_cte
-from ..io import durable_fixture_dir, table
+from ..io import durable_fixture_dir, register_dir_cache, table
 from ..registry import register
 from ..session import await_drain, shuffle_partitions_override
 from .pipeline import transform
@@ -67,7 +67,7 @@ def _run_to_memory(sdf, name_prefix: str, output_mode: str = "append") -> str:
 # process's lifetime misses the cache instead of replaying stale input
 # — the same invalidation the durable drop-dir digest provides across
 # processes.
-_stream_dir_cache: dict[tuple[str, str, str], str] = {}
+_stream_dir_cache: dict[tuple[str, str, str], str] = register_dir_cache({})
 
 
 def _fixture_sig(sf_dir: str, name: str) -> str:
@@ -561,7 +561,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # multi-batch stream-source dirs (4 files => 4 micro-batches under
 # maxFilesPerTrigger=1), cached per (sf_dir, table) like _stream_copy
-_multibatch_dir_cache: dict[tuple[str, str], str] = {}
+_multibatch_dir_cache: dict[tuple[str, str], str] = register_dir_cache({})
 
 
 def _multibatch_stream(spark: SparkSession, sf_dir: str, name: str):
@@ -1183,7 +1183,7 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # sentinel-augmented events drop dirs, cached like _stream_copy
-_sentinel_dir_cache: dict[tuple[str, str, str], str] = {}
+_sentinel_dir_cache: dict[tuple[str, str, str], str] = register_dir_cache({})
 
 
 def _events_stream_with_sentinel(spark: SparkSession, sf_dir: str):
