@@ -907,7 +907,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges at all and stay singletons — exactly the oracle's reach.
     sha2-256 collisions are the only approximation (cryptographically
     negligible)."""
-    from ..io import fixture_sig
+    return _cc_labels(spark, sf_dir)
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch (or build + publish) the memoized CC label relation."""
+    from ..io import fixture_sig, memo_put
 
     memo_key = (
         spark.sparkContext.applicationId,
@@ -917,6 +922,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _cc_labels_cache.get(memo_key)
     if hit is not None:
         return hit
+    return memo_put(_cc_labels_cache, memo_key, _cc_labels_cold(spark, sf_dir))
+
+
+def _cc_labels_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full CC-label build (shingle pairs -> star contraction ->
+    re-expand), no memo read — the real construction cost."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     # one row per distinct content: rep id, the text, and member count
     grp = docs.groupBy(F.sha2("text", 256).alias("chash")).agg(
@@ -981,9 +992,59 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    from ..io import memo_put
+    return out
 
-    return memo_put(_cc_labels_cache, memo_key, out)
+
+@register(
+    "dedup_cc_build_cold",
+    sql=f"""
+        WITH RECURSIVE{_NGRAM_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS s, doc_b AS t FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, node) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s
+        )
+        SELECT src AS doc_id,
+               CAST(min(node) AS BIGINT) AS keeper_doc_id,
+               CAST(count(*) AS BIGINT) AS component_size
+        FROM reach GROUP BY src
+    """,
+    eager=True,
+)
+def dedup_cc_build_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CC-label construction step with the per-(session, fixture)
+    memo read BYPASSED — always one full build of the cluster
+    assignment, then PUBLISHED to the memo for the downstream
+    consumers (this is the pipeline's materialize step, not just a
+    re-measure, which is where it differs from `knn_graph_build_cold`:
+    a curation pipeline builds the cluster map once and fans it out).
+
+    Same semantics and oracle as `dedup_connected_components`. This
+    key exists so the bench ledger carries the kernel's real
+    construction cost on a DEDICATED row every round:
+    `dedup_connected_components` and `dedup_cluster_keep_best` read
+    the memoized artifact (~0.1 s), which previously made
+    `dedup_cluster_keep_best` — alphabetically the first consumer in a
+    full sweep — silently absorb the whole ~7 s build (r13 verdict
+    item 3). This key sorts ahead of both consumers, mirroring how
+    `dedup_semantic_cc` populates the kNN-edge memo ahead of
+    `sim_knn_graph_mutual`. Round-over-round performance comparisons
+    of the CC family should read THIS row."""
+    from ..io import fixture_sig, memo_put
+
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        fixture_sig(sf_dir, "documents"),
+    )
+    return memo_put(
+        _cc_labels_cache, memo_key, _cc_labels_cold(spark, sf_dir)
+    )
 
 
 # Edit-distance blocking: candidates share (lang, n_chars DIV 25) — a
