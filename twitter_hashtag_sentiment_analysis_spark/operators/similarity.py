@@ -805,6 +805,7 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / (SELECT count(*) FROM truth), 4)
                END AS recall_gain
     """,
+    eager=True,  # inherits sim_ann_lsh's plan-time dup-ratio probe
 )
 def sim_lsh_multiprobe_recall_audit(
     spark: SparkSession, sf_dir: str
