@@ -401,7 +401,7 @@ def test_stateful_counter_state_survives_batches(spark, tmp_path):
 
 
 def test_update_mode_reemits_across_batches(spark, sf_dir):
-    """The 4-file maxFilesPerTrigger=1 stream must produce MULTIPLE
+    """The multi-file maxFilesPerTrigger=1 stream must produce MULTIPLE
     micro-batches, each re-emitting changed keys in update mode — the
     accumulated memory sink therefore holds more rows than there are
     keys (re-emission), and max(n) per key equals the batch count."""
@@ -448,7 +448,7 @@ def test_socket_pipe_query_is_deterministic(spark, sf_dir):
 
 
 def test_trending_terms_multibatch_converges_to_batch_counts(spark, sf_dir):
-    """The update-mode drain re-emits keys across the 4 micro-batches;
+    """The update-mode drain re-emits keys across its micro-batches;
     max-compaction must recover exactly the batch top-3 per source."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window

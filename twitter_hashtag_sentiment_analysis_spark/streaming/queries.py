@@ -31,22 +31,30 @@ from .pipeline import transform
 
 _sink_counter = itertools.count()
 
+#: Shuffle-partition count for every streaming drain in the engine.
+#: Stateful streaming cost trades per-partition state-store
+#: maintenance (one store + delta/commit files per shuffle partition
+#: per micro-batch) against task parallelism — state partitioning is a
+#: PHYSICAL choice pinned at first checkpoint, not a semantic one; a
+#: real deployment sizes it to keys/executors, and every checkpoint
+#: here is fresh so no restart compatibility is at stake. Measured on
+#: the sf0.1 fixture at local[32] (r14, 3 reps, min): 8 beats 4 on
+#: every probed class — chained windows 4.9 s vs 7.6 s,
+#: applyInPandasWithState 1.9 s vs 2.9 s (more partitions = more
+#: parallel Python workers) — so 8 stays; the cheap lever is replay
+#: chunk count (see _multibatch_stream), not partition count.
+#: Results are partition-count-invariant (oracle-checked).
+_DRAIN_PARTS = "8"
+
 
 def _run_to_memory(sdf, name_prefix: str, output_mode: str = "append") -> str:
     """Start an availableNow streaming query into a memory sink; block
-    until drained; return the sink table name.
-
-    Stateful streaming cost is dominated by per-partition state-store
-    maintenance (one store + commit files per shuffle partition per
-    batch), so the drain runs with a reduced partition count — state
-    partitioning is a physical choice pinned at first checkpoint, not
-    a semantic one; a real deployment sizes it to keys/executors, and
-    every checkpoint here is fresh so no restart compatibility is at
-    stake."""
+    until drained; return the sink table name. Drains at _DRAIN_PARTS
+    shuffle partitions (see the constant's sizing note)."""
     spark = sdf.sparkSession
     name = f"{name_prefix}_{os.getpid()}_{next(_sink_counter)}"
     ck = tempfile.mkdtemp(prefix=f"thsa_ck_{name_prefix}_")
-    with shuffle_partitions_override(spark, "8"):
+    with shuffle_partitions_override(spark, _DRAIN_PARTS):
         q = (
             sdf.writeStream.outputMode(output_mode)
             .format("memory")
@@ -559,22 +567,34 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-# multi-batch stream-source dirs (4 files => 4 micro-batches under
-# maxFilesPerTrigger=1), cached per (sf_dir, table) like _stream_copy
-_multibatch_dir_cache: dict[tuple[str, str], str] = register_dir_cache({})
+# multi-batch stream-source dirs (n_files files => n_files
+# micro-batches under maxFilesPerTrigger=1), cached per
+# (sf_dir, table, n_files) like _stream_copy
+_multibatch_dir_cache: dict[tuple[str, str, str, int], str] = register_dir_cache({})
 
 
-def _multibatch_stream(spark: SparkSession, sf_dir: str, name: str):
-    """File stream over a 4-file copy of a fixture table, read one file
-    per trigger — forces a genuinely multi-batch availableNow run so
-    incremental semantics (foreachBatch merges, update-mode re-emits)
-    are actually exercised, not vacuously true on a single batch."""
+def _multibatch_stream(
+    spark: SparkSession, sf_dir: str, name: str, n_files: int = 2
+):
+    """File stream over an ``n_files``-file copy of a fixture table,
+    read one file per trigger — forces a genuinely multi-batch
+    availableNow run so incremental semantics (foreachBatch merges,
+    update-mode re-emits, cross-batch state) are actually exercised,
+    not vacuously true on a single batch. Default 2: the MINIMUM that
+    keeps every cross-batch property non-vacuous — each extra
+    micro-batch costs ~0.5 s of fixed trigger/state-store overhead and
+    proves nothing more (r13 verdict item 2; batch-boundary invariance
+    itself is pinned by the chunking-invariance tests, not by replay
+    count). Results are replay-count-invariant by construction, so the
+    trim cannot move an oracle hash."""
     df = _watermarkable(table(spark, sf_dir, name))
-    key = (sf_dir, _fixture_sig(sf_dir, name), name)
+    key = (sf_dir, _fixture_sig(sf_dir, name), name, n_files)
     path = _multibatch_dir_cache.get(key)
     if path is None:
-        path = os.path.join(tempfile.mkdtemp(prefix=f"thsa_mb_{name}_"), name)
-        df.repartition(4).write.mode("overwrite").parquet(path)
+        path = os.path.join(
+            tempfile.mkdtemp(prefix=f"thsa_mb{n_files}_{name}_"), name
+        )
+        df.repartition(n_files).write.mode("overwrite").parquet(path)
         _multibatch_dir_cache[key] = path
     return (
         spark.readStream.schema(df.schema)
@@ -598,7 +618,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, n, sum) and appends it to a parquet delta-log-style
     directory; the final answer re-aggregates the partials — the
     incremental-materialized-view pattern (Firehose's buffered S3
-    appends, R5+R8, made transactional). Runs as a REAL 4-batch stream
+    appends, R5+R8, made transactional). Runs as a REAL 2-batch stream
     (maxFilesPerTrigger=1); partial states merge associatively, so the
     result equals the batch aggregate exactly — checked by the oracle.
     At scale each batch shuffles only its own delta; the compaction
@@ -615,7 +635,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
-    with shuffle_partitions_override(spark, "8"):
+    with shuffle_partitions_override(spark, _DRAIN_PARTS):
         q = (
             sdf.writeStream.foreachBatch(merge_batch)
             .option("checkpointLocation", ck)
@@ -638,7 +658,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     eager=True,
 )
 def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Update output mode over a REAL 4-batch stream: the running
+    """Update output mode over a REAL 2-batch stream: the running
     groupBy count re-emits a key's row every batch its count changes;
     the memory sink accumulates every intermediate version. Counts are
     monotone, so the final state per key is max(n) — which the oracle
@@ -680,7 +700,7 @@ def stream_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (the headline aggregation of a tweet-analytics pipeline,
     reference scope R6/R8) run as a REAL streaming job: document
     stream -> token explode -> per-(source, token) streaming count in
-    UPDATE mode over a REAL 4-batch drain (one file per trigger, so
+    UPDATE mode over a REAL 2-batch drain (one file per trigger, so
     re-emission and the max-convergence compaction are exercised, not
     vacuous on a single batch); the final
     top-3-per-source rank runs batch-side on the drained counts (rank
@@ -906,7 +926,7 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor heap (the JVM default keeps every key's state in memory;
     RocksDB spills to local SSD with changelog checkpointing, which is
     what makes 100 TB-scale keyed state feasible at all). The query is
-    a per-(user, event_type) running aggregate over a 4-batch replay —
+    a per-(user, event_type) running aggregate over a 2-batch replay —
     wide key space by design, the shape that breaks heap-bound state
     first. Run twice identically it proves the provider swap is purely
     physical: the oracle pins the result to the batch aggregate,
@@ -973,7 +993,10 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     across batches, with no second job."""
     import math
 
-    sdf = _multibatch_stream(spark, sf_dir, "events")
+    # 4 files here deliberately (not the 2-file default): the oracle
+    # pins n_batches=4, and a longer replay is the point of THIS key —
+    # per-batch metric emission is what it publishes
+    sdf = _multibatch_stream(spark, sf_dir, "events", n_files=4)
     observed = sdf.observe(
         "batch_metrics",
         F.count(F.lit(1)).alias("rows_seen"),
@@ -982,7 +1005,7 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # noop sink with a kept handle: the data plane is irrelevant here,
     # the metrics channel is the API under test
     ck = tempfile.mkdtemp(prefix="thsa_ck_obsm_")
-    with shuffle_partitions_override(spark, "8"):
+    with shuffle_partitions_override(spark, _DRAIN_PARTS):
         handle = (
             observed.groupBy("event_type")
             .count()
@@ -1031,7 +1054,7 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = _multibatch_stream(spark, sf_dir, "events")
     counts = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
     ck = tempfile.mkdtemp(prefix="thsa_ck_staterd_")
-    with shuffle_partitions_override(spark, "8"):
+    with shuffle_partitions_override(spark, _DRAIN_PARTS):
         q = (
             counts.writeStream.outputMode("update")
             .format("noop")
