@@ -113,68 +113,64 @@ _loaded = False
 # Every key stays present — only ``dict`` insertion order changes, and
 # all consumers (tests, bench, entry shim) address the registry by key.
 _DRIVER_SAMPLE_PREFIX = (
-    # round-13 block (tools/sample_rotation_plan.json; regenerate with
-    # `python tools/apply_next_prefix.py` at round start).
-    # the round's TWO new keys — the only never-adjudicated keys lead
-    # the sample, as every round since r11
-    "sim_ann_lsh_multiprobe",
-    "embed_jl_projection",
-    "sql_recursive_cte",
-    "cache_reuse",
-    "obs_metrics",
-    "q_volume_shipping",
-    "q_market_share",
-    "q_promo_revenue",
-    "q_big_orders",
-    "q_discounted_revenue",
-    "dedup_ngram_jaccard",
+    # round-14 block (tools/sample_rotation_plan.json; regenerate with
+    # `python tools/apply_next_prefix.py` at round start)
+    "dedup_cc_build_cold",
+    "sim_lsh_multiprobe_recall_audit",
+    "q_customer_distribution",
+    "q_waiting_suppliers",
+    "q_dormant_customers",
+    "q_min_cost_supplier",
+    "q_product_type_profit",
+    "q_important_stock",
+    "q_late_shipment_priority",
+    "q_parts_supplier_relation",
+    "q_potential_promotion",
+    "sql_parameterized",
+    "sql_scalar_udf",
+    "sql_group_by_all",
+    "sql_pipe_syntax",
+    "sql_join_hints",
+    "sql_variables",
+    "sql_identifier_clause",
+    "q_monthly_revenue_yoy",
+    "q_share_of_parent",
+    "sql_scripting",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup_state",
+    "stream_sentiment_pipe",
+    "stream_socket_pipe",
+    "stream_static_join",
+    "stream_stateful_counter",
+    "stream_stream_join",
+    "stream_foreach_batch",
+    "stream_update_mode",
+    "stream_trending_terms",
+    "stream_two_level_window",
+    "stream_dedup_within_watermark",
+    "stream_rocksdb_state",
+    "stream_observe_metrics",
+    "stream_state_reader",
+    "stream_curation_pipe",
+    "stream_python_source",
+    "agg_approx_quantile",
+    "ts_lag_correlation",
+    "ts_cusum_changepoint",
+    "ts_fill_forward",
+    # hand-swaps over the generated padding tail (r11-r13 rotation
+    # discipline: kernels changed THIS round are driver-adjudicated the
+    # round they changed, ahead of older changed rows): r14 touched the
+    # CC memo split (dedup.py), the shared LSH oracle chain
+    # (similarity.py), and the python stream writer's repartition
+    # (pydatasource.py) — their r13-era greens predate that code
     "dedup_connected_components",
-    "dedup_levenshtein",
-    "sample_hash_split",
-    "sample_quota_per_source",
-    "sample_mixture_weighted",
-    "pack_sequences",
-    "corpus_curation_pipeline",
-    "sample_stratified",
-    "sample_fixed_k",
-    "sample_temperature",
-    "sim_cosine_topk",
-    "sim_cosine_neardup",
-    "embed_normalize_quantize",
-    "embed_centroid_stats",
-    "text_langid",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "text_tfidf",
-    "text_ngrams",
-    "text_pii_redact",
-    "text_normalize",
-    "text_perplexity_proxy",
-    "text_decontaminate",
-    "text_repetition_filter",
-    "mm_blob_meta",
-    "ts_sessionize",
-    "ts_interpolate_linear",
-    "event_retention_cohort",
-    "event_attribution",
-    "ts_ewma",
-    "event_streaks",
-    "event_markov",
-    "q_top_supplier",
-    "q_small_qty_revenue",
-    # hand-swaps over the generated padding tail (r6-era stale-greens
-    # pushed to next round): the three kernels r13 actually CHANGED — the pre-collapse port + single-pass HLL
-    # probes — must be driver-adjudicated the round they changed,
-    # ahead of untouched stale rows (r11/r12 rotation discipline)
-    "dedup_minhash",
+    "dedup_cluster_keep_best",
     "sim_ann_lsh",
-    "text_paragraph_dedup",
-    # ...and the r4-era filter_range_in_null, the single oldest driver
-    # row in the ledger (r12 verdict item 2): its file is untouched so
-    # the changed-first padding order left it one slot short —
-    # retiring it here empties the <=r5 population in one round
-    "filter_range_in_null",
+    "sim_ann_lsh_multiprobe",
+    "sink_python_stream_writer",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
