@@ -2220,6 +2220,36 @@ def test_multiprobe_lsh_recall_monotone_over_single_probe(spark, sf_dir):
     assert multi - single, "multi-probe found nothing beyond plain banding"
 
 
+def test_multiprobe_recall_audit_matches_standalone_operators(spark, sf_dir):
+    """The audit's SCORE-ONCE plan (one multiprobe candidate pass,
+    mask-0 membership tagged, two reranks) must publish exactly the
+    recalls the two STANDALONE operators imply — the equivalence the
+    r14 optimization leans on: the single-probe candidate set is the
+    mask-0 subset of the multiprobe set, cosines/tie-breaks shared."""
+    reg = load_all()
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in reg["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    single = {
+        (r["probe_id"], r["vec_id"])
+        for r in reg["sim_ann_lsh"].fn(spark, sf_dir).collect()
+    }
+    multi = {
+        (r["probe_id"], r["vec_id"])
+        for r in reg["sim_ann_lsh_multiprobe"].fn(spark, sf_dir).collect()
+    }
+    row = reg["sim_lsh_multiprobe_recall_audit"].fn(spark, sf_dir).first()
+    assert row["n_truth"] == len(exact)
+    assert row["n_single"] == len(exact & single), (
+        row["n_single"], len(exact & single))
+    assert row["n_multi"] == len(exact & multi), (
+        row["n_multi"], len(exact & multi))
+    assert row["recall_gain"] == round(
+        (row["n_multi"] - row["n_single"]) / row["n_truth"], 4
+    )
+
+
 def test_jl_projection_distance_preservation(spark, sf_dir):
     """JL contract: 64->16-dim seeded Gaussian projection preserves
     norms in expectation — per-row norm_ratio concentrates around 1.0
