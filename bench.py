@@ -25,7 +25,13 @@ per-key runs are recorded in BENCH_DETAIL["reps"] so round-over-round
 drift is attributable from the artifact alone. Keys backed by an
 in-process memo (the kNN-edge / CC-label caches) are exempt — their
 re-run would read the memo built by the first run and the MIN would
-report a cache hit, not the operator.
+report a cache hit, not the operator. Keys that get-or-build an
+in-process fixture DIRECTORY are handled differently (r13 advisor):
+before each key the registered dir caches are snapshotted
+(io.register_dir_cache ledger) and every retry REWINDS to that
+snapshot, so a retry rebuilds exactly what run 1 built — min-of-runs
+compares structurally identical runs instead of scoring a
+fixture-warm rerun against a first-run pin.
 """
 
 from __future__ import annotations
