@@ -2250,6 +2250,33 @@ def test_multiprobe_recall_audit_matches_standalone_operators(spark, sf_dir):
     )
 
 
+def test_ivf_nprobe_curve_monotone_and_matches_operator(spark, sf_dir):
+    """The IVF recall curve must be monotone in nprobe (cell_rank <=
+    nprobe candidate sets are nested supersets) and its nprobe=4 row
+    must equal the recall the STANDALONE sim_ann_ivf operator implies —
+    the equivalence the score-once level expansion leans on."""
+    reg = load_all()
+    rows = sorted(
+        reg["sim_ivf_recall_nprobe_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    recalls = [r["n_found"] for r in rows]
+    assert recalls == sorted(recalls), recalls
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in reg["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["probe_id"], r["vec_id"])
+        for r in reg["sim_ann_ivf"].fn(spark, sf_dir).collect()
+    }
+    row4 = rows[2]
+    assert row4["n_truth"] == len(exact)
+    assert row4["n_found"] == len(exact & ivf), (
+        row4["n_found"], len(exact & ivf))
+
+
 def test_jl_projection_distance_preservation(spark, sf_dir):
     """JL contract: 64->16-dim seeded Gaussian projection preserves
     norms in expectation — per-row norm_ratio concentrates around 1.0

@@ -1046,6 +1046,188 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: nprobe sweep for the IVF recall curve (cells = 16, so 8 probes half
+#: the index — the knee of the curve is what the audit publishes).
+IVF_AUDIT_NPROBES = (1, 2, 4, 8)
+
+
+@register(
+    "sim_ivf_recall_nprobe_curve",
+    sql=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS ce FROM embeddings
+            WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}
+        ),
+        scored_cells AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   round({_sql_cosine('e.embedding', 'c.ce')}, 6) AS c_cos
+            FROM embeddings e, cents c
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cid AS cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY c_cos DESC, cid DESC) AS rn
+                FROM scored_cells
+            ) WHERE rn = 1
+        ),
+        probe_cells AS (
+            SELECT probe_id, pe, cell, rk AS cell_rank FROM (
+                SELECT vec_id AS probe_id, embedding AS pe, cid AS cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY c_cos DESC, cid ASC) AS rk
+                FROM scored_cells WHERE vec_id < 20
+            ) WHERE rk <= {max(IVF_AUDIT_NPROBES)}
+        ),
+        pairs AS (
+            SELECT p.probe_id, p.cell_rank,
+                   a.vec_id,
+                   round({_sql_cosine('p.pe', 'a.embedding')}, 6) AS cos_sim
+            FROM assign a JOIN probe_cells p ON a.cell = p.cell
+            WHERE a.vec_id != p.probe_id
+        ),
+        levels AS (
+            SELECT unnest([{", ".join(str(j) for j in IVF_AUDIT_NPROBES)}])
+                AS nprobe
+        ),
+        ranked AS (
+            SELECT l.nprobe, s.probe_id, s.vec_id,
+                   row_number() OVER (
+                       PARTITION BY l.nprobe, s.probe_id
+                       ORDER BY s.cos_sim DESC, s.vec_id) AS rk
+            FROM levels l JOIN pairs s ON s.cell_rank <= l.nprobe
+        ),
+        t_probes AS (
+            SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+            WHERE vec_id < 20
+        ),
+        t_scored AS (
+            SELECT p.probe_id, e.vec_id,
+                   round({_sql_cosine('p.pe', 'e.embedding')}, 6) AS cos_sim
+            FROM t_probes p JOIN embeddings e ON e.vec_id != p.probe_id
+        ),
+        truth AS (
+            SELECT probe_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY probe_id
+                    ORDER BY cos_sim DESC, vec_id) AS rk
+                FROM t_scored
+            ) WHERE rk <= 5
+        ),
+        found AS (
+            SELECT r.nprobe, CAST(count(*) AS BIGINT) AS n_found
+            FROM ranked r JOIN truth t USING (probe_id, vec_id)
+            WHERE r.rk <= 5
+            GROUP BY r.nprobe
+        )
+        SELECT CAST(l.nprobe AS INTEGER) AS nprobe,
+               CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+               coalesce(f.n_found, 0) AS n_found,
+               CASE WHEN (SELECT count(*) FROM truth) > 0
+                    THEN round(coalesce(f.n_found, 0) * 1.0
+                               / (SELECT count(*) FROM truth), 4)
+               END AS recall
+        FROM levels l LEFT JOIN found f ON f.nprobe = l.nprobe
+    """,
+)
+def sim_ivf_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall/cost curve — recall@5 of `sim_ann_ivf`'s index at
+    nprobe = 1, 2, 4, 8 against exact brute-force cosine truth for the
+    pinned 20-probe panel, published as one row per nprobe level. The
+    IVF twin of `sim_lsh_multiprobe_recall_audit`: nprobe is THE
+    serving-time knob of an IVF index (cost grows ~linearly with it,
+    recall saturates), and this curve is the number a deployment
+    consults before trading latency for recall — published every run,
+    exact-truth-bounded by the panel, never affordable corpus-wide.
+
+    SCORE-ONCE PLAN: each vector belongs to exactly ONE cell, so a
+    (probe, candidate) pair exists at most once per probe and carries
+    the candidate cell's RANK in that probe's cell ordering; every
+    cosine is computed once, the nprobe levels are a 4-row broadcast
+    expansion over `cell_rank <= nprobe`, and ONE window partitioned
+    by (nprobe, probe_id) reranks all four levels together. Recall is
+    monotone in nprobe by the superset argument (a truth pair leaving
+    the top-5 would need 5 strictly-nearer candidates, contradicting
+    exact-top-5 membership) — pinned by the planted test. nprobe=4
+    reproduces `sim_ann_ivf`'s operating point exactly (same
+    assignment tie-breaks, same rerank order). Deterministic codebook
+    (pinned id range) => exact value-hash oracle."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(
+        F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored_cells = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("c_cos"),
+    )
+    assign = scored_cells.groupBy("vec_id").agg(
+        F.max(F.struct("c_cos", "cid")).alias("best"),
+        F.first("embedding").alias("embedding"),
+    ).select("vec_id", "embedding", F.col("best.cid").alias("cell"))
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probe_cells = (
+        scored_cells.filter(F.col("vec_id") < 20)
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= max(IVF_AUDIT_NPROBES))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            F.col("cid").alias("cell"),
+            F.col("rk").alias("cell_rank"),
+        )
+    )
+    pairs = (
+        assign.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cell_rank",
+            "vec_id",
+            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    levels = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(j) for j in IVF_AUDIT_NPROBES])
+        ).alias("nprobe")
+    )
+    expanded = pairs.join(
+        F.broadcast(levels), F.col("cell_rank") <= F.col("nprobe")
+    )
+    w = Window.partitionBy("nprobe", "probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    top5 = (
+        expanded.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("nprobe", "probe_id", "vec_id")
+    )
+    truth = sim_cosine_topk(spark, sf_dir).select("probe_id", "vec_id")
+    found = (
+        top5.join(truth, ["probe_id", "vec_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("long").alias("n_found"))
+    )
+    t_n = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    nf = F.coalesce("n_found", F.lit(0)).cast("long")
+    return (
+        levels.join(found, "nprobe", "left")
+        .crossJoin(F.broadcast(t_n))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_truth",
+            nf.alias("n_found"),
+            F.when(
+                F.col("n_truth") > 0, F.round(nf / F.col("n_truth"), 4)
+            ).alias("recall"),
+        )
+    )
+
+
 @register(
     "embed_normalize_quantize",
     sql=f"""

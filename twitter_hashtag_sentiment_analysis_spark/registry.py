@@ -117,6 +117,7 @@ _DRIVER_SAMPLE_PREFIX = (
     # `python tools/apply_next_prefix.py` at round start)
     "dedup_cc_build_cold",
     "sim_lsh_multiprobe_recall_audit",
+    "sim_ivf_recall_nprobe_curve",
     "q_customer_distribution",
     "q_waiting_suppliers",
     "q_dormant_customers",
@@ -156,7 +157,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_state_reader",
     "stream_curation_pipe",
     "stream_python_source",
-    "agg_approx_quantile",
     "ts_lag_correlation",
     "ts_cusum_changepoint",
     "ts_fill_forward",
