@@ -1717,24 +1717,32 @@ def test_ann_lsh_collapse_matches_copy_level_reference(spark, tmp_path):
             (b, (s >> (LSH_BAND_BITS * b)) & mask) for b in range(LSH_BANDS)
         }
 
-    want = {}
-    for pid in [i for i in vecs if i < 20]:
-        pb = bands(sigs[pid])
-        cand = [
-            i
-            for i in vecs
-            if i != pid and bands(sigs[i]) & pb
-        ]
-        scored = []
-        for i in cand:
-            c = dot_ltr(vecs[pid], vecs[i]) / (
-                math.sqrt(dot_ltr(vecs[pid], vecs[pid]))
-                * math.sqrt(dot_ltr(vecs[i], vecs[i]))
-            )
-            scored.append((i, round(c, 6)))
-        scored.sort(key=lambda t: (-t[1], t[0]))
-        for rk, (i, c) in enumerate(scored[:5], 1):
-            want[(pid, rk)] = (i, c)
+    def replay(masks):
+        """Copy-level reference with probe-side xor masks (masks=(0,)
+        = plain banding; the multiprobe flip set = Hamming-1)."""
+        want = {}
+        for pid in [i for i in vecs if i < 20]:
+            pb = {
+                (b, v ^ m) for (b, v) in bands(sigs[pid]) for m in masks
+            }
+            cand = [
+                i
+                for i in vecs
+                if i != pid and bands(sigs[i]) & pb
+            ]
+            scored = []
+            for i in cand:
+                c = dot_ltr(vecs[pid], vecs[i]) / (
+                    math.sqrt(dot_ltr(vecs[pid], vecs[pid]))
+                    * math.sqrt(dot_ltr(vecs[i], vecs[i]))
+                )
+                scored.append((i, round(c, 6)))
+            scored.sort(key=lambda t: (-t[1], t[0]))
+            for rk, (i, c) in enumerate(scored[:5], 1):
+                want[(pid, rk)] = (i, c)
+        return want
+
+    want = replay((0,))
     assert set(got) == set(want)
     for k, (i, c) in want.items():
         gi, gc = got[k]
@@ -1746,6 +1754,30 @@ def test_ann_lsh_collapse_matches_copy_level_reference(spark, tmp_path):
     assert any(c == 1.0 for (_, c) in want.values())
     n_copies_base0 = sum(1 for v in vecs.values() if np.array_equal(v, base[0]))
     assert n_copies_base0 >= 7
+
+    # r14: the multiprobe operator shares the collapsed chain (the xor
+    # masks are the only parameter) — its duplicated-regime output must
+    # match the same reference replay with the flip masks applied
+    from twitter_hashtag_sentiment_analysis_spark.operators.similarity import (
+        LSH_MULTIPROBE_MASKS,
+        sim_ann_lsh_multiprobe,
+    )
+
+    got_mp = {
+        (r["probe_id"], r["rk"]): (r["vec_id"], r["cos_sim"])
+        for r in sim_ann_lsh_multiprobe(spark, str(tmp_path)).collect()
+    }
+    want_mp = replay(LSH_MULTIPROBE_MASKS)
+    assert set(got_mp) == set(want_mp)
+    for k, (i, c) in want_mp.items():
+        gi, gc = got_mp[k]
+        assert gi == i, (k, got_mp[k], want_mp[k])
+        assert abs(gc - c) < 1e-9, (k, got_mp[k], want_mp[k])
+    # rank-k cosine can only improve under the wider candidate set
+    # (mask liveness on real data is separately pinned by
+    # test_multiprobe_lsh_recall_monotone_over_single_probe)
+    for (pid, rk), (_, c) in want.items():
+        assert want_mp[(pid, rk)][1] >= c - 1e-12, (pid, rk)
 
 
 def test_cc_driver_fast_path_matches_star_contraction(spark):

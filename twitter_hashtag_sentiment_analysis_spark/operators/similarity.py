@@ -541,12 +541,51 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dup-free corpora (the sf fixtures) skip the bookkeeping — one
     count pair, then the direct chain; the duplicated regime is pinned
     by a planted copy-level-reference test (tests/test_llm_ops.py)."""
+    return _lsh_topk5(spark, sf_dir, (0,))
+
+
+def _lsh_topk5(
+    spark: SparkSession, sf_dir: str, masks: tuple[int, ...]
+) -> DataFrame:
+    """Shared LSH top-5 chain behind sim_ann_lsh (masks=(0,)) and
+    sim_ann_lsh_multiprobe (the Hamming-1 flip masks): identical
+    banding, candidate generation, dup pre-collapse, and rerank — the
+    ONLY difference between the two operators is the probe-side xor
+    expansion, so it is a parameter, not a second code path (r14: the
+    x100 replication stress measured the old single-branch multiprobe
+    at 36x wall for 100x copies; with the shared collapse it rides the
+    same representative-level chain as the base operator). Mask
+    correctness under the collapse: a masked probe band value is a
+    pure function of (probe vector, mask) and a group's bands are pure
+    functions of its vector, so group-level collision testing and the
+    6-smallest-ids expansion arguments in sim_ann_lsh's docstring hold
+    verbatim; a group reached via several masks is deduped exactly as
+    the copy-level DISTINCT would."""
     e = table(spark, sf_dir, "embeddings")
     # module-level shared kernels (r13 self-review: the multiprobe
     # operator must band IDENTICALLY or its superset guarantee breaks)
     signature, band_explode = _lsh_signature, _lsh_band_explode
 
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+
+    def mask_probes(p: DataFrame) -> DataFrame:
+        """Probe-side xor expansion (Lv et al. multi-probe): each probe
+        band row becomes len(masks) rows probing adjacent buckets.
+        masks == (0,) keeps the base operator's plain plan."""
+        if masks == (0,):
+            return p
+        return p.select(
+            "probe_id",
+            "pe",
+            "p_band_idx",
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"),
+            F.col("p_band_val").alias("bv"),
+        ).select(
+            "probe_id",
+            "pe",
+            "p_band_idx",
+            F.col("bv").bitwiseXOR(F.col("m")).alias("p_band_val"),
+        )
 
     # Cheap dup-ratio probe: xxhash64 of the array instead of a raw
     # array distinct (measured ~5x cheaper) — a collision UNDERcounts
@@ -566,11 +605,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", signature(F.col("embedding")).alias("sig")
         )
         banded = band_explode(sig, ["vec_id", "embedding"])
-        probes = banded.filter(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("pe"),
-            F.col("band_idx").alias("p_band_idx"),
-            F.col("band_val").alias("p_band_val"),
+        probes = mask_probes(
+            banded.filter(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("pe"),
+                F.col("band_idx").alias("p_band_idx"),
+                F.col("band_val").alias("p_band_val"),
+            )
         )
         cand = (
             banded.join(
@@ -631,11 +672,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig_g.select("gh", "sig"), "gh")
         .select("probe_id", "pe", "sig")
     )
-    probes = band_explode(probe_sig, ["probe_id", "pe"]).select(
-        "probe_id",
-        "pe",
-        F.col("band_idx").alias("p_band_idx"),
-        F.col("band_val").alias("p_band_val"),
+    probes = mask_probes(
+        band_explode(probe_sig, ["probe_id", "pe"]).select(
+            "probe_id",
+            "pe",
+            F.col("band_idx").alias("p_band_idx"),
+            F.col("band_val").alias("p_band_val"),
+        )
     )
     cand = (
         banded_g.join(
@@ -686,6 +729,7 @@ _LSH_PROBES_MULTI_SQL = f"""
         SELECT probe_id, vec_id, cos_sim, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= 5
     """,
+    eager=True,  # shared chain's plan-time dup-ratio probe
 )
 def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH (Lv et al., VLDB'07): same 16-bit sign
@@ -707,54 +751,15 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank, top-5 per probe, (cos DESC, vec_id) total order — the
     seeded literal hyperplanes make the whole structure value-hash
     verifiable on both engines, like the base operator. Duplicated
-    corpora: the same pre-collapse as sim_ann_lsh applies verbatim
-    (bands and cosines are pure functions of the vector); it is kept
-    single-branch here because the technique under test is the probe
-    expansion — run dedup_exact upstream or the collapsed base
-    operator when copies dominate."""
-    e = table(spark, sf_dir, "embeddings")
-    sig = e.select(
-        "vec_id", "embedding", _lsh_signature(F.col("embedding")).alias("sig")
-    )
-    banded = _lsh_band_explode(sig, ["vec_id", "embedding"])
-    probes = (
-        banded.filter(F.col("vec_id") < 20)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("pe"),
-            F.col("band_idx").alias("p_band_idx"),
-            F.explode(
-                F.array(*[F.lit(m) for m in LSH_MULTIPROBE_MASKS])
-            ).alias("m"),
-            F.col("band_val").alias("bv"),
-        )
-        .select(
-            "probe_id",
-            "pe",
-            "p_band_idx",
-            F.col("bv").bitwiseXOR(F.col("m")).alias("p_band_val"),
-        )
-    )
-    cand = (
-        banded.join(
-            F.broadcast(probes),
-            (F.col("band_idx") == F.col("p_band_idx"))
-            & (F.col("band_val") == F.col("p_band_val"))
-            & (F.col("vec_id") != F.col("probe_id")),
-        )
-        .select("probe_id", "pe", "vec_id", "embedding")
-        .dropDuplicates(["probe_id", "vec_id"])
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        cand.select(
-            "probe_id",
-            "vec_id",
-            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
-        )
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 5)
-    )
+    corpora: runs the SAME shared chain as sim_ann_lsh (`_lsh_topk5`
+    with the flip masks as the only parameter), so the exact-dup
+    pre-collapse applies identically — r14's x100 replication stress
+    measured the previous single-branch form at 126.6 s (36x wall for
+    100x copies: every copy re-banded, re-joined, re-scored) vs the
+    base operator's 10.0 s on the same corpus; sharing the collapsed
+    chain closes that cliff and structurally guarantees the superset/
+    banding parity the monotonicity test asserts."""
+    return _lsh_topk5(spark, sf_dir, LSH_MULTIPROBE_MASKS)
 
 
 @register(
