@@ -1,12 +1,16 @@
 """Headline benchmark — the driver runs this per round.
 
 Runs every registered query at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the full
-JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...} FIRST, then a compact total-only
-line LAST: the driver's artifact keeps just the final ~2000 chars of
-stdout, and 173 per-query timings overflow that window — the last line
-must always carry the headline number on its own.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a compact
+total-only JSON line FIRST, then the full line {"metric": ...,
+"value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+LAST (r14 verdict item 2): the driver parses the FINAL stdout JSON
+line into BENCH_rN.json's `parsed` section, so the last line must
+carry every per-key wall — with the full map first, only the ~70 keys
+inside the 2000-char stdout tail were driver-adjudicable. A durable
+twin of the same map is also written to BENCH_LAST_RUN.json on every
+full sweep (any fixture/core config, config recorded inside), so the
+per-key walls survive even a capture path that keeps only the tail.
 
 Each query is timed as plan-build + execution to completion. Results are
 drained with a count-style action (``df.foreach(noop)`` would skip
@@ -249,15 +253,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
     }
-    print(json.dumps({**summary, "queries": timings}))
-    # final compact line: survives any tail-capture window
-    print(json.dumps(summary))
-    # durable twin of the full line: the driver's BENCH artifact keeps
-    # only the stdout tail, which truncates the per-query map head at
-    # 260+ queries — the checked-in detail file carries the whole map
-    # full sweeps only, and only at the canonical fixture/core config
-    # (computed above): subset runs and off-fixture sweeps (x5 stress,
-    # core-scaling) must not clobber the checked-in per-query map
+    repin_refused = False
+    # checked-in detail file: full sweeps only, and only at the
+    # canonical fixture/core config (computed above) — subset runs and
+    # off-fixture sweeps (x5 stress, core-scaling) must not clobber
+    # the canonical per-query map
     if not only and canonical:
         with open(detail_path, "w") as f:
             json.dump(
@@ -287,6 +287,7 @@ def main() -> None:
                 and len(moved) > 0.05 * shared
                 and os.environ.get("SPARK_GRAFT_REPIN_ACK") != "1"
             ):
+                repin_refused = True
                 moved.sort(key=lambda t: -max(t[2] / t[1], t[1] / t[2]))
                 sys.stderr.write(
                     "[bench] RE-PIN REFUSED: "
@@ -322,6 +323,50 @@ def main() -> None:
             f"cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')} — "
             "BENCH_REF.json NOT updated\n"
         )
+
+    # Driver-visible durable twin (r14 verdict item 2): every FULL
+    # sweep — canonical or not, config recorded inside — leaves its
+    # whole per-key map on disk next to the totals, so a capture path
+    # that keeps only a stdout tail still can't lose per-key walls.
+    if not only:
+        with open(os.path.join(repo_dir, "BENCH_LAST_RUN.json"), "w") as f:
+            json.dump(
+                {
+                    **summary,
+                    "sf_dir": sf_dir,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                    "canonical": canonical,
+                    "repin_refused": repin_refused,
+                    "queries": timings,
+                    "reps": rep_log,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+
+    for line in stdout_lines(summary, timings):
+        print(line)
+
+    if repin_refused:
+        # r14 advisor: a refused re-pin must be machine-detectable —
+        # a scripted pin sweep with SPARK_GRAFT_WRITE_REF=1 would
+        # otherwise appear to succeed while leaving the stale pin in
+        # place. stderr text + exit 3; the refusal is also recorded in
+        # BENCH_LAST_RUN.json ("repin_refused": true) for artifacts.
+        sys.exit(3)
+
+
+def stdout_lines(summary: dict, timings: dict[str, float]) -> list[str]:
+    """Final stdout contract (r14 verdict item 2): compact headline
+    line first, the FULL per-key map as the LAST line. The driver
+    parses the final stdout JSON line into BENCH_rN.json's `parsed`
+    section; with the compact line last only the ~70 keys inside the
+    2000-char stdout tail were ever driver-adjudicable per-key."""
+    return [
+        json.dumps(summary),
+        json.dumps({**summary, "queries": timings}),
+    ]
 
 
 if __name__ == "__main__":

@@ -1033,7 +1033,17 @@ def test_bench_retry_rewinds_dir_caches():
         cache["pre"] = "/tmp/built-by-an-earlier-key"
         snap = thsa_io.dir_cache_snapshot()
         cache["run1"] = "/tmp/built-by-run-1"   # what a first run builds
-        thsa_io.dir_cache_restore(snap)
+        # a cache registered AFTER the snapshot (lazily imported module
+        # mid-sweep, r14 advisor): identity pairing means it cannot
+        # shift the alignment, and since it had no pre-run state its
+        # snapshot state is empty — restore clears it
+        late = thsa_io.register_dir_cache({})
+        try:
+            late["run1"] = "/tmp/built-mid-run"
+            thsa_io.dir_cache_restore(snap)
+            assert late == {}
+        finally:
+            thsa_io._dir_caches.remove(late)
         # inherited warmth preserved, this key's own build dropped
         assert cache == {"pre": "/tmp/built-by-an-earlier-key"}
         # every in-process fixture-dir cache is registered (the two
@@ -1041,3 +1051,35 @@ def test_bench_retry_rewinds_dir_caches():
         assert len(thsa_io._dir_caches) >= 17  # 16 package + this one
     finally:
         thsa_io._dir_caches.remove(cache)
+
+
+def test_bench_stdout_emission_contract():
+    """r14 verdict item 2: the driver parses the FINAL stdout JSON line
+    into BENCH_rN.json's `parsed` section, so the last line bench
+    emits must carry the full per-key map (the compact headline line
+    comes first). Pin the contract on the factored emitter."""
+    import importlib.util
+    import json as _json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "thsa_bench_emit",
+        os.path.join(os.path.dirname(__file__), os.pardir, "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    summary = {
+        "metric": "total_query_wall_clock",
+        "value": 1.5,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": 2,
+    }
+    timings = {"agg_global": 0.5, "win_rank": 1.0}
+    lines = bench.stdout_lines(summary, timings)
+    assert len(lines) == 2
+    first, last = (_json.loads(ln) for ln in lines)
+    assert "queries" not in first and first["value"] == 1.5
+    assert last["queries"] == timings          # every per-key wall
+    assert last["n_queries"] == len(timings)   # ...on the LAST line

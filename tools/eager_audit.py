@@ -191,7 +191,14 @@ def audit() -> dict[str, list[str]]:
         else:  # ('attr', recv, name): recv must alias a package module
             _, recv, name = call
             fq = imp.get(recv)
-            if fq and fq.startswith(pkg_name) and (fq, name) in defs:
+            # same boundary check as the bare-name branch: a top-level
+            # module whose name merely starts with pkg_name must not be
+            # treated as in-package (r14 advisor finding)
+            if (
+                fq
+                and (fq == pkg_name or fq.startswith(pkg_name + "."))
+                and (fq, name) in defs
+            ):
                 return (fq, name)
         return None
 

@@ -196,20 +196,31 @@ def register_dir_cache(cache: dict) -> dict:
     return cache
 
 
-def dir_cache_snapshot() -> list[dict]:
-    """Shallow copies of every registered dir cache (values are plain
-    path strings / small tuples, so a dict copy captures full state)."""
-    return [dict(c) for c in _dir_caches]
+def dir_cache_snapshot() -> list[tuple[dict, dict]]:
+    """Shallow copies of every registered dir cache, paired with the
+    cache object itself (values are plain path strings / small tuples,
+    so a dict copy captures full state). Identity pairing — not list
+    position — so a cache registered between snapshot and restore (a
+    lazily imported module mid-sweep) cannot shift the alignment
+    (r14 advisor finding)."""
+    return [(c, dict(c)) for c in _dir_caches]
 
 
-def dir_cache_restore(snapshot: list[dict]) -> None:
+def dir_cache_restore(snapshot: list[tuple[dict, dict]]) -> None:
     """Rewind every registered dir cache to a snapshot. Entries built
     after the snapshot point back to still-on-disk temp dirs, so
     dropping them only forces the next caller to rebuild — exactly the
-    first-run semantics a jitter-guard retry must reproduce."""
-    for cache, state in zip(_dir_caches, snapshot):
+    first-run semantics a jitter-guard retry must reproduce. A cache
+    first registered AFTER the snapshot had no pre-run state, so empty
+    IS its snapshot state — it is cleared, not skipped."""
+    snapped = set()
+    for cache, state in snapshot:
+        snapped.add(id(cache))
         cache.clear()
         cache.update(state)
+    for cache in _dir_caches:
+        if id(cache) not in snapped:
+            cache.clear()
 
 
 def durable_fixture_dir(sf_dir: str, src_table: str, tag: str, build) -> str:
