@@ -1083,3 +1083,47 @@ def test_bench_stdout_emission_contract():
     assert "queries" not in first and first["value"] == 1.5
     assert last["queries"] == timings          # every per-key wall
     assert last["n_queries"] == len(timings)   # ...on the LAST line
+
+
+def test_lsh_topk5_broadcast_bucket_join_both_mask_branches(spark, sf_dir):
+    """r14 verdict item 8: the shared `_lsh_topk5` chain must keep the
+    bucket join broadcast on BOTH mask branches — the corpus side is
+    never shuffled for candidate generation, and the probe-side xor
+    expansion (multiprobe's only difference) widens the broadcast
+    instead of adding an Exchange. Pin per branch: exactly ONE
+    BroadcastHashJoin (the bucket join is the only join), ONE
+    BroadcastExchange (probes built/shipped once, masks included), and
+    exactly the two irreducible Exchanges (candidate-distinct
+    partial/final boundary + the per-probe top-5 window) — identical
+    between masks=(0,) and the Hamming-1 flip set, so the multiprobe
+    recall knob provably costs zero extra shuffles at 100 TB."""
+    import re
+
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    reg = load_all()
+    for key in ("sim_ann_lsh", "sim_ann_lsh_multiprobe"):
+        plan = plan_of(spark, sf_dir, key)
+        nodes = re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M)
+        assert nodes.count("BroadcastHashJoin") == 1, (key, plan)
+        assert nodes.count("BroadcastExchange") == 1, (key, plan)
+        assert not any("Join" in n and n != "BroadcastHashJoin" for n in nodes), (
+            key,
+            plan,
+        )
+        assert _n_exchanges(plan) == 2, (key, plan)
+        # the top-5 window is group-limited (partial below the
+        # exchange + final above), never a full per-probe sort
+        assert nodes.count("WindowGroupLimit") == 2, (key, plan)
+    # banding parity is structural (one chain), and so is the plan:
+    # the multiprobe branch adds only the mask Generate + a Project
+    base = re.findall(
+        r"^\(\d+\) (\w+)", plan_of(spark, sf_dir, "sim_ann_lsh"), flags=re.M
+    )
+    multi = re.findall(
+        r"^\(\d+\) (\w+)", plan_of(spark, sf_dir, "sim_ann_lsh_multiprobe"), flags=re.M
+    )
+    from collections import Counter
+
+    diff = Counter(multi) - Counter(base)
+    assert set(diff) <= {"Generate", "Project"}, diff
