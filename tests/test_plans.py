@@ -1127,3 +1127,19 @@ def test_lsh_topk5_broadcast_bucket_join_both_mask_branches(spark, sf_dir):
 
     diff = Counter(multi) - Counter(base)
     assert set(diff) <= {"Generate", "Project"}, diff
+
+
+def test_fill_forward_is_generative_no_join_single_scan(spark, sf_dir):
+    """r15: ts_fill_forward re-expressed generatively — each observed
+    hour emits itself plus the silent hours up to the next observation
+    — so the plan must have NO join, exactly ONE events scan (the old
+    shape aggregated raw events twice: hourly + bounds), and only the
+    two irreducible Exchanges (hourly pre-aggregate + the per-type
+    window sort that serves both the carry and the lead)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "ts_fill_forward")
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M)
+    assert not any("Join" in n for n in nodes), plan
+    assert nodes.count("Scan") == 1, plan
+    assert _n_exchanges(plan) == 2, plan

@@ -1208,58 +1208,58 @@ def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours CARRY the last observed hourly total, flagged `gap`, with
     `stale_hours` reporting how old the carried value is (the
     freshness metric a feature-store / monitoring consumer alerts
-    on). One fact-sized shuffle (the map-side-combined hourly
-    pre-aggregate); the spine join and the carry-forward window run
-    over the bucket-sized relation (~types x hours), so the LOCF
-    itself costs a window over aggregates, never over raw events.
-    last(ignorenulls) over the unbounded-preceding frame is the
-    carry; both engines run the same IGNORE NULLS window, and the
-    carried totals were rounded ONCE in the hourly relation, so no
-    re-rounding drift."""
+    on). ONE fact-sized scan and shuffle (the map-side-combined
+    hourly pre-aggregate) and NO join (r15): the oracle SQL's dense
+    spine + left join + carry window is re-expressed generatively —
+    each observed hour EMITS itself plus every silent hour up to the
+    next observation (explode over a per-row sequence), carrying its
+    own fill value. The spine's lo bound is the first observed hour
+    per type, so the union of per-observation ranges [obs, next_obs)
+    plus the final observation point IS the dense [lo, hi] spine, and
+    last_value(... IGNORE NULLS) at a generated hour is exactly the
+    generating observation's carry — same rows, no spine relation, no
+    spine-to-hourly join, no second events scan (the r14 watch-list
+    reading traced to the old shape's duplicate raw-events aggregate
+    for the bounds). The carry itself still uses the IGNORE NULLS
+    window ON THE HOURLY relation (an all-null hour carries the prior
+    hour's total, as in the SQL), which shares the sort of the lead()
+    that finds each observation's successor — one bucket-sized
+    shuffle for both. Carried totals were rounded ONCE in the hourly
+    relation, so no re-rounding drift."""
     ev = table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.round(F.sum("value"), 4).alias("total"))
-    bounds = ev.groupBy("event_type").agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    spine = bounds.select(
+    wo = Window.partitionBy("event_type").orderBy("bucket")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h = hourly.select(
         "event_type",
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
-            "bucket"
-        ),
-    )
-    obs = hourly.select(
-        F.col("event_type").alias("h_type"),
         F.col("bucket").alias("obs_bucket"),
-        "total",
-    )
-    g = spine.join(
-        obs,
-        (spine.event_type == obs.h_type) & (spine.bucket == obs.obs_bucket),
-        "left",
-    ).select("event_type", "bucket", "total", "obs_bucket")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = g.select(
-        "event_type",
-        "bucket",
         F.coalesce(
-            F.last("total", ignorenulls=True).over(w), F.lit(0.0)
+            F.last("total", ignorenulls=True).over(wc), F.lit(0.0)
         ).alias("total_ffill"),
-        F.col("obs_bucket").isNull().alias("gap"),
-        F.last("obs_bucket", ignorenulls=True).over(w).alias("last_obs"),
+        F.lead("bucket").over(wo).alias("next_b"),
     )
-    return filled.select(
+    return h.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                "obs_bucket",
+                F.coalesce(
+                    F.col("next_b") - F.expr("INTERVAL 1 HOUR"),
+                    F.col("obs_bucket"),
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+        "total_ffill",
+        "obs_bucket",
+    ).select(
         "event_type",
         "bucket",
         "total_ffill",
-        "gap",
-        F.expr("timestampdiff(HOUR, last_obs, bucket)")
+        (F.col("bucket") != F.col("obs_bucket")).alias("gap"),
+        F.expr("timestampdiff(HOUR, obs_bucket, bucket)")
         .cast("long")
         .alias("stale_hours"),
     )
