@@ -2339,3 +2339,70 @@ def test_jl_projection_distance_preservation(spark, sf_dir):
     d_proj = math.dist(p0, p1)
     d_raw = math.dist(raw[0], raw[1])
     assert 0.3 <= d_proj / d_raw <= 2.0, (d_proj, d_raw)
+
+
+def test_sim_sample_is_md5_hash_priority(spark, sf_dir):
+    """The sampled audits' sub-corpus must be exactly the
+    SIM_AUDIT_SAMPLE_K vec_ids with the smallest md5(vec_id || salt)
+    — computed here independently with hashlib so the cross-engine
+    sample (the thing BOTH DuckDB CTEs and the Spark relation key
+    their truth sets on) is pinned by a third implementation."""
+    import hashlib
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.similarity import (
+        SIM_AUDIT_SAMPLE_K,
+        _SIM_AUDIT_SALT,
+        _sim_sample,
+    )
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+
+    all_ids = [
+        r.vec_id for r in table(spark, sf_dir, "embeddings").select("vec_id").collect()
+    ]
+    want = set(
+        sorted(
+            all_ids,
+            key=lambda v: (
+                hashlib.md5(f"{v}{_SIM_AUDIT_SALT}".encode()).hexdigest(),
+                v,
+            ),
+        )[:SIM_AUDIT_SAMPLE_K]
+    )
+    got = {r.vec_id for r in _sim_sample(spark, sf_dir).collect()}
+    assert got == want
+    assert len(got) == min(SIM_AUDIT_SAMPLE_K, len(all_ids))
+
+
+def test_sampled_recall_audits_bounded_and_monotone(spark, sf_dir):
+    """Sampled-truth twins (r14 verdict item 5): both audits must be
+    bounded by the hash-priority sample (n_sample = min(K, corpus),
+    n_truth = 5 per probe), the LSH twin must keep the multiprobe
+    superset guarantee (recall_multi >= recall_single) inside the
+    restricted universe, and the IVF twin must stay monotone in
+    nprobe — the structural properties that survive ANY universe
+    restriction, which is the argument for sampling being unbiased."""
+    from twitter_hashtag_sentiment_analysis_spark.operators.similarity import (
+        SIM_AUDIT_SAMPLE_K,
+    )
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+
+    reg = load_all()
+    n_corpus = table(spark, sf_dir, "embeddings").count()
+    n_s = min(SIM_AUDIT_SAMPLE_K, n_corpus)
+
+    row = reg["sim_lsh_recall_audit_sampled"].fn(spark, sf_dir).first()
+    assert row["n_sample"] == n_s
+    assert row["n_truth"] == 100  # 20 probes x exact top-5 in-sample
+    assert row["recall_multi"] >= row["recall_single"]
+    assert row["recall_gain"] == round(
+        (row["n_multi"] - row["n_single"]) / row["n_truth"], 4
+    )
+
+    rows = sorted(
+        reg["sim_ivf_recall_curve_sampled"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    assert all(r["n_sample"] == n_s and r["n_truth"] == 100 for r in rows)
+    founds = [r["n_found"] for r in rows]
+    assert founds == sorted(founds), founds

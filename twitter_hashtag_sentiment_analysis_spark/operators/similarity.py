@@ -397,24 +397,31 @@ _LSH_BANDS_SQL = ", ".join(
 )
 
 
-#: Shared oracle CTE prefix: signature -> banded -> flat (band_idx,
-#: band_val) rows. Used verbatim by sim_ann_lsh AND
-#: sim_ann_lsh_multiprobe so the two operators' band layouts cannot
-#: drift apart (the documented strict-superset relationship between
-#: them depends on identical banding).
-_LSH_SIG_CTES = f"""sig AS (
+def _lsh_sig_ctes(src: str = "embeddings", p: str = "") -> str:
+    """Shared oracle CTE prefix: signature -> banded -> flat
+    (band_idx, band_val) rows, parameterized by source relation and a
+    CTE-name prefix so the sampled-truth audit can band a bounded
+    sample and the probe panel side by side (r15). The default
+    instantiation is byte-identical to the r5-era ``_LSH_SIG_CTES``
+    text used verbatim by sim_ann_lsh AND sim_ann_lsh_multiprobe, so
+    the operators' band layouts cannot drift apart (the documented
+    strict-superset relationship depends on identical banding)."""
+    return f"""{p}sig AS (
             SELECT vec_id, embedding, {_lsh_sig_sql('embedding')} AS sig
-            FROM embeddings
+            FROM {src}
         ),
-        banded AS (
+        {p}banded AS (
             SELECT vec_id, embedding, unnest([{_LSH_BANDS_SQL}]) AS band
-            FROM sig
+            FROM {p}sig
         ),
-        b AS (
+        {p}b AS (
             SELECT vec_id, embedding,
                    band.band_idx AS band_idx, band.band_val AS band_val
-            FROM banded
+            FROM {p}banded
         )"""
+
+
+_LSH_SIG_CTES = _lsh_sig_ctes()
 
 
 #: Shared probe-side CTE bodies + rerank chain: sim_ann_lsh,
@@ -931,6 +938,251 @@ def sim_lsh_multiprobe_recall_audit(
     )
 
 
+#: Sampled-truth audit sub-corpus (r14 verdict item 5): the exact
+#: truth/candidate universe is bounded to the SIM_AUDIT_SAMPLE_K
+#: vectors with the smallest md5(vec_id || salt) — a deterministic,
+#: partitioning-independent hash-priority sample, the discipline
+#: dedup_minhash_recall_audit established at 256 docs. Both engines
+#: compute the identical priority, so the sample (and therefore the
+#: whole audit) carries an exact value-hash oracle.
+SIM_AUDIT_SAMPLE_K = 256
+_SIM_AUDIT_SALT = ":ann-audit"
+
+_SIM_SAMPLE_SQL = f"""
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || '{_SIM_AUDIT_SALT}'),
+                     vec_id
+            LIMIT {SIM_AUDIT_SAMPLE_K}"""
+
+_LSH_S_PROBES_SINGLE_SQL = """
+            SELECT vec_id AS probe_id, embedding AS pe,
+                   band_idx AS p_band_idx, band_val AS p_band_val
+            FROM pb"""
+
+_LSH_S_PROBES_MULTI_SQL = f"""
+            SELECT vec_id AS probe_id, embedding AS pe,
+                   band_idx AS p_band_idx,
+                   xor(band_val, m) AS p_band_val
+            FROM pb, LATERAL unnest([{", ".join(str(m) for m in LSH_MULTIPROBE_MASKS)}]) t(m)"""
+
+
+def _sim_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded hash-priority sample relation (Spark twin of
+    ``_SIM_SAMPLE_SQL``): global top-K by md5 priority is a
+    TakeOrdered — per-partition 256-row heaps plus one tiny final
+    merge, the only corpus-wide touch the sampled audits make."""
+    e = table(spark, sf_dir, "embeddings")
+    pri = F.md5(
+        F.concat(F.col("vec_id").cast("string"), F.lit(_SIM_AUDIT_SALT))
+    )
+    return (
+        e.select("vec_id", "embedding", pri.alias("pri"))
+        .orderBy("pri", "vec_id")
+        .limit(SIM_AUDIT_SAMPLE_K)
+        .drop("pri")
+    )
+
+
+@register(
+    "sim_lsh_recall_audit_sampled",
+    sql=f"""
+        WITH sample AS ({_SIM_SAMPLE_SQL}
+        ),
+        {_lsh_sig_ctes("sample")},
+        {_lsh_sig_ctes("(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20)", "p")},
+        {_lsh_topk_sql(_LSH_S_PROBES_SINGLE_SQL, "sp_")},
+        {_lsh_topk_sql(_LSH_S_PROBES_MULTI_SQL, "mp_")},
+        t_scored AS (
+            SELECT p.probe_id, e.vec_id,
+                   round({_sql_cosine('p.pe', 'e.embedding')}, 6) AS cos_sim
+            FROM (SELECT vec_id AS probe_id, embedding AS pe
+                  FROM embeddings WHERE vec_id < 20) p
+            JOIN sample e ON e.vec_id != p.probe_id
+        ),
+        truth AS (
+            SELECT probe_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY probe_id
+                    ORDER BY cos_sim DESC, vec_id) AS rk
+                FROM t_scored
+            ) WHERE rk <= 5
+        ),
+        sp AS (SELECT probe_id, vec_id FROM sp_ranked WHERE rk <= 5),
+        mp AS (SELECT probe_id, vec_id FROM mp_ranked WHERE rk <= 5),
+        found_s AS (
+            SELECT t.probe_id FROM truth t JOIN sp USING (probe_id, vec_id)
+        ),
+        found_m AS (
+            SELECT t.probe_id FROM truth t JOIN mp USING (probe_id, vec_id)
+        )
+        SELECT CAST((SELECT count(*) FROM sample) AS BIGINT) AS n_sample,
+               CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+               CAST((SELECT count(*) FROM found_s) AS BIGINT) AS n_single,
+               CAST((SELECT count(*) FROM found_m) AS BIGINT) AS n_multi,
+               CASE WHEN (SELECT count(*) FROM truth) > 0
+                    THEN round((SELECT count(*) FROM found_s) * 1.0
+                               / (SELECT count(*) FROM truth), 4)
+               END AS recall_single,
+               CASE WHEN (SELECT count(*) FROM truth) > 0
+                    THEN round((SELECT count(*) FROM found_m) * 1.0
+                               / (SELECT count(*) FROM truth), 4)
+               END AS recall_multi,
+               CASE WHEN (SELECT count(*) FROM truth) > 0
+                    THEN round(((SELECT count(*) FROM found_m)
+                                - (SELECT count(*) FROM found_s)) * 1.0
+                               / (SELECT count(*) FROM truth), 4)
+               END AS recall_gain
+    """,
+    eager=True,  # eager localCheckpoint of the score-once relation
+)
+def sim_lsh_recall_audit_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLED-truth twin of `sim_lsh_multiprobe_recall_audit` (r14
+    verdict item 5): the full audit's truth pass scans the whole
+    corpus per probe — linear and panel-bounded, the published price
+    of exact truth, but at a real 100 TB corpus that one pass
+    dominates (r14 x100 measured it at 81.8 s on 200k vectors; at
+    10^11 vectors it is simply unaffordable per run). This twin
+    restricts BOTH sides of the comparison to a deterministic
+    hash-priority sample of SIM_AUDIT_SAMPLE_K vectors — truth =
+    exact top-5 per probe WITHIN the sample, single/multiprobe = the
+    banded candidates that land in the sample, reranked within it —
+    so recall measures the same structural property (does banding
+    surface the nearest vectors?) on an unbiased sub-corpus at O(1)
+    audit cost: the only corpus-wide work left is the TakeOrdered
+    priority scan. Recall within a hash-random sample estimates full
+    recall because band collision is a pure function of the two
+    vectors — restricting the universe drops candidates and truth
+    rows TOGETHER, it does not bias which collisions happen.
+    recall_multi >= recall_single still holds (the candidate superset
+    argument survives any universe restriction). Same score-once plan
+    as the full audit: one multiprobe candidate pass tagged with
+    mask-0 membership, every cosine computed once, two reranks. The
+    20-probe panel keeps its full vectors (a probe need not be
+    sampled); the probe side bands the PANEL, not the corpus, so the
+    bucket join is sample x (panel x masks) — a broadcast against 256
+    rows."""
+    sample = _sim_sample(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    panel = e.filter(F.col("vec_id") < 20)
+    sig_s = sample.select(
+        "vec_id", "embedding", _lsh_signature(F.col("embedding")).alias("sig")
+    )
+    banded_s = _lsh_band_explode(sig_s, ["vec_id", "embedding"])
+    psig = panel.select(
+        "vec_id", "embedding", _lsh_signature(F.col("embedding")).alias("sig")
+    )
+    probes = (
+        _lsh_band_explode(psig, ["vec_id", "embedding"])
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            F.col("band_idx").alias("p_band_idx"),
+            F.explode(
+                F.array(*[F.lit(m) for m in LSH_MULTIPROBE_MASKS])
+            ).alias("m"),
+            F.col("band_val").alias("bv"),
+        )
+        .select(
+            "probe_id",
+            "pe",
+            "p_band_idx",
+            (F.col("m") == 0).alias("exact_mask"),
+            F.col("bv").bitwiseXOR(F.col("m")).alias("p_band_val"),
+        )
+    )
+    pairs = (
+        banded_s.join(
+            F.broadcast(probes),
+            (F.col("band_idx") == F.col("p_band_idx"))
+            & (F.col("band_val") == F.col("p_band_val"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .groupBy("probe_id", "vec_id")
+        .agg(
+            F.max("exact_mask").alias("is_exact"),
+            F.first("pe").alias("pe"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    scored = pairs.select(
+        "probe_id",
+        "vec_id",
+        "is_exact",
+        F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+    ).localCheckpoint(eager=True)  # scored once, reranked twice
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    multi = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "vec_id", F.lit(True).alias("in_m"))
+    )
+    single = (
+        scored.filter(F.col("is_exact"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "vec_id", F.lit(True).alias("in_s"))
+    )
+    truth = (
+        sample.join(
+            F.broadcast(
+                panel.select(
+                    F.col("vec_id").alias("probe_id"),
+                    F.col("embedding").alias("pe"),
+                )
+            ),
+            F.col("vec_id") != F.col("probe_id"),
+        )
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "vec_id")
+    )
+    j = (
+        truth.join(single, ["probe_id", "vec_id"], "left")
+        .join(multi, ["probe_id", "vec_id"], "left")
+    )
+    n_sample = sample.agg(F.count("*").cast("long").alias("n_sample"))
+    n_truth = F.count("*").cast("long")
+    n_single = F.count_if(F.col("in_s")).cast("long")
+    n_multi = F.count_if(F.col("in_m")).cast("long")
+    return (
+        j.agg(
+            n_truth.alias("n_truth"),
+            n_single.alias("n_single"),
+            n_multi.alias("n_multi"),
+            F.when(
+                n_truth > 0, F.round(n_single / n_truth, 4)
+            ).alias("recall_single"),
+            F.when(
+                n_truth > 0, F.round(n_multi / n_truth, 4)
+            ).alias("recall_multi"),
+            F.when(
+                n_truth > 0, F.round((n_multi - n_single) / n_truth, 4)
+            ).alias("recall_gain"),
+        )
+        .crossJoin(F.broadcast(n_sample))
+        .select(
+            "n_sample",
+            "n_truth",
+            "n_single",
+            "n_multi",
+            "recall_single",
+            "recall_multi",
+            "recall_gain",
+        )
+    )
+
+
 # IVF parameters: 16 deterministic centroids (the embeddings of a fixed
 # vec_id range — a stand-in for a k-means codebook, which at production
 # scale is trained offline and broadcast exactly like this), probes
@@ -1224,6 +1476,228 @@ def sim_ivf_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(t_n))
         .select(
             F.col("nprobe").cast("int").alias("nprobe"),
+            "n_truth",
+            nf.alias("n_found"),
+            F.when(
+                F.col("n_truth") > 0, F.round(nf / F.col("n_truth"), 4)
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "sim_ivf_recall_curve_sampled",
+    sql=f"""
+        WITH sample AS ({_SIM_SAMPLE_SQL}
+        ),
+        cents AS (
+            SELECT vec_id AS cid, embedding AS ce FROM embeddings
+            WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}
+        ),
+        scored_cells AS (
+            SELECT s.vec_id, s.embedding, c.cid,
+                   round({_sql_cosine('s.embedding', 'c.ce')}, 6) AS c_cos
+            FROM sample s, cents c
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cid AS cell FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY c_cos DESC, cid DESC) AS rn
+                FROM scored_cells
+            ) WHERE rn = 1
+        ),
+        pcells AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   round({_sql_cosine('e.embedding', 'c.ce')}, 6) AS c_cos
+            FROM embeddings e, cents c WHERE e.vec_id < 20
+        ),
+        probe_cells AS (
+            SELECT probe_id, pe, cell, rk AS cell_rank FROM (
+                SELECT vec_id AS probe_id, embedding AS pe, cid AS cell,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY c_cos DESC, cid ASC) AS rk
+                FROM pcells
+            ) WHERE rk <= {max(IVF_AUDIT_NPROBES)}
+        ),
+        pairs AS (
+            SELECT p.probe_id, p.cell_rank,
+                   a.vec_id,
+                   round({_sql_cosine('p.pe', 'a.embedding')}, 6) AS cos_sim
+            FROM assign a JOIN probe_cells p ON a.cell = p.cell
+            WHERE a.vec_id != p.probe_id
+        ),
+        levels AS (
+            SELECT unnest([{", ".join(str(j) for j in IVF_AUDIT_NPROBES)}])
+                AS nprobe
+        ),
+        ranked AS (
+            SELECT l.nprobe, s.probe_id, s.vec_id,
+                   row_number() OVER (
+                       PARTITION BY l.nprobe, s.probe_id
+                       ORDER BY s.cos_sim DESC, s.vec_id) AS rk
+            FROM levels l JOIN pairs s ON s.cell_rank <= l.nprobe
+        ),
+        t_scored AS (
+            SELECT p.probe_id, e.vec_id,
+                   round({_sql_cosine('p.pe', 'e.embedding')}, 6) AS cos_sim
+            FROM (SELECT vec_id AS probe_id, embedding AS pe
+                  FROM embeddings WHERE vec_id < 20) p
+            JOIN sample e ON e.vec_id != p.probe_id
+        ),
+        truth AS (
+            SELECT probe_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY probe_id
+                    ORDER BY cos_sim DESC, vec_id) AS rk
+                FROM t_scored
+            ) WHERE rk <= 5
+        ),
+        found AS (
+            SELECT r.nprobe, CAST(count(*) AS BIGINT) AS n_found
+            FROM ranked r JOIN truth t USING (probe_id, vec_id)
+            WHERE r.rk <= 5
+            GROUP BY r.nprobe
+        )
+        SELECT CAST(l.nprobe AS INTEGER) AS nprobe,
+               CAST((SELECT count(*) FROM sample) AS BIGINT) AS n_sample,
+               CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+               coalesce(f.n_found, 0) AS n_found,
+               CASE WHEN (SELECT count(*) FROM truth) > 0
+                    THEN round(coalesce(f.n_found, 0) * 1.0
+                               / (SELECT count(*) FROM truth), 4)
+               END AS recall
+        FROM levels l LEFT JOIN found f ON f.nprobe = l.nprobe
+    """,
+)
+def sim_ivf_recall_curve_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAMPLED-truth twin of `sim_ivf_recall_nprobe_curve` (r14
+    verdict item 5, the IVF leg): the full curve's exact-truth pass
+    and corpus-wide cell assignment are both linear in the corpus
+    (r14 x100: 47.0 s on 200k vectors — the published price of exact
+    audit truth). This twin bounds BOTH to the deterministic
+    hash-priority sample `_sim_sample` shares with
+    `sim_lsh_recall_audit_sampled`: assignment runs for the 256
+    sampled vectors only, truth is exact top-5 per probe WITHIN the
+    sample, and the nprobe sweep reranks sampled candidates — recall
+    at each nprobe measures the same structural property (do the
+    probe's nearest cells contain its nearest vectors?) on an
+    unbiased sub-corpus, at O(1) cost beyond the TakeOrdered
+    priority scan. Cell membership is a pure function of the vector
+    and the pinned codebook, so restricting the universe drops
+    candidate and truth rows TOGETHER — no bias in which cells
+    collide, and recall stays monotone in nprobe (superset argument,
+    unchanged). Same score-once plan: one candidate pass carrying
+    cell rank, a 4-level broadcast expansion, ONE window across all
+    levels. The probe panel keeps full vectors and scores the
+    codebook directly (pcells) — a probe need not be sampled."""
+    sample = _sim_sample(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.filter(
+        F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored_cells = sample.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("c_cos"),
+    )
+    assign = scored_cells.groupBy("vec_id").agg(
+        F.max(F.struct("c_cos", "cid")).alias("best"),
+        F.first("embedding").alias("embedding"),
+    ).select("vec_id", "embedding", F.col("best.cid").alias("cell"))
+    pcells = (
+        e.filter(F.col("vec_id") < 20)
+        .join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias(
+                "c_cos"
+            ),
+        )
+    )
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probe_cells = (
+        pcells.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= max(IVF_AUDIT_NPROBES))
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            F.col("cid").alias("cell"),
+            F.col("rk").alias("cell_rank"),
+        )
+    )
+    pairs = (
+        assign.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cell_rank",
+            "vec_id",
+            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    levels = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(j) for j in IVF_AUDIT_NPROBES])
+        ).alias("nprobe")
+    )
+    expanded = pairs.join(
+        F.broadcast(levels), F.col("cell_rank") <= F.col("nprobe")
+    )
+    w = Window.partitionBy("nprobe", "probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    top5 = (
+        expanded.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("nprobe", "probe_id", "vec_id")
+    )
+    wt = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    truth = (
+        sample.join(
+            F.broadcast(
+                e.filter(F.col("vec_id") < 20).select(
+                    F.col("vec_id").alias("probe_id"),
+                    F.col("embedding").alias("pe"),
+                )
+            ),
+            F.col("vec_id") != F.col("probe_id"),
+        )
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "vec_id")
+    )
+    found = (
+        top5.join(truth, ["probe_id", "vec_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("long").alias("n_found"))
+    )
+    t_n = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    s_n = sample.agg(F.count("*").cast("long").alias("n_sample"))
+    nf = F.coalesce("n_found", F.lit(0)).cast("long")
+    return (
+        levels.join(found, "nprobe", "left")
+        .crossJoin(F.broadcast(s_n))
+        .crossJoin(F.broadcast(t_n))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_sample",
             "n_truth",
             nf.alias("n_found"),
             F.when(

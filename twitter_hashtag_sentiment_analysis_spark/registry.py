@@ -113,64 +113,58 @@ _loaded = False
 # Every key stays present — only ``dict`` insertion order changes, and
 # all consumers (tests, bench, entry shim) address the registry by key.
 _DRIVER_SAMPLE_PREFIX = (
-    # round-14 block (tools/sample_rotation_plan.json; regenerate with
+    # round-15 block (tools/sample_rotation_plan.json; regenerate with
     # `python tools/apply_next_prefix.py` at round start)
-    "dedup_cc_build_cold",
-    "sim_lsh_multiprobe_recall_audit",
-    "sim_ivf_recall_nprobe_curve",
-    "q_customer_distribution",
-    "q_waiting_suppliers",
-    "q_dormant_customers",
-    "q_min_cost_supplier",
-    "q_product_type_profit",
-    "q_important_stock",
-    "q_late_shipment_priority",
-    "q_parts_supplier_relation",
-    "q_potential_promotion",
-    "sql_parameterized",
-    "sql_scalar_udf",
-    "sql_group_by_all",
-    "sql_pipe_syntax",
-    "sql_join_hints",
-    "sql_variables",
-    "sql_identifier_clause",
-    "q_monthly_revenue_yoy",
-    "q_share_of_parent",
-    "sql_scripting",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_dedup_state",
-    "stream_sentiment_pipe",
-    "stream_socket_pipe",
-    "stream_static_join",
-    "stream_stateful_counter",
-    "stream_stream_join",
-    "stream_foreach_batch",
-    "stream_update_mode",
-    "stream_trending_terms",
-    "stream_two_level_window",
-    "stream_dedup_within_watermark",
-    "stream_rocksdb_state",
-    "stream_observe_metrics",
-    "stream_state_reader",
-    "stream_curation_pipe",
-    "stream_python_source",
-    "ts_lag_correlation",
-    "ts_cusum_changepoint",
+    "sim_lsh_recall_audit_sampled",
+    "sim_ivf_recall_curve_sampled",
     "ts_fill_forward",
-    # hand-swaps over the generated padding tail (r11-r13 rotation
-    # discipline: kernels changed THIS round are driver-adjudicated the
-    # round they changed, ahead of older changed rows): r14 touched the
-    # CC memo split (dedup.py), the shared LSH oracle chain
-    # (similarity.py), and the python stream writer's repartition
-    # (pydatasource.py) — their r13-era greens predate that code
-    "dedup_connected_components",
-    "dedup_cluster_keep_best",
-    "sim_ann_lsh",
-    "sim_ann_lsh_multiprobe",
-    "sink_python_stream_writer",
+    "agg_approx_quantile",
+    "event_funnel_latency",
+    "event_paths_top",
+    "ts_seasonal_baseline",
+    "win_running_distinct",
+    "win_pareto_share",
+    "win_rolling_median",
+    "set_except_all",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "customer_rfm",
+    "agg_basket_lift",
+    "dq_checks",
+    "quality_outlier_iqr",
+    "stat_column_profile",
+    "fn_bitwise",
+    "fn_regex",
+    "fn_map",
+    "fn_url",
+    "fn_struct",
+    "fn_datetime_extra",
+    "fn_try_errors",
+    "fn_variant",
+    "fn_posexplode",
+    "fn_interval_arith",
+    "fn_array_hof",
+    "fn_binary_base64",
+    "fn_collation",
+    "fn_xml",
+    "udtf_chunk_text",
+    "udtf_polymorphic_csv",
+    "dedup_simhash",
+    "dedup_containment",
+    "dedup_substring_corpus",
+    "dedup_minhash_recall_audit",
+    "dedup_exact_normalized",
+    "sample_poisson_repeat",
+    "corpus_token_budget",
+    "sample_weighted_reservoir",
+    "corpus_mix_allocate",
+    "ts_holt_linear",
+    "ts_autocorr",
+    "event_peak_concurrency",
+    "ts_downsample_lttb",
+    "event_audience_overlap",
+    "sql_mv_incremental",
+    "graph_bfs_hops",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
