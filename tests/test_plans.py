@@ -483,10 +483,16 @@ def test_python_source_pushdown_reaches_reader(spark, sf_dir):
 
 
 def test_gopher_rules_plan_is_narrow(spark, sf_dir):
-    """The quality gate is per-row HOF expressions only: no Exchange,
-    no Python — at 100 TB it must stay a map over the scan."""
+    """The quality gate is per-row HOF expressions only: no Python,
+    no KEYED shuffle — at 100 TB it must stay a map over the scan.
+    The one allowed Exchange is spread()'s ROUND-ROBIN re-split of a
+    sub-row-group fixture scan (r15: the x100 corpus arrived as a
+    2-split file and ran the HOF kernels on 2 of 32 cores); round
+    robin moves no data by key and disappears at real scale where the
+    input has thousands of row groups."""
     plan = plan_of(spark, sf_dir, "quality_gopher_rules")
-    assert "Exchange" not in plan, plan
+    assert _n_exchanges(plan) <= 1, plan
+    assert "hashpartitioning" not in plan, plan
     assert "Python" not in plan, plan
 
 

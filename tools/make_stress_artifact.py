@@ -1,16 +1,24 @@
 """Assemble SCALING_STRESS_r{N}.json from stress-run JSONL outputs.
 
 Usage:
-  python tools/make_stress_artifact.py <round> <family_sf01.jsonl>
-      <family_x5.jsonl> <family_x25.jsonl> [streaming.jsonl ...]
+  python tools/make_stress_artifact.py <round> tag=family.jsonl ...
+      [--stream tag=streaming.jsonl ...]
 
 Family lines come from tools/stress_family.py (wall + out_rows +
 rows/sec per key per dir); streaming lines from
 tools/stress_streaming_state.py (wall + rows + state-operator metrics +
-normalized columns). The assembler computes the x5/x25 wall ratios AND
-the per-output-row normalized ratios (r11 verdict item 5: a pairwise or
-stateful key whose OUTPUT grows with replication reads as a wall
-regression until rows/sec sits beside it).
+normalized columns). Tags name the axes (sf0.1, x5, x25, x100); every
+non-baseline axis gets a ratio table against the sf0.1 tag.
+
+Ratio schema (r14 verdict item 4): each ratio entry carries the WALL
+ratio, the OUT_ROWS growth, and the THROUGHPUT (rows/sec) ratio side
+by side, plus an `output_bound` flag (out_rows grew by more than half
+the wall ratio). A pairwise or stateful key whose OUTPUT grows with
+replication reads as a wall regression until rows/sec sits beside it
+(r11 verdict item 5, now structural in the artifact instead of
+re-litigated in prose every round): for output-bound keys the number
+to adjudicate is throughput_ratio (>1 = throughput RISES with scale),
+for the rest it is wall_ratio.
 """
 
 from __future__ import annotations
@@ -18,15 +26,28 @@ from __future__ import annotations
 import json
 import sys
 
+BASE = "sf0.1"
+
+
+def _pairs(args: list[str]) -> list[tuple[str, str]]:
+    out = []
+    for a in args:
+        tag, _, path = a.partition("=")
+        if not path:
+            raise SystemExit(f"expected tag=path, got {a!r}")
+        out.append((tag, path))
+    return out
+
 
 def main() -> None:
     rnd = int(sys.argv[1])
-    fam_files = sys.argv[2:5]
-    stream_files = sys.argv[5:]
+    rest = sys.argv[2:]
+    split = rest.index("--stream") if "--stream" in rest else len(rest)
+    fam_pairs = _pairs(rest[:split])
+    stream_pairs = _pairs(rest[split + 1 :])
 
     fam: dict[str, dict] = {}
-    tags = ["sf0.1", "x5", "x25"]
-    for tag, path in zip(tags, fam_files):
+    for tag, path in fam_pairs:
         for line in open(path):
             r = json.loads(line)
             fam.setdefault(r["key"], {})[tag] = {
@@ -35,19 +56,35 @@ def main() -> None:
                 "out_rows_per_sec": r["out_rows_per_sec"],
             }
 
-    def ratio(key: str, a: str, b: str) -> float | None:
-        pa, pb = fam[key].get(a), fam[key].get(b)
-        if not pa or not pb or not pb["wall_sec"]:
+    def ratios(key: str, tag: str) -> dict | None:
+        pa, pb = fam[key].get(tag), fam[key].get(BASE)
+        if not pa or not pb or not pb["wall_sec"] or not pa["wall_sec"]:
             return None
-        return round(pa["wall_sec"] / pb["wall_sec"], 2)
+        wall = round(pa["wall_sec"] / pb["wall_sec"], 2)
+        rows = (
+            round(pa["out_rows"] / pb["out_rows"], 2)
+            if pb["out_rows"]
+            else None
+        )
+        tput = (
+            round(pa["out_rows_per_sec"] / pb["out_rows_per_sec"], 2)
+            if pb["out_rows_per_sec"]
+            else None
+        )
+        return {
+            "wall_ratio": wall,
+            "out_rows_ratio": rows,
+            "throughput_ratio": tput,
+            # output grew at least half as fast as wall: the wall ratio
+            # is dominated by result cardinality, adjudicate throughput
+            "output_bound": bool(rows and rows >= max(2.0, wall / 2)),
+        }
 
     streaming: dict[str, dict] = {}
-    for path in stream_files:
+    for tag, path in stream_pairs:
         for line in open(path):
             r = json.loads(line)
-            streaming.setdefault(r["key"], {})[r["sf_dir"].replace(
-                "synth_", ""
-            )] = {
+            streaming.setdefault(r["key"], {})[tag] = {
                 k: r[k]
                 for k in (
                     "wall_sec",
@@ -60,34 +97,41 @@ def main() -> None:
                 if k in r
             }
 
-    out = {
+    out: dict = {
         "method": (
             "family: tools/stress_family.py — bench.py's measurement shape "
             "(warm session, noop-sink write timed, gc+settle between keys) "
             "with out_rows OBSERVED ON THE TIMED RUN via df.observe "
             "(r12 advisor: the earlier untimed-replay count mixed two "
-            "executions for the adaptive operators) "
-            "(pairwise output grows ~quadratically in the copy factor: "
-            "C(25,2)=300 intra pairs per duplicated group at x25 vs 0 at "
-            "sf0.1); x5/x25 = FK-consistent replication of sf0.1 "
-            "(tools/make_synth_sf.py); streaming: "
+            "executions for the adaptive operators); xN = FK-consistent "
+            "replication of sf0.1 (tools/make_synth_sf.py); streaming: "
             "tools/stress_streaming_state.py with runId-attributed "
-            "state-operator metrics and the same normalized columns"
+            "state-operator metrics and the same normalized columns; "
+            "ratio entries carry wall + out_rows + throughput ratios and "
+            "an output_bound flag (r14 verdict item 4) — adjudicate "
+            "throughput_ratio for output-bound keys, wall_ratio otherwise"
         ),
         "round": rnd,
         "family": fam,
-        "ratio_x5_over_sf01": {
-            k: ratio(k, "x5", "sf0.1") for k in sorted(fam)
-        },
-        "ratio_x25_over_sf01": {
-            k: ratio(k, "x25", "sf0.1") for k in sorted(fam)
-        },
         "streaming_state_observations": streaming,
     }
-    r25 = {k: v for k, v in out["ratio_x25_over_sf01"].items() if v}
-    if r25:
-        worst = max(r25, key=r25.get)
-        out["worst_x25_ratio"] = [worst, r25[worst]]
+    worst: dict = {}
+    for tag, _ in fam_pairs:
+        if tag == BASE:
+            continue
+        table = {k: ratios(k, tag) for k in sorted(fam)}
+        table = {k: v for k, v in table.items() if v}
+        out[f"ratio_{tag.replace('.', '')}_over_sf01"] = table
+        walls = {
+            k: v["wall_ratio"]
+            for k, v in table.items()
+            if not v["output_bound"]
+        }
+        if walls:
+            w = max(walls, key=walls.get)
+            worst[tag] = [w, walls[w]]
+    if worst:
+        out["worst_wall_ratio_non_output_bound"] = worst
     print(json.dumps(out, indent=1))
 
 

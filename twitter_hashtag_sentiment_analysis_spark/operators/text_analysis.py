@@ -55,8 +55,12 @@ _LANG_MARKERS = {
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-heuristic language ID: count per-language marker tokens,
     argmax with a fixed precedence (en > de > es > fr > zh on ties).
-    A narrow map — language-ID at 100 TB is embarrassingly parallel."""
-    d = table(spark, sf_dir, "documents")
+    A narrow map — language-ID at 100 TB is embarrassingly parallel;
+    spread() re-splits a sub-row-group parquet scan so the marker-count
+    HOF kernel uses every core (r15: the x100 corpus arrives as a
+    2-split file and ran the whole kernel on 2 of 32 cores — 13.1 s,
+    throughput-capped at the scan, not the operator)."""
+    d = spread(table(spark, sf_dir, "documents"))
     tokens = F.split("text", " ")
 
     def marker_count(words: tuple[str, ...]):
@@ -870,8 +874,9 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, embarrassingly parallel, linear at 100 TB.  Ratios are
     integer-over-integer divisions so the keep flag compares
     identically across engines; only the displayed columns are
-    rounded."""
-    d = table(spark, sf_dir, "documents")
+    rounded.  spread() re-splits a sub-row-group scan so the four HOF
+    kernels parallelize (r15 x100 finding, same as text_langid)."""
+    d = spread(table(spark, sf_dir, "documents"))
     ts = F.split("text", " ")
     m = d.select(
         "doc_id",
@@ -1081,8 +1086,17 @@ def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: three broadcast LEFT SEMI joins (one per probe) + one
     broadcast verify join on the corpus-shingle stream — no shuffle
     anywhere before the per-doc aggregate, same as the exact path;
-    the semis just make the verify join's input a trickle at 100 TB."""
-    d = table(spark, sf_dir, "documents")
+    the semis just make the verify join's input a trickle at 100 TB.
+
+    spread() (r15) re-splits the sub-row-group corpus scan: the x100
+    fixture arrives as a 2-split file, so the 25M-shingle explode +
+    3-hash probe chain — the operator's entire linear cost — ran on 2
+    of 32 cores (107 s measured; 26 s after; SCALING.md r15 carries
+    the before/after). The benchmark side is rebuilt per slot set (4
+    subtrees) — measured irrelevant (each is a MOD-th of the corpus; a
+    localCheckpoint-once variant A/B'd at x100 moved nothing and cost
+    the final join its static broadcast, so it was rejected)."""
+    d = spread(table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("ts")).filter(
         F.size("ts") >= DECON_SHINGLE_K
     )

@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.sentiment import sentiment_sql_cte
-from ..io import durable_fixture_dir, register_dir_cache, table
+from ..io import (
+    checkpoint_scratch,
+    durable_fixture_dir,
+    register_dir_cache,
+    table,
+)
 from ..registry import register
 from ..session import await_drain, shuffle_partitions_override
 from .pipeline import transform
@@ -53,7 +58,7 @@ def _run_to_memory(sdf, name_prefix: str, output_mode: str = "append") -> str:
     shuffle partitions (see the constant's sizing note)."""
     spark = sdf.sparkSession
     name = f"{name_prefix}_{os.getpid()}_{next(_sink_counter)}"
-    ck = tempfile.mkdtemp(prefix=f"thsa_ck_{name_prefix}_")
+    ck = checkpoint_scratch(f"thsa_ck_{name_prefix}_")
     with shuffle_partitions_override(spark, _DRAIN_PARTS):
         q = (
             sdf.writeStream.outputMode(output_mode)
@@ -625,7 +630,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     over partials is O(batches x keys), independent of corpus size."""
     sdf = _multibatch_stream(spark, sf_dir, "events")
     out_dir = tempfile.mkdtemp(prefix="thsa_febsink_") + "/partials"
-    ck = tempfile.mkdtemp(prefix="thsa_ck_feb_")
+    ck = checkpoint_scratch("thsa_ck_feb_")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -1004,7 +1009,7 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # noop sink with a kept handle: the data plane is irrelevant here,
     # the metrics channel is the API under test
-    ck = tempfile.mkdtemp(prefix="thsa_ck_obsm_")
+    ck = checkpoint_scratch("thsa_ck_obsm_")
     with shuffle_partitions_override(spark, _DRAIN_PARTS):
         handle = (
             observed.groupBy("event_type")
@@ -1053,7 +1058,7 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, not the sink, carries exactly the right totals."""
     sdf = _multibatch_stream(spark, sf_dir, "events")
     counts = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
-    ck = tempfile.mkdtemp(prefix="thsa_ck_staterd_")
+    ck = checkpoint_scratch("thsa_ck_staterd_")
     with shuffle_partitions_override(spark, _DRAIN_PARTS):
         q = (
             counts.writeStream.outputMode("update")
@@ -1609,7 +1614,7 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     drop = tempfile.mkdtemp(prefix="thsa_incr_drop_") + "/docs"
     sink = tempfile.mkdtemp(prefix="thsa_incr_sink_") + "/out"
-    ck = tempfile.mkdtemp(prefix="thsa_ck_incr_")
+    ck = checkpoint_scratch("thsa_ck_incr_")
     n_runs = 0
     for part in (0, 1):  # two arrival slices
         docs.filter(F.col("doc_id") % 2 == part).write.mode("append").json(
@@ -1685,6 +1690,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
     root = tempfile.mkdtemp(prefix="thsa_cdc_")
+    ck = checkpoint_scratch("thsa_ck_cdc_")
     src = f"{root}/changes"
     state_root = f"{root}/state"
     os.makedirs(state_root)
@@ -1770,7 +1776,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", f"{root}/ck")
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
