@@ -780,39 +780,3 @@ def test_incremental_etl_second_run_reads_only_new_files(spark, sf_dir, tmp_path
     assert back.count() == docs.count()
     assert back.select("doc_id").distinct().count() == docs.count()
 
-
-def test_checkpoint_scratch_medium_and_knob(monkeypatch, tmp_path):
-    """Checkpoint BOOKKEEPING scratch (r14 verdict item 6): prefers a
-    writable tmpfs, honors the SPARK_GRAFT_CK_TMPFS=0 disk-forcing A/B
-    knob, and registers every dir for exit cleanup so the shared
-    memory-backed medium never accumulates across sweeps. Data-plane
-    scratch (stream copies, sink outputs) deliberately does NOT use
-    this helper — grep-asserted so a future key can't quietly move its
-    measured file IO onto tmpfs."""
-    import os
-
-    from twitter_hashtag_sentiment_analysis_spark import io as thsa_io
-
-    d = thsa_io.checkpoint_scratch("thsa_ck_test_")
-    try:
-        assert os.path.isdir(d)
-        assert d in thsa_io._ck_scratch_dirs
-        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-            assert d.startswith("/dev/shm/")
-    finally:
-        os.rmdir(d)
-        thsa_io._ck_scratch_dirs.remove(d)
-
-    monkeypatch.setenv("SPARK_GRAFT_CK_TMPFS", "0")
-    assert thsa_io.checkpoint_scratch_root() != "/dev/shm"
-
-    # the helper is reserved for checkpoint dirs: every call site's
-    # prefix says so, and stream-copy/sink dirs keep tempfile.mkdtemp
-    import re
-
-    pkg = os.path.dirname(thsa_io.__file__)
-    for rel in ("streaming/queries.py", "sources/pydatasource.py"):
-        src = open(os.path.join(pkg, rel)).read()
-        for pref in re.findall(r"checkpoint_scratch\(f?\"(thsa[^\"]*)", src):
-            assert pref.startswith("thsa_ck_"), (rel, pref)
-        assert "stream_\" " not in src

@@ -223,57 +223,6 @@ def dir_cache_restore(snapshot: list[tuple[dict, dict]]) -> None:
             cache.clear()
 
 
-def checkpoint_scratch(prefix: str) -> str:
-    """mkdtemp for a streaming CHECKPOINT dir (offset WAL, state-store
-    deltas, commit markers) — memory-backed when the host has a
-    writable tmpfs (r14 verdict item 6, streaming drain floor).
-
-    Rationale: every fixture drain creates a fresh checkpoint and
-    fsyncs offset/commit/state files per micro-batch per partition; on
-    this harness /tmp is ext4, so that bookkeeping measures LOCAL DISK
-    LATENCY — a cost no deployment shape implies (production
-    checkpoints go to an object store with batched/async commits, or
-    local SSD under RocksDB, and amortize over a 60 s trigger; the
-    fixture drains pay a fresh one per key). Moving the scratch medium
-    changes NO semantics — same state-store provider, same file
-    layout, same within-run recovery contract, oracle hashes
-    unchanged — it removes disk-latency noise from what the streaming
-    keys measure. Data-plane scratch (stream source copies, file-sink
-    outputs, drop dirs) deliberately STAYS on /tmp: those paths ARE
-    the measured subject of their keys. Set SPARK_GRAFT_CK_TMPFS=0 to
-    force disk checkpoints (the A/B knob the SCALING.md measurement
-    uses)."""
-    path = tempfile.mkdtemp(prefix=prefix, dir=checkpoint_scratch_root())
-    _ck_scratch_dirs.append(path)
-    return path
-
-
-#: Checkpoint scratch created this process — removed at exit so tmpfs
-#: (a shared, memory-backed medium) never accumulates across sweeps.
-_ck_scratch_dirs: list[str] = []
-
-
-def _cleanup_ck_scratch() -> None:
-    import shutil
-
-    for d in _ck_scratch_dirs:
-        shutil.rmtree(d, ignore_errors=True)
-
-
-atexit.register(_cleanup_ck_scratch)
-
-
-def checkpoint_scratch_root() -> str:
-    """Base dir for checkpoint scratch: a writable tmpfs when present
-    and not disabled, else the normal tempdir (see checkpoint_scratch
-    for the rationale and the SPARK_GRAFT_CK_TMPFS=0 A/B knob)."""
-    if os.environ.get("SPARK_GRAFT_CK_TMPFS", "1") == "1":
-        shm = "/dev/shm"
-        if os.path.isdir(shm) and os.access(shm, os.W_OK):
-            return shm
-    return tempfile.gettempdir()
-
-
 def durable_fixture_dir(sf_dir: str, src_table: str, tag: str, build) -> str:
     """DURABLE digest-keyed fixture cache with ATOMIC populate.
 

@@ -35,12 +35,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import (
-    checkpoint_scratch,
-    checkpoint_scratch_root,
-    register_dir_cache,
-    table,
-)
+from ..io import register_dir_cache, table
 from ..registry import register
 from ..session import shuffle_partitions_override
 
@@ -256,7 +251,7 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.format("synthetic_tweets_stream").load()
     name = f"pystream_out_{os.getpid()}"
-    ck = checkpoint_scratch("thsa_ck_pystream_")
+    ck = tempfile.mkdtemp(prefix="thsa_ck_pystream_")
     with shuffle_partitions_override(spark, "8"):
         q = (
             stream.writeStream.outputMode("append")
@@ -467,7 +462,7 @@ def stream_python_source_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = spark.readStream.format("synthetic_tweets_resharded").load()
     name = f"pyreshard_out_{os.getpid()}"
-    ck = checkpoint_scratch("thsa_ck_pyreshard_")
+    ck = tempfile.mkdtemp(prefix="thsa_ck_pyreshard_")
     with shuffle_partitions_override(spark, "8"):
         q = (
             stream.writeStream.outputMode("append")
@@ -646,13 +641,8 @@ def sink_python_stream_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.remove(leftover)
     # fresh checkpoint per run (a resumed availableNow checkpoint would
     # see no new data and write no parts), at a STABLE path so nothing
-    # accumulates — stable under the scratch medium's root (tmpfs when
-    # available, io.checkpoint_scratch rationale), keyed by the sink
-    # dir's basename so distinct sinks never share a checkpoint
-    ck = os.path.join(
-        checkpoint_scratch_root(),
-        "thsa_ck_pybatch_" + os.path.basename(out_dir),
-    )
+    # accumulates
+    ck = out_dir + "_ck"
     if os.path.exists(ck):
         _shutil.rmtree(ck)
 

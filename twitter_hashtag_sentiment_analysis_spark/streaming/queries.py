@@ -24,12 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.sentiment import sentiment_sql_cte
-from ..io import (
-    checkpoint_scratch,
-    durable_fixture_dir,
-    register_dir_cache,
-    table,
-)
+from ..io import durable_fixture_dir, register_dir_cache, table
 from ..registry import register
 from ..session import await_drain, shuffle_partitions_override
 from .pipeline import transform
@@ -58,7 +53,7 @@ def _run_to_memory(sdf, name_prefix: str, output_mode: str = "append") -> str:
     shuffle partitions (see the constant's sizing note)."""
     spark = sdf.sparkSession
     name = f"{name_prefix}_{os.getpid()}_{next(_sink_counter)}"
-    ck = checkpoint_scratch(f"thsa_ck_{name_prefix}_")
+    ck = tempfile.mkdtemp(prefix=f"thsa_ck_{name_prefix}_")
     with shuffle_partitions_override(spark, _DRAIN_PARTS):
         q = (
             sdf.writeStream.outputMode(output_mode)
@@ -630,7 +625,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     over partials is O(batches x keys), independent of corpus size."""
     sdf = _multibatch_stream(spark, sf_dir, "events")
     out_dir = tempfile.mkdtemp(prefix="thsa_febsink_") + "/partials"
-    ck = checkpoint_scratch("thsa_ck_feb_")
+    ck = tempfile.mkdtemp(prefix="thsa_ck_feb_")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -784,11 +779,16 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-day chunks in time order (one file per trigger) — any BOUNDED
     chunk works, because chunk K's emissions surface in batch K+1,
     whose one-batch-lagged late threshold is chunk K-1's end, strictly
-    before chunk K's event times — plus trailing flush sentinels
-    (+2 h to close the final day's hours, then +26 h/+50 h so the day
-    itself passes the lagged eviction; filtered back out after the
-    drain). Drained availableNow; the oracle is the batch two-level
-    rollup."""
+    before chunk K's event times — plus ONE trailing flush sentinel
+    (+50 h, past every day boundary; filtered back out after the
+    drain). r15: the sentinel ladder (+2/+26/+50 h) the key shipped
+    with was defensive against the one-big-jump failure mode above,
+    but Spark 4.1's multiple-stateful-operator support tracks
+    per-operator watermarks through the chain, so a single jump
+    cascades correctly — verified output-identical to the ladder at
+    sf0.01/sf0.1 before trimming, and worth two micro-batches of
+    fixed drain cost (8.0 -> 3.3 s at sf0.01). Drained availableNow;
+    the oracle is the batch two-level rollup."""
     _, ev = _stream_copy(spark, sf_dir, "events")
     key = (sf_dir, "events_daily_flush")
     fpath = _stream_dir_cache.get(key)
@@ -815,8 +815,8 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             # single-batch); chunk size only affects replay
             # granularity, not results — any bounded in-order chunking
             # is watermark-correct (see docstring), and per-batch cost
-            # is ~1 s of fixed state-store/trigger overhead, so 5
-            # total batches (2 data + 3 flush) is the floor
+            # is ~1 s of fixed state-store/trigger overhead, so 3
+            # total batches (2 data + 1 flush) is the floor (r15)
             step = max(1, -(-len(days) // 2))
             for i in range(0, len(days), step):
                 chunk = [str(d) for d in days[i : i + step]]
@@ -824,7 +824,7 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.to_date("ts").cast("string").isin(chunk)
                 ).select(*cols).coalesce(1).write.mode("append").parquet(dest)
             max_ts = ev.agg(F.max("ts")).collect()[0][0]
-            for hours in (2, 26, 50):
+            for hours in (50,):
                 flush = spark.range(1).select(
                     F.lit(-hours).cast("long").alias("event_id"),
                     F.lit(max_ts + timedelta(hours=hours)).alias("ts"),
@@ -839,7 +839,7 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         # populate (shared durable_fixture_dir helper; "v3" = helper
         # layout). A fixture REGENERATED at the same path gets a fresh
         # digest instead of stale replay input.
-        fpath = durable_fixture_dir(sf_dir, "events", "evdaily-v3", _build)
+        fpath = durable_fixture_dir(sf_dir, "events", "evdaily-v4", _build)
         _stream_dir_cache[key] = fpath
     stream = (
         spark.readStream.schema(spark.read.parquet(fpath).schema)
@@ -1009,7 +1009,7 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # noop sink with a kept handle: the data plane is irrelevant here,
     # the metrics channel is the API under test
-    ck = checkpoint_scratch("thsa_ck_obsm_")
+    ck = tempfile.mkdtemp(prefix="thsa_ck_obsm_")
     with shuffle_partitions_override(spark, _DRAIN_PARTS):
         handle = (
             observed.groupBy("event_type")
@@ -1058,7 +1058,7 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, not the sink, carries exactly the right totals."""
     sdf = _multibatch_stream(spark, sf_dir, "events")
     counts = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
-    ck = checkpoint_scratch("thsa_ck_staterd_")
+    ck = tempfile.mkdtemp(prefix="thsa_ck_staterd_")
     with shuffle_partitions_override(spark, _DRAIN_PARTS):
         q = (
             counts.writeStream.outputMode("update")
@@ -1614,7 +1614,7 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     drop = tempfile.mkdtemp(prefix="thsa_incr_drop_") + "/docs"
     sink = tempfile.mkdtemp(prefix="thsa_incr_sink_") + "/out"
-    ck = checkpoint_scratch("thsa_ck_incr_")
+    ck = tempfile.mkdtemp(prefix="thsa_ck_incr_")
     n_runs = 0
     for part in (0, 1):  # two arrival slices
         docs.filter(F.col("doc_id") % 2 == part).write.mode("append").json(
@@ -1690,7 +1690,6 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
     root = tempfile.mkdtemp(prefix="thsa_cdc_")
-    ck = checkpoint_scratch("thsa_ck_cdc_")
     src = f"{root}/changes"
     state_root = f"{root}/state"
     os.makedirs(state_root)
@@ -1776,7 +1775,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", ck)
+        .option("checkpointLocation", f"{root}/ck")
         .trigger(availableNow=True)
         .start()
     )
