@@ -25,6 +25,10 @@ distinguish that from a real regression, so any key whose first run
 exceeds 1.4x its pinned BENCH_REF.json reference (and by >0.2 s
 absolute) is re-run up to twice and scored at the MIN of its runs:
 jitter vanishes on re-run, a real regression survives all three. The
+in-loop retry spend is alphabetical, so a slice of the global budget
+is RESERVED for a post-sweep second pass over the keys still tripping
+the gate, worst-pin-ratio first (r15: on degraded days the in-loop
+budget exhausted mid-alphabet and the tail was scored unretried). The
 per-key runs are recorded in BENCH_DETAIL["reps"] so round-over-round
 drift is attributable from the artifact alone. Keys backed by an
 in-process memo (the kNN-edge / CC-label caches) are exempt — their
@@ -86,6 +90,32 @@ def repin_movers(
             moved.append((k, old, new))
     shared = sum(1 for k in reference if k in timings)
     return moved, shared
+
+
+def second_pass_order(
+    timings: dict[str, float],
+    reference: dict[str, float],
+    skip: set[str],
+) -> list[str]:
+    """Order for the reserved second retry pass (r15), factored for
+    testability: keys whose single scored run still trips the jitter
+    gate, worst pin-ratio first. The in-loop budget is spent
+    alphabetically, so on a globally degraded machine-day it exhausts
+    before the alphabet tail ever sees a retry (r15 closing sweeps:
+    the budget died at `udtf_chunk_text`, and the keys after it were
+    scored on one unretried sample each, reading 1.6-2.25x pin from
+    load alone). A reserved slice spent worst-first AFTER the sweep
+    gives the tail the same protection as the head. Keys in `skip`
+    (memo-backed, or already retried in-loop) are excluded: a memo
+    retry would score a cache hit, and a key that kept its ratio
+    through in-loop retries has had its chance."""
+    out = [
+        k
+        for k, t in timings.items()
+        if k not in skip and needs_retry([t], reference.get(k), 1)
+    ]
+    out.sort(key=lambda k: -(timings[k] / reference[k]))
+    return out
 
 
 def main() -> None:
@@ -180,6 +210,15 @@ def main() -> None:
     # sweep's wall-clock. 60 retries covers 10x the observed blast
     # radius while bounding the worst case.
     retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "60"))
+    # Reserved slice of the budget for a post-sweep second pass
+    # (second_pass_order above): the in-loop spend is alphabetical, so
+    # without a reserve a globally slow day leaves the alphabet tail
+    # entirely unprotected while early keys burn retries that mostly
+    # fail to improve (global slowness is not local jitter).
+    retry_reserve = min(
+        int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_RESERVE", "15")),
+        retry_budget,
+    )
     # In-process-memo-backed keys: a re-run reads the memo the first
     # run built (sim_knn_graph_mutual's disclosed 0.04 s cache read),
     # so MIN-of-runs would score a cache hit. First run stands. The
@@ -215,6 +254,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     rep_log: dict[str, list[float]] = {}
+    # Per-key cache snapshots survive the loop so the reserve pass can
+    # rewind a key to ITS first-run state even after later keys have
+    # mutated the shared dir caches (restore also clears caches first
+    # registered after the snapshot — r15 io.py semantics — so the
+    # retry rebuilds exactly what the key's own first run built).
+    snapshots: dict[str, list] = {}
     for name in names:
         # Snapshot the in-process fixture-dir caches so a jitter-guard
         # RETRY re-enters the exact cache state run 1 saw: without the
@@ -225,12 +270,13 @@ def main() -> None:
         # shared-cache warmth inherited from earlier keys — identical
         # in the pin sweep — is preserved.
         cache_state = dir_cache_snapshot()
+        snapshots[name] = cache_state
         runs = [run_once(name)]
         settle()
         ref = reference.get(name)
         if name not in memo_backed:
             while len(runs) <= max_retries and needs_retry(
-                runs, ref, retry_budget
+                runs, ref, retry_budget - retry_reserve
             ):
                 retry_budget -= 1
                 dir_cache_restore(cache_state)
@@ -242,6 +288,28 @@ def main() -> None:
             # stderr, not stdout: the driver parses stdout JSON lines
             sys.stderr.write(
                 f"[bench] jitter-guard retried {name}: runs={runs} "
+                f"ref={ref}\n"
+            )
+
+    # Reserve pass: spend whatever budget remains (at least the
+    # reserve) on the keys still tripping the gate, worst-first.
+    for name in second_pass_order(
+        timings, reference, memo_backed | set(rep_log)
+    ):
+        runs = [timings[name]]
+        ref = reference.get(name)
+        while len(runs) <= max_retries and needs_retry(
+            runs, ref, retry_budget
+        ):
+            retry_budget -= 1
+            dir_cache_restore(snapshots[name])
+            runs.append(run_once(name))
+            settle()
+        if len(runs) > 1:
+            timings[name] = min(runs)
+            rep_log[name] = runs
+            sys.stderr.write(
+                f"[bench] reserve-pass retried {name}: runs={runs} "
                 f"ref={ref}\n"
             )
 

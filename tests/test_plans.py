@@ -1023,6 +1023,18 @@ def test_bench_jitter_guard_retry_decision():
     assert [m[0] for m in moved] == ["a"]
     assert bench.repin_movers({}, now) == ([], 0)
 
+    # reserve pass (r15): keys still tripping the gate after the
+    # in-loop spend, worst-pin-ratio first; memo-backed and
+    # already-retried keys excluded; gate semantics match needs_retry
+    # (ratio AND absolute), so sub-floor wobbles never queue
+    t = {"z_tail": 3.0, "a_head": 1.0, "m_mid": 2.1, "memo": 9.0,
+         "tried": 5.0, "small": 0.2, "nopin": 7.0}
+    r = {"z_tail": 1.0, "a_head": 0.9, "m_mid": 1.0, "memo": 1.0,
+         "tried": 1.0, "small": 0.05}
+    order = bench.second_pass_order(t, r, skip={"memo", "tried"})
+    assert order == ["z_tail", "m_mid"]  # 3.0x before 2.1x; rest gated out
+    assert bench.second_pass_order({}, r, skip=set()) == []
+
 
 def test_bench_retry_rewinds_dir_caches():
     """The jitter-guard retry must re-enter the exact fixture-dir cache
