@@ -2406,3 +2406,55 @@ def test_sampled_recall_audits_bounded_and_monotone(spark, sf_dir):
     assert all(r["n_sample"] == n_s and r["n_truth"] == 100 for r in rows)
     founds = [r["n_found"] for r in rows]
     assert founds == sorted(founds), founds
+
+
+def test_label_propagation_invariants(spark, sf_dir):
+    """Deterministic synchronous LPA: (a) every vocabulary node gets
+    exactly one label, (b) every label IS a vocabulary node (labels
+    only propagate, they are never invented), (c) the partition is
+    coarser than singletons on a connected co-occurrence graph (at
+    least one label spans >= 2 nodes), and (d) a second build is
+    bit-identical — the min-label tie-break leaves no run-to-run
+    nondeterminism for the exact oracle to trip over."""
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    fn = load_all()["graph_label_propagation"].fn
+    rows = fn(spark, sf_dir).collect()
+    labels = {r["word"]: r["label"] for r in rows}
+    assert len(labels) == len(rows)  # one row per node
+    vocab = set(labels)
+    assert set(labels.values()) <= vocab
+    from collections import Counter
+
+    sizes = Counter(labels.values())
+    assert max(sizes.values()) >= 2, sizes
+    again = {r["word"]: r["label"] for r in fn(spark, sf_dir).collect()}
+    assert again == labels
+
+
+def test_ngram_lm_train_is_bounded_smoothed_and_broadcast(spark, sf_dir):
+    """The trained bigram table must be inspection-sized (<= 20
+    prefixes x 3 continuations), every smoothed probability must be a
+    genuine probability (0 < p < 1 — add-k smoothing can never emit 0
+    or 1 on a multi-token vocabulary), and per-prefix the top-3 must
+    be count-descending. Plan: the per-prefix window runs over a
+    BROADCAST of the 20 selected prefixes (never a vocabulary-wide
+    shuffle), and the prefix selection itself is a TakeOrdered, not a
+    global sort."""
+    from twitter_hashtag_sentiment_analysis_spark.plans import explain_str
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    df = load_all()["text_ngram_lm_train"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) <= 60
+    by_prefix: dict[str, list] = {}
+    for r in rows:
+        assert 0.0 < r["p_smoothed"] < 1.0, r
+        by_prefix.setdefault(r["prefix"], []).append(r["c_xy"])
+    assert len(by_prefix) <= 20
+    for prefix, counts in by_prefix.items():
+        assert len(counts) <= 3, (prefix, counts)
+        assert counts == sorted(counts, reverse=True), (prefix, counts)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -2366,3 +2366,99 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("n_chars"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+_NGRAM_LM_TRAIN_SQL = """
+    WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+    bi AS (
+        SELECT ts[CAST(i AS INT)] AS x, ts[CAST(i + 1 AS INT)] AS y
+        FROM toks, unnest(range(1, len(ts))) AS u(i)
+        WHERE len(ts) >= 2 AND ts[CAST(i AS INT)] <> ''
+          AND ts[CAST(i + 1 AS INT)] <> ''
+    ),
+    big AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM bi GROUP BY x, y
+    ),
+    pre AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM big GROUP BY x),
+    vocab AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM (SELECT x AS tok FROM big UNION ALL SELECT y FROM big)
+    ),
+    top_pre AS (SELECT x, c_x FROM pre ORDER BY c_x DESC, x ASC LIMIT 20),
+    ranked AS (
+        SELECT t.x AS prefix, b.y AS next_tok, b.c_xy, t.c_x,
+               row_number() OVER (
+                   PARTITION BY t.x ORDER BY b.c_xy DESC, b.y ASC
+               ) AS rn
+        FROM top_pre t JOIN big b ON b.x = t.x
+    )
+    SELECT prefix, next_tok, c_xy,
+           round((c_xy + 0.5) / (c_x + 0.5 * v.v), 6) AS p_smoothed
+    FROM ranked, vocab v
+    WHERE rn <= 3
+"""
+
+
+@register("text_ngram_lm_train", sql=_NGRAM_LM_TRAIN_SQL, eager=True)
+def text_ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the corpus bigram language model that text_lm_doc_nll
+    only consumes: bigram counts + add-k smoothing (k = 0.5) over the
+    documents table, reported as the top-3 continuations for the 20
+    most frequent prefix tokens (bounded, inspection-sized output —
+    the full conditional table is the intermediate `big` relation a
+    deployment would sink instead). p(y|x) = (c_xy + k) / (c_x + k*V)
+    with V the corpus vocabulary size. Scale shape: ONE bigram
+    aggregation shuffle reused three ways off a localCheckpoint
+    (conditional counts, prefix marginals, vocabulary size), the
+    top-20 prefix selection is a global TakeOrderedAndProject (never
+    a full sort), and the per-prefix top-3 window runs over a
+    BROADCAST of those 20 prefixes joined back to the counts — so the
+    row_number window sees 20 groups, not the vocabulary. The
+    smoothing constant and both tie-breaks (count desc, token asc)
+    are deterministic, giving an exact DuckDB oracle. Batch
+    generalization of the reference's text surface (streamer.py:48
+    keyword containment) toward the LM-training side of a data
+    pipeline; complements text_collocation_pmi (association) and
+    text_lm_doc_nll (scoring)."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        F.split("text", " ").alias("toks")
+    )
+    bigrams = F.expr(
+        "IF(size(toks) >= 2, "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS x, element_at(toks, i+1) AS y)), "
+        "CAST(array() AS ARRAY<STRUCT<x: STRING, y: STRING>>))"
+    )
+    big = (
+        d.select(F.explode(bigrams).alias("e"))
+        .select("e.x", "e.y")
+        .filter((F.col("x") != "") & (F.col("y") != ""))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+        .localCheckpoint(eager=True)  # built once, read three ways
+    )
+    pre = big.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    vocab = (
+        big.select(F.col("x").alias("tok"))
+        .union(big.select("y"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    top_pre = pre.orderBy(F.col("c_x").desc(), F.col("x").asc()).limit(20)
+    argtop = Window.partitionBy("x").orderBy(
+        F.col("c_xy").desc(), F.col("y").asc()
+    )
+    ranked = (
+        big.join(F.broadcast(top_pre), "x")
+        .withColumn("rn", F.row_number().over(argtop))
+        .filter(F.col("rn") <= 3)
+    )
+    return ranked.crossJoin(F.broadcast(vocab)).select(
+        F.col("x").alias("prefix"),
+        F.col("y").alias("next_tok"),
+        "c_xy",
+        F.round(
+            (F.col("c_xy") + F.lit(0.5))
+            / (F.col("c_x") + F.lit(0.5) * F.col("v")),
+            6,
+        ).alias("p_smoothed"),
+    )

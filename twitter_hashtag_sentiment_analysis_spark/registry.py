@@ -117,13 +117,20 @@ _DRIVER_SAMPLE_PREFIX = (
     # `python tools/apply_next_prefix.py` at round start)
     "sim_lsh_recall_audit_sampled",
     "sim_ivf_recall_curve_sampled",
+    "graph_label_propagation",
+    "text_ngram_lm_train",
+    # changed-first rule (r11+): kernels whose code changed this round
+    # are hand-swapped in over the generated padding tail
     "ts_fill_forward",
+    "stream_two_level_window",
+    "text_decontaminate_bloom",
+    "text_langid",
+    "quality_gopher_rules",
     "agg_approx_quantile",
     "event_funnel_latency",
     "event_paths_top",
     "ts_seasonal_baseline",
     "win_running_distinct",
-    "win_pareto_share",
     "win_rolling_median",
     "set_except_all",
     "graph_pagerank",
@@ -160,11 +167,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "corpus_mix_allocate",
     "ts_holt_linear",
     "ts_autocorr",
-    "event_peak_concurrency",
-    "ts_downsample_lttb",
-    "event_audience_overlap",
-    "sql_mv_incremental",
-    "graph_bfs_hops",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
