@@ -33,3 +33,45 @@ def test_fill_forward_generative_matches_spine_semantics(spark, tmp_path):
         ("a", 3): (5.0, False, 0),  # observed but all-null: carry, no gap
         ("b", 9): (2.5, False, 0),
     }
+
+
+def test_groups_frame_matches_bruteforce_peer_semantics(spark, sf_dir):
+    """win_groups_frame must implement true GROUPS semantics: for each
+    row, the frame is the current DAY's full peer set plus the entire
+    previous DISTINCT day (skipping calendar gaps — where RANGE-over-
+    day would see an empty predecessor). Brute-force recompute per row
+    from the raw events and compare exactly."""
+    from collections import defaultdict
+
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    out = {
+        r["event_id"]: (r["grp_sum"], r["grp_cnt"])
+        for r in load_all()["win_groups_frame"].fn(spark, sf_dir).collect()
+    }
+    raw = table(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "cast(date_trunc('day', ts) as date) as day",
+        "value",
+    ).collect()
+    by_user = defaultdict(list)
+    for r in raw:
+        by_user[r["user_id"]].append(r)
+    n_gap_rows = 0
+    for rows in by_user.values():
+        days = sorted({r["day"] for r in rows})
+        day_pos = {d: i for i, d in enumerate(days)}
+        by_day = defaultdict(list)
+        for r in rows:
+            by_day[r["day"]].append(r)
+        for r in rows:
+            i = day_pos[r["day"]]
+            frame = by_day[days[i]] + (by_day[days[i - 1]] if i > 0 else [])
+            want_sum = round(sum(x["value"] for x in frame), 6)
+            want_cnt = len(frame)
+            got_sum, got_cnt = out[r["event_id"]]
+            assert got_cnt == want_cnt, (r, got_cnt, want_cnt)
+            assert abs(got_sum - want_sum) < 1e-6, (r, got_sum, want_sum)
+            if i > 0 and (days[i] - days[i - 1]).days > 1:
+                n_gap_rows += 1  # rows where RANGE-over-day would differ
+    assert len(out) == len(raw)

@@ -1161,3 +1161,14 @@ def test_fill_forward_is_generative_no_join_single_scan(spark, sf_dir):
     assert not any("Join" in n for n in nodes), plan
     assert nodes.count("Scan") == 1, plan
     assert _n_exchanges(plan) == 2, plan
+
+
+def test_groups_frame_single_shuffle(spark, sf_dir):
+    """The GROUPS-frame composition (dense_rank + integer RANGE) must
+    share ONE user_id Exchange across both windows — the rank window
+    and the frame window repartitioning separately would double the
+    only shuffle. The second Sort is an in-partition pass over runs
+    the first already ordered (grp_rank order == day order)."""
+    plan = plan_of(spark, sf_dir, "win_groups_frame")
+    assert _n_exchanges(plan) == 1, plan
+    assert len(re.findall(r"\) Window$", plan, re.M)) == 2, plan

@@ -693,3 +693,71 @@ def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spend_since_signup_cents"),
     )
+
+
+_GROUPS_FRAME_SQL = """
+    WITH days AS (
+        SELECT user_id, event_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day, value
+        FROM events
+    ),
+    dr AS (
+        SELECT user_id, event_id, day, value,
+               dense_rank() OVER (
+                   PARTITION BY user_id ORDER BY day) AS grp_rank
+        FROM days
+    )
+    SELECT user_id, event_id, day, value,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY grp_rank
+               RANGE BETWEEN 1 PRECEDING AND CURRENT ROW), 6) AS grp_sum,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY grp_rank
+               RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS grp_cnt
+    FROM dr
+"""
+
+
+@register("win_groups_frame", sql=_GROUPS_FRAME_SQL)
+def win_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 GROUPS window frame (peer-group framing), which BOTH
+    engines lack natively (probed 2026-08-17: Spark 4.1 PARSE_SYNTAX_
+    ERROR, DuckDB 'GROUPS mode ... not implemented yet') — so the
+    engine FILLS the surface as a composition: ``GROUPS BETWEEN 1
+    PRECEDING AND CURRENT ROW`` == dense_rank() over the ORDER key,
+    then an integer RANGE frame over that rank. Per user, ordered by
+    event DAY (ties = the peer groups), the frame aggregates the
+    current day's peers plus the full previous distinct day —
+    semantics ROWS frames cannot express (peer sets vary per row) and
+    RANGE-over-day only matches when days are contiguous (GROUPS steps
+    by DISTINCT value, skipping gaps). The oracle replays the same
+    composition (the unrolled-equivalence discipline: both engines run
+    the identical well-defined expansion). Scale: ONE shuffle on
+    user_id; both windows share the partitioning, and ordering by
+    grp_rank is ordering by day, so the second sort is a no-op pass
+    over already-sorted runs. round(6) absorbs float sum ulp.
+    Output: (user_id, event_id, day, value, grp_sum, grp_cnt)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "value",
+    )
+    ranked = e.withColumn(
+        "grp_rank",
+        F.dense_rank().over(Window.partitionBy("user_id").orderBy("day")),
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("grp_rank")
+        .rangeBetween(-1, Window.currentRow)
+    )
+    return ranked.select(
+        "user_id",
+        "event_id",
+        "day",
+        "value",
+        F.round(F.sum("value").over(frame), 6).alias("grp_sum"),
+        F.count(F.lit(1)).over(frame).alias("grp_cnt"),
+    )

@@ -119,6 +119,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "sim_ivf_recall_curve_sampled",
     "graph_label_propagation",
     "text_ngram_lm_train",
+    "win_groups_frame",
     # changed-first rule (r11+): kernels whose code changed this round
     # are hand-swapped in over the generated padding tail
     "ts_fill_forward",
@@ -166,7 +167,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "sample_weighted_reservoir",
     "corpus_mix_allocate",
     "ts_holt_linear",
-    "ts_autocorr",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
