@@ -75,3 +75,58 @@ def test_groups_frame_matches_bruteforce_peer_semantics(spark, sf_dir):
             if i > 0 and (days[i] - days[i - 1]).days > 1:
                 n_gap_rows += 1  # rows where RANGE-over-day would differ
     assert len(out) == len(raw)
+
+
+def test_kaplan_meier_matches_bruteforce_estimator(spark, sf_dir):
+    """KM invariants + full brute-force recompute from raw events:
+    survival must start <= 1, be strictly positive unless a risk set
+    is wholly consumed, and be NON-INCREASING in duration; n_risk
+    must telescope exactly (each row's risk set = previous minus
+    everyone who left earlier); censored users must never count as
+    events. The brute-force estimator recomputes S(t) in Python from
+    the same censoring rule."""
+    import math
+    from collections import Counter
+
+    from twitter_hashtag_sentiment_analysis_spark.io import table
+    from twitter_hashtag_sentiment_analysis_spark.operators.timeseries import (
+        KM_CENSOR_DAYS,
+    )
+    from twitter_hashtag_sentiment_analysis_spark.registry import load_all
+
+    rows = sorted(
+        load_all()["ts_kaplan_meier"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["dur_days"],
+    )
+    raw = table(spark, sf_dir, "events").selectExpr(
+        "user_id", "cast(ts as date) as d"
+    ).collect()
+    first: dict = {}
+    last: dict = {}
+    for r in raw:
+        u = r["user_id"]
+        first[u] = min(first.get(u, r["d"]), r["d"])
+        last[u] = max(last.get(u, r["d"]), r["d"])
+    corpus_end = max(last.values())
+    durs = Counter()
+    events = Counter()
+    for u in first:
+        t = (last[u] - first[u]).days
+        durs[t] += 1
+        if (corpus_end - last[u]).days > KM_CENSOR_DAYS:
+            events[t] += 1
+    assert [r["dur_days"] for r in rows] == sorted(durs)
+    n_risk = sum(durs.values())
+    s = 1.0
+    prev_surv = 1.0
+    for r in rows:
+        t = r["dur_days"]
+        assert r["n_risk"] == n_risk, (t, r["n_risk"], n_risk)
+        assert r["n_events"] == events[t]
+        assert r["n_censored"] == durs[t] - events[t]
+        s *= 1.0 - events[t] / n_risk
+        assert abs(r["survival"] - round(s, 6)) < 2e-6, (t, r["survival"], s)
+        assert r["survival"] <= prev_surv + 1e-9
+        prev_surv = r["survival"]
+        n_risk -= durs[t]
+    assert n_risk == 0  # the risk set telescopes to empty

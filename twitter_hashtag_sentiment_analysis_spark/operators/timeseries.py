@@ -3141,3 +3141,127 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("theil_sen_cents_per_day"),
     )
+
+
+#: Right-censoring horizon for the survival curve: a user whose last
+#: event falls within this many days of corpus end is CENSORED (still
+#: active), not churned — the standard guard against calling everyone
+#: who joined recently a churner.
+KM_CENSOR_DAYS = 7
+
+
+_KAPLAN_MEIER_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CAST(ts AS DATE)) AS first_day,
+               max(CAST(ts AS DATE)) AS last_day
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(last_day) AS corpus_end FROM per_user),
+    lifetimes AS (
+        SELECT date_diff('day', first_day, last_day) AS dur_days,
+               CASE WHEN date_diff('day', last_day, h.corpus_end)
+                         > {KM_CENSOR_DAYS}
+                    THEN 1 ELSE 0 END AS churned
+        FROM per_user, horizon h
+    ),
+    km AS (
+        SELECT CAST(dur_days AS BIGINT) AS dur_days,
+               CAST(count(*) AS BIGINT) AS n_leaving,
+               CAST(sum(churned) AS BIGINT) AS n_events,
+               CAST(count(*) - sum(churned) AS BIGINT) AS n_censored
+        FROM lifetimes GROUP BY dur_days
+    ),
+    risk AS (
+        SELECT dur_days, n_events, n_censored,
+               sum(n_leaving) OVER (
+                   ORDER BY dur_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS n_risk
+        FROM km
+    )
+    SELECT dur_days, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           n_censored,
+           round(exp(sum(ln(greatest(
+                   1.0 - CAST(n_events AS DOUBLE) / n_risk, 1e-300)))
+               OVER (ORDER BY dur_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               6) AS survival
+    FROM risk
+"""
+
+
+@register("ts_kaplan_meier", sql=_KAPLAN_MEIER_SQL)
+def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes with right
+    censoring — the survival-analysis view of retention that
+    event_retention_cohort's fixed cohort grid cannot give (KM uses
+    every user's full observation window and handles staggered entry
+    correctly). Lifetime = days between a user's first and last
+    event; users whose last event is within KM_CENSOR_DAYS of corpus
+    end are CENSORED (they leave the risk set without counting as
+    churn — the standard correction without which recent joiners all
+    look like churners). S(t) = prod over t_i <= t of
+    (1 - d_i / n_i), computed as exp of a running sum of logs so the
+    cumulative product is a single window (d_i = n_i collapses
+    survival to 0 via the 1e-300 floor, which rounds to 0.0 on both
+    engines regardless of libm ulp; round(6) absorbs the rest).
+    Scale shape: ONE user-grain aggregation shuffle (the corpus-sized
+    pass), then everything is duration-grain — a relation bounded by
+    the observation window in DAYS, so the two ordered windows run on
+    dozens of rows; the corpus-end horizon is a 1-row broadcast
+    (sub_scalar pattern). Output per distinct lifetime: (dur_days,
+    n_risk, n_events, n_censored, survival)."""
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_day"),
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+        )
+    )
+    horizon = per_user.agg(F.max("last_day").alias("corpus_end"))
+    lifetimes = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_day", "first_day").alias("dur_days"),
+        (
+            F.datediff("corpus_end", "last_day") > KM_CENSOR_DAYS
+        ).cast("int").alias("churned"),
+    )
+    km = lifetimes.groupBy("dur_days").agg(
+        F.count("*").alias("n_leaving"),
+        F.sum("churned").alias("n_events"),
+        (F.count("*") - F.sum("churned")).alias("n_censored"),
+    )
+    w_risk = Window.orderBy("dur_days").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_cum = Window.orderBy("dur_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = km.select(
+        F.col("dur_days").cast("long").alias("dur_days"),
+        F.sum("n_leaving").over(w_risk).alias("n_risk"),
+        "n_events",
+        "n_censored",
+    )
+    return risk.select(
+        "dur_days",
+        "n_risk",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.greatest(
+                            F.lit(1.0)
+                            - F.col("n_events").cast("double")
+                            / F.col("n_risk"),
+                            F.lit(1e-300),
+                        )
+                    )
+                ).over(w_cum)
+            ),
+            6,
+        ).alias("survival"),
+    )

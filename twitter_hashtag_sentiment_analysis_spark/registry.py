@@ -120,6 +120,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "graph_label_propagation",
     "text_ngram_lm_train",
     "win_groups_frame",
+    "ts_kaplan_meier",
     # changed-first rule (r11+): kernels whose code changed this round
     # are hand-swapped in over the generated padding tail
     "ts_fill_forward",
@@ -166,7 +167,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "corpus_token_budget",
     "sample_weighted_reservoir",
     "corpus_mix_allocate",
-    "ts_holt_linear",
 )
 
 # The modules whose keys rounds 1-4 already sampled (registry positions
