@@ -1461,98 +1461,146 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cumulative counts, so the doubles are identical IEEE
     quotients on both engines and D is emitted UNROUNDED.
 
-    Scale shape: the grid is segments (5, enumerable) x distinct
-    prices — linear with a constant, never orders x orders. The
-    cumulative counts need a prefix scan; ``PARTITION BY segment``
-    alone would put ~all distinct prices in 5 window tasks, so the
-    Spark side runs the classic distributed prefix-sum instead:
-    per-(segment, price-bucket) subtotals, a tiny bucket-level
-    cumulative window (segments x ~buckets rows), then a parallel
+    Scale shape: distinct prices x a 5-wide segment-counter row —
+    linear with a constant, never orders x orders. The cumulative
+    counts need a prefix scan; ``PARTITION BY segment`` alone would
+    put ~all distinct prices in 5 window tasks, so the Spark side runs
+    the classic distributed prefix-sum instead: per-price-bucket
+    subtotals, a tiny bucket-level cumulative window, then a parallel
     within-bucket window offset by the bucket prefix — the same
-    decomposition sql_scripting's global rank got in round 7. The
-    oracle keeps the single-window formulation; identical results."""
+    decomposition sql_scripting's global rank got in round 7 — with
+    the enumerable segment dimension held WIDE (one conditional-sum
+    column per segment, r15) so the prefix pass runs once, not per
+    segment. The oracle keeps the single-window long formulation;
+    identical results."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     priced = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"), cents.alias("cents")
     )
-    # ONE scan of the orders-customer join: price_tot and the segment
-    # list re-aggregate seg_cnt (exchange-reused) instead of each
-    # rescanning `priced` — the r10/r11 sweeps showed this key's
-    # in-sweep first run creeping from the three independent subtrees'
-    # codegen + scan repetition
+    # ONE scan of the orders-customer join: every downstream consumer
+    # re-aggregates seg_cnt (exchange-reused) instead of rescanning
+    # `priced` — the r10/r11 sweeps showed this key's in-sweep first
+    # run creeping from independent subtrees' codegen + scan repetition
     seg_cnt = priced.groupBy("segment", "cents").agg(
         F.count("*").cast("long").alias("c")
     )
-    price_tot = seg_cnt.groupBy("cents").agg(
-        F.sum("c").cast("long").alias("tot")
-    )
-    # segment list via bounded collect (c_mktsegment is an enumerable
-    # ~5-value dimension — same discipline as the IVF codebook): an
-    # exploded literal replaces the distinct + crossJoin stage pair
+    # Segments go WIDE, not long (r15): the segment dimension is an
+    # enumerated ~5-value list, so instead of exploding the price grid
+    # to segments x distinct-cents ROWS (whose five-branch lineage the
+    # old plan recomputed into 24 parquet scans), each segment becomes
+    # one count COLUMN of a single per-cents relation. The distributed
+    # prefix sum then runs ONCE over distinct-cents rows carrying 5
+    # counters, not 5x rows carrying one — 1/5th the window sort
+    # volume. The wide relation is localCheckpoint'ed: the
+    # orders-customer join + two-level agg runs EXACTLY ONCE and every
+    # downstream consumer reads the checkpoint (AQE stage reuse did
+    # NOT dedupe the 4 identical agg subtrees at low core counts —
+    # measured 23.6s vs 9.9s old at sf0.01/local[4] without this; the
+    # checkpoint relation is distinct-cents-sized, bounded by the
+    # price domain, never by row count). Integer identities are exact:
+    # cum_out = cum_tot - cum_in holds in long arithmetic, and the
+    # final D quotients cast the identical longs to double, so every
+    # emitted value is bit-identical.
+    # segment list from the customer dimension ALONE (bounded ~5-value
+    # collect — same discipline as the IVF codebook — against a tiny
+    # dimension scan, NOT a second evaluation of the join): a segment
+    # with customers but zero joined orders yields an all-zero counter
+    # column that contributes 0 to every sum and is dropped by the
+    # final n_in > 0 filter, so the output matches the data-derived
+    # list exactly.
     segs = sorted(
-        r["segment"] for r in seg_cnt.select("segment").distinct().collect()
+        r["c_mktsegment"]
+        for r in c.select("c_mktsegment")
+        .filter(F.col("c_mktsegment").isNotNull())
+        .distinct()
+        .collect()
     )
-    # NOT materialized despite three consumers: a localCheckpoint here
-    # measured SLOWER (2.4-2.9 s vs 1.9 s steady at sf0.1) than letting
-    # the three subtrees recompute — the exchange-reuse + AQE pipeline
-    # beats a storage-block round trip at this relation's size
-    grid = (
-        price_tot.withColumn(
-            "segment", F.explode(F.array(*[F.lit(s) for s in segs]))
-        )
-        .join(seg_cnt, ["segment", "cents"], "left")
-        .select(
-            "segment",
-            "cents",
-            F.coalesce("c", F.lit(0)).alias("in_c"),
-            (F.col("tot") - F.coalesce("c", F.lit(0))).alias("out_c"),
-        )
+    cw = [
+        F.sum(
+            F.when(F.col("segment") == s, F.col("c")).otherwise(F.lit(0))
+        ).alias(f"c{k}")
+        for k, s in enumerate(segs)
+    ]
+    wide = seg_cnt.groupBy("cents").agg(*cw).localCheckpoint(eager=True)
+    # Distributed prefix sum: $50k price buckets give an O(10)-row
+    # bucket relation for the serial cumulative step; the per-price
+    # cumulative window below parallelizes per bucket.
+    g = wide.withColumn("bucket", (F.col("cents") / F.lit(5_000_000)).cast("long"))
+    bucket_tot = g.groupBy("bucket").agg(
+        *[F.sum(f"c{k}").alias(f"b{k}") for k in range(len(segs))]
     )
-    tot = grid.groupBy("segment").agg(
-        F.sum("in_c").cast("long").alias("n_in"),
-        F.sum("out_c").cast("long").alias("n_out"),
-    )
-    # Distributed prefix sum: $50k price buckets give a bucket relation
-    # of segments x O(10) rows for the serial cumulative step; the
-    # per-price cumulative window below parallelizes per bucket.
-    bucket = (F.col("cents") / F.lit(5_000_000)).cast("long")
-    g = grid.withColumn("bucket", bucket)
-    bucket_tot = g.groupBy("segment", "bucket").agg(
-        F.sum("in_c").alias("b_in"), F.sum("out_c").alias("b_out")
-    )
-    w_b = (
-        Window.partitionBy("segment")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    w_b = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
     )
     offsets = bucket_tot.select(
-        "segment",
         "bucket",
-        F.coalesce(F.sum("b_in").over(w_b), F.lit(0)).alias("off_in"),
-        F.coalesce(F.sum("b_out").over(w_b), F.lit(0)).alias("off_out"),
+        *[
+            F.coalesce(F.sum(f"b{k}").over(w_b), F.lit(0)).alias(f"off{k}")
+            for k in range(len(segs))
+        ],
     )
     w_in = (
-        Window.partitionBy("segment", "bucket")
+        Window.partitionBy("bucket")
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cdf = (
-        g.join(offsets, ["segment", "bucket"])
-        .select(
-            "segment",
-            (F.sum("in_c").over(w_in) + F.col("off_in")).alias("cum_in"),
-            (F.sum("out_c").over(w_in) + F.col("off_out")).alias("cum_out"),
-        )
-        .join(tot, "segment")
+    cum = g.join(F.broadcast(offsets), "bucket").select(
+        *[
+            (F.sum(f"c{k}").over(w_in) + F.col(f"off{k}")).alias(f"cum{k}")
+            for k in range(len(segs))
+        ]
     )
-    d = F.abs(
-        F.col("cum_in").cast("double") / F.col("n_in").cast("double")
-        - F.col("cum_out").cast("double") / F.col("n_out").cast("double")
+    # per-segment totals re-aggregate the SAME wide exchange
+    totals = wide.agg(
+        *[F.sum(f"c{k}").alias(f"n{k}") for k in range(len(segs))]
     )
-    return cdf.groupBy("segment", "n_in", "n_out").agg(
-        F.max(d).alias("ks_d")
+    cum_tot = sum(
+        (F.col(f"cum{k}") for k in range(1, len(segs))), F.col("cum0")
+    )
+    scored = cum.crossJoin(F.broadcast(totals))
+    maxes = scored.agg(
+        *[
+            F.max(
+                F.abs(
+                    F.col(f"cum{k}").cast("double")
+                    / F.col(f"n{k}").cast("double")
+                    - (cum_tot - F.col(f"cum{k}")).cast("double")
+                    / (
+                        sum(
+                            (
+                                F.col(f"n{m}")
+                                for m in range(len(segs))
+                                if m != k
+                            ),
+                            F.lit(0).cast("long"),
+                        )
+                    ).cast("double")
+                )
+            ).alias(f"d{k}")
+            for k in range(len(segs))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("segment"),
+                F.col(f"n{k}").alias("n_in"),
+                sum(
+                    (F.col(f"n{m}") for m in range(len(segs)) if m != k),
+                    F.lit(0).cast("long"),
+                ).alias("n_out"),
+                F.col(f"d{k}").alias("ks_d"),
+            )
+            for k, s in enumerate(segs)
+        ]
+    )
+    return (
+        maxes.crossJoin(F.broadcast(totals))
+        .select(F.explode(rows).alias("r"))
+        .select("r.segment", "r.n_in", "r.n_out", "r.ks_d")
+        .filter(F.col("n_in") > 0)
     )
 
 

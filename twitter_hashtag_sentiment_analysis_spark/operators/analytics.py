@@ -544,7 +544,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12 rounds x 2 shuffles on a VOCABULARY-sized graph: size the
     # iteration shuffles to the graph (checkpointed, so count is free),
     # not the session default — same rule as dedup_connected_components
-    parts = max(8, min(2048, trans.count() // 100_000))
+    n_edges = trans.count()
+    parts = max(8, min(2048, n_edges // 100_000))
+    # Per-round lineage truncation pays for itself only on real graphs
+    # (the graph_label_propagation r15 finding, applied here): on a
+    # sub-100k-edge graph the 12 rounds chain into ONE lazy job off the
+    # two checkpointed base relations, while eager per-round checkpoints
+    # cost a job launch each (~12 x ~0.3-1 s of pure scheduling at
+    # sf0.1's 930-edge graph). Above the threshold the un-truncated
+    # chain re-executes prior rounds inside every checkpoint job —
+    # measured 4x slower than per-round truncation here — so big graphs
+    # keep truncating every round. Identical arithmetic either way;
+    # checkpointing never changes values.
+    ck_rounds = n_edges > 100_000
     with shuffle_partitions_override(spark, str(parts)):
         for i in range(PR_ITERS):
             contribs = (
@@ -552,21 +564,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("p")).alias("mass"))
             )
-            # truncate lineage EVERY round: measured 4x faster end-to-end
-            # than every-3rd-round truncation here — un-truncated rounds
-            # re-execute chained shuffles inside the next checkpoint job,
-            # which costs far more than the extra materialization saves
-            ranks = (
-                nodes.join(contribs, nodes.word == contribs.dst, "left")
-                .select(
-                    "word",
-                    (
-                        F.lit(1 - PR_DAMPING)
-                        + F.lit(PR_DAMPING) * F.coalesce("mass", F.lit(0.0))
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+            ranks = nodes.join(
+                contribs, nodes.word == contribs.dst, "left"
+            ).select(
+                "word",
+                (
+                    F.lit(1 - PR_DAMPING)
+                    + F.lit(PR_DAMPING) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
             )
+            if ck_rounds:
+                ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("word", F.round("rank", 6).alias("rank"))
 
 

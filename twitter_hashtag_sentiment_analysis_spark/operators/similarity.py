@@ -2259,28 +2259,101 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     same explicit arithmetic runs on both engines (no builtin covar_*
     kernels, whose update order differs), rounded once at the end."""
     e = table(spark, sf_dir, "embeddings").select(F.col("embedding").alias("v"))
-    dims = e.select(F.posexplode("v").alias("p", "x")).select(
-        (F.col("p") + 1).alias("i"), F.col("x").cast("double").alias("x")
+
+    # ONE vectorized moment pass (r15, guide-§4.2 shape): the previous
+    # plan exploded d(d+1)/2 = 2,080 (i, j, xy) structs PER ROW through
+    # a hash aggregate (plus a second posexplode pass for the
+    # marginals) — 2,081 hash-agg probes per vector, all row-at-a-time
+    # codegen. Each task now hands its Arrow batches to BLAS (X^T X per
+    # batch, accumulated) and emits d marginal rows + d(d+1)/2 upper-
+    # triangle cells ONCE per task, so the shuffle carries
+    # tasks x 2,144 cells regardless of row count (same bound as
+    # before) and the per-row work is a dgemm. Floats upcast to double
+    # BEFORE any product, exactly like the old CAST-then-multiply;
+    # per-cell partial sums add in a different order than the old
+    # sequential hash agg, which round(6) absorbs — the same tolerance
+    # that already absorbs DuckDB's own summation order.
+    def _moments(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        d_dim, n_rows, sx, sxx, G = None, 0, None, None, None
+        for batch in batches:
+            col = batch.column(0)
+            if len(col) == 0:
+                continue
+            if d_dim is None:
+                d_dim = len(col[0])
+            X = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(-1, d_dim)
+            )
+            n_rows += X.shape[0]
+            if G is None:
+                sx, sxx, G = X.sum(axis=0), (X * X).sum(axis=0), X.T @ X
+            else:
+                sx += X.sum(axis=0)
+                sxx += (X * X).sum(axis=0)
+                G += X.T @ X
+        if G is None:
+            return
+        iu, ju = np.triu_indices(d_dim)
+        m = len(iu)
+        marg_mask = np.concatenate(
+            [np.zeros(d_dim, bool), np.ones(m, bool)]
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    np.concatenate(
+                        [np.arange(1, d_dim + 1), iu + 1]
+                    ).astype(np.int32)
+                ),
+                pa.array(
+                    np.concatenate(
+                        [np.zeros(d_dim, np.int32), (ju + 1).astype(np.int32)]
+                    ).astype(np.int32)
+                ),
+                pa.array(
+                    np.concatenate([np.zeros(d_dim), G[iu, ju]]),
+                    type=pa.float64(),
+                    mask=~marg_mask,
+                ),
+                pa.array(
+                    np.concatenate([sx, np.zeros(m)]),
+                    type=pa.float64(),
+                    mask=marg_mask,
+                ),
+                pa.array(
+                    np.concatenate([sxx, np.zeros(m)]),
+                    type=pa.float64(),
+                    mask=marg_mask,
+                ),
+                pa.array(
+                    np.concatenate(
+                        [np.full(d_dim, n_rows), np.zeros(m)]
+                    ).astype(np.int64),
+                    mask=marg_mask,
+                ),
+            ],
+            names=["i", "j", "sxy", "sx", "sxx", "n"],
+        )
+
+    cells = e.mapInArrow(
+        _moments, "i int, j int, sxy double, sx double, sxx double, n long"
     )
-    marg = dims.groupBy("i").agg(
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.count("*").cast("double").alias("n"),
+    agg = cells.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx").alias("sx"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("n").alias("n"),
     )
-    pair_expr = F.expr(
-        """
-        flatten(transform(sequence(1, size(v)), i ->
-          transform(sequence(i, size(v)), j ->
-            struct(i AS i, j AS j,
-                   CAST(element_at(v, i) AS DOUBLE)
-                   * CAST(element_at(v, j) AS DOUBLE) AS xy))))
-        """
+    marg = agg.filter(F.col("j") == 0).select(
+        "i", "sx", "sxx", F.col("n").cast("double").alias("n")
     )
-    psums = (
-        e.select(F.explode(pair_expr).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.xy").alias("sxy"))
-    )
+    psums = agg.filter(F.col("j") > 0).select("i", "j", "sxy")
     mi = F.broadcast(
         marg.select(
             F.col("i").alias("li"),
@@ -2545,22 +2618,40 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right fold — rounding just pins the tie-break contract).
     """
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    probes = e.filter(F.col("vec_id") < MRL_PROBE_HI).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
-    )
     half = lambda c: F.slice(c, 1, MRL_PREFIX)  # noqa: E731
+    # Norms hoisted out of the pair expansion (r15): the four L2 norms
+    # (full + prefix, probe + candidate) depend on ONE side each, so
+    # computing them inside the joined projection re-ran four HOF folds
+    # per probe x candidate pair. Each side now computes its two norms
+    # once per ROW before the join; the per-pair work drops to the two
+    # dot products that genuinely need both arrays. Identical doubles:
+    # the denominators multiply in the same (probe_norm * cand_norm)
+    # order as cosine()'s (_norm(a) * _norm(b)) with a=pe, b=candidate.
+    cand = e.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("cn_full"),
+        _norm(half(F.col("embedding"))).alias("cn_half"),
+    )
+    probes = e.filter(F.col("vec_id") < MRL_PROBE_HI).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        _norm(F.col("embedding")).alias("pn_full"),
+        _norm(half(F.col("embedding"))).alias("pn_half"),
+    )
     scored = (
-        e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        cand.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
-            "pe",
-            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias(
-                "cos_full"
-            ),
+            F.round(
+                _dot(F.col("pe"), F.col("embedding"))
+                / (F.col("pn_full") * F.col("cn_full")),
+                6,
+            ).alias("cos_full"),
             F.round(
                 _dot(half(F.col("pe")), half(F.col("embedding")))
-                / (_norm(half(F.col("pe"))) * _norm(half(F.col("embedding")))),
+                / (F.col("pn_half") * F.col("cn_half")),
                 6,
             ).alias("cos_half"),
         )
@@ -2571,13 +2662,22 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_half"), F.asc("vec_id")
     )
+    # the rank windows sort 20-byte rows: the probe array no longer
+    # rides through two sorts just to compute a per-probe retention —
+    # that scalar comes straight off the probe relation and re-attaches
+    # by a 20-row broadcast join
     ranked = scored.select(
         "probe_id",
-        "pe",
         F.row_number().over(wf).alias("rk_full"),
         F.row_number().over(wh).alias("rk_half"),
     )
-    return ranked.groupBy("probe_id").agg(
+    retention = probes.select(
+        F.col("probe_id").alias("r_pid"),
+        F.round(F.col("pn_half") / F.col("pn_full"), 6).alias(
+            "probe_norm_retention"
+        ),
+    )
+    overlap = ranked.groupBy("probe_id").agg(
         F.sum(
             (
                 (F.col("rk_full") <= MRL_TOPK) & (F.col("rk_half") <= MRL_TOPK)
@@ -2585,10 +2685,10 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("topk_overlap"),
-        F.round(
-            _norm(half(F.first("pe"))) / _norm(F.first("pe")), 6
-        ).alias("probe_norm_retention"),
     )
+    return overlap.join(
+        F.broadcast(retention), F.col("probe_id") == F.col("r_pid")
+    ).select("probe_id", "topk_overlap", "probe_norm_retention")
 
 
 # Binary quantization: one sign bit per dimension, packed as two
@@ -2667,15 +2767,23 @@ def embed_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         return sum(bits[1:], bits[0]).cast("long")
 
+    # Rank first, score second (r15): the Hamming ranking needs ONLY the
+    # two signature words, so the probe x corpus expansion, the rank
+    # window's sort, and the WindowGroupLimit prune all run on 24-byte
+    # rows — the float arrays never enter the window. The expensive
+    # column (true cosine, three HOF folds over 64-dim arrays) is then
+    # computed for exactly the probes x k survivors via two broadcast
+    # dimension joins back to the embedding table, not for every
+    # probe x corpus pair. Identical output: ranks are pure integer
+    # (hamming, vec_id) — unchanged — and cos_sim is the same kernel on
+    # the same arrays, evaluated only where it is emitted.
     sig = e.select(
         "vec_id",
-        "embedding",
         word(F.col("embedding"), 0).alias("w0"),
         word(F.col("embedding"), 1).alias("w1"),
     )
     probes = sig.filter(F.col("vec_id") < BQ_PROBE_HI).select(
         F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pe"),
         F.col("w0").alias("p0"),
         F.col("w1").alias("p1"),
     )
@@ -2690,11 +2798,27 @@ def embed_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("hamming"),
-        F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
-    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+    top = scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= BQ_TOPK
+    )
+    pe = e.filter(F.col("vec_id") < BQ_PROBE_HI).select(
+        F.col("vec_id").alias("p_vid"), F.col("embedding").alias("pe")
+    )
+    ce = e.select(
+        F.col("vec_id").alias("c_vid"), F.col("embedding").alias("ce")
+    )
+    return (
+        top.join(F.broadcast(pe), F.col("probe_id") == F.col("p_vid"))
+        .join(F.broadcast(ce), F.col("vec_id") == F.col("c_vid"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "hamming",
+            F.round(cosine(F.col("pe"), F.col("ce")), 6).alias("cos_sim"),
+            "rk",
+        )
     )
 
 

@@ -1356,19 +1356,52 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obs").alias("x0"),
     ).filter(F.col(f"x{k}").isNotNull())
     a, g = HOLT_ALPHA, HOLT_GAMMA
-    l, b = F.col(f"x{k}"), F.lit(0.0)
-    for i in range(k - 1, -1, -1):
-        l_new = F.lit(a) * F.col(f"x{i}") + F.lit(1 - a) * (l + b)
-        b = F.lit(g) * (l_new - l) + F.lit(1 - g) * b
-        l = l_new
-    rnd = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
-    return lagged.select(
+    # Stepwise evaluation (r15): composing the recurrence as one Column
+    # tree re-inlines l_{t-1} and b_{t-1} into every consumer, so the
+    # expression grows ~3x per unrolled step (~12k nodes at depth 8 —
+    # seconds of Catalyst analysis + Janino compile, and every row
+    # re-evaluated shared subtrees). Emitting each l_i/b_i as a NAMED
+    # column in its own Project keeps every intermediate evaluated
+    # exactly once (CollapseProject will not inline a non-trivial alias
+    # that is referenced more than once), which is also precisely the
+    # lateral-alias shape the oracle SQL (_holt_sql_steps) runs — the
+    # association order per step is unchanged, so every intermediate
+    # double remains bit-identical.
+    cur = lagged.select(
         "event_type",
         "bucket",
         "obs",
-        rnd(l).alias("level"),
-        rnd(b).alias("trend"),
-        rnd(l + b).alias("forecast"),
+        *[F.col(f"x{i}") for i in range(k)],
+        F.col(f"x{k}").alias(f"l{k}"),
+        F.lit(0.0).alias(f"b{k}"),
+    )
+    for i in range(k - 1, -1, -1):
+        keep = ["event_type", "bucket", "obs"] + [f"x{m}" for m in range(i)]
+        cur = cur.select(
+            *keep,
+            F.col(f"l{i + 1}"),
+            F.col(f"b{i + 1}"),
+            (
+                F.lit(a) * F.col(f"x{i}")
+                + F.lit(1 - a) * (F.col(f"l{i + 1}") + F.col(f"b{i + 1}"))
+            ).alias(f"l{i}"),
+        )
+        cur = cur.select(
+            *keep,
+            F.col(f"l{i}"),
+            (
+                F.lit(g) * (F.col(f"l{i}") - F.col(f"l{i + 1}"))
+                + F.lit(1 - g) * F.col(f"b{i + 1}")
+            ).alias(f"b{i}"),
+        )
+    rnd = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return cur.select(
+        "event_type",
+        "bucket",
+        "obs",
+        rnd(F.col("l0")).alias("level"),
+        rnd(F.col("b0")).alias("trend"),
+        rnd(F.col("l0") + F.col("b0")).alias("forecast"),
     )
 
 
