@@ -2279,18 +2279,94 @@ def stat_regr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 10000, 0).cast("long").alias("x2"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
     )
-    dec = lambda col: F.col(col).cast("decimal(18,0)")  # noqa: E731
-    m = c.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum("x1").cast("decimal(38,0)").alias("sx1"),
-        F.sum("x2").cast("decimal(38,0)").alias("sx2"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(dec("x1") * F.col("x1")).alias("sx1x1"),
-        F.sum(dec("x1") * F.col("x2")).alias("sx1x2"),
-        F.sum(dec("x2") * F.col("x2")).alias("sx2x2"),
-        F.sum(dec("x1") * F.col("y")).alias("sx1y"),
-        F.sum(dec("x2") * F.col("y")).alias("sx2y"),
-        F.sum(dec("y") * F.col("y")).alias("syy"),
+    # Exact integer moment pass in Arrow (r15, guide §4.2): the six
+    # JVM decimal moment sums dominated this key — decomposition at
+    # sf0.1/local[32] put the full decimal aggregate at 2.46 s against
+    # 0.92 s for the same aggregate with plain long sums, i.e. ~1.5 s
+    # of pure BigDecimal accumulator updates. Each task now hands its
+    # Arrow batches to numpy: per batch the products are int64 (bounded
+    # ~1.2e14 by the rounded cent/bp domains, so a <=10k-row batch sum
+    # is <=1.2e18, far under the int64 ceiling — batches are chunked
+    # defensively at 50k rows) and the per-task accumulation across
+    # batches is a Python-int dict keyed by flag, which is ARBITRARY
+    # precision: every partial is the exact integer, emitted as
+    # decimal(28,0) cells (one row per flag per task). The tiny final
+    # groupBy sums those exactly in decimal. Identical integers reach
+    # the double-assembly stage, so every emitted coefficient is
+    # bit-identical to the all-JVM formulation.
+    def _moments(batches):
+        import numpy as np
+        import pyarrow as pa
+        from decimal import Decimal
+
+        acc: dict = {}
+        for batch in batches:
+            n_b = batch.num_rows
+            if n_b == 0:
+                continue
+            enc = batch.column(0).dictionary_encode()
+            labels = enc.dictionary.to_pylist()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            x1 = batch.column(1).to_numpy(zero_copy_only=False)
+            x2 = batch.column(2).to_numpy(zero_copy_only=False)
+            y = batch.column(3).to_numpy(zero_copy_only=False)
+            for code, flag in enumerate(labels):
+                mask = codes == code
+                u, v, w = x1[mask], x2[mask], y[mask]
+                a = acc.setdefault(flag, [0] * 10)
+                for lo2 in range(0, len(u), 50_000):
+                    hi2 = min(lo2 + 50_000, len(u))
+                    u2, v2, w2 = u[lo2:hi2], v[lo2:hi2], w[lo2:hi2]
+                    a[0] += hi2 - lo2
+                    a[1] += int(u2.sum())
+                    a[2] += int(v2.sum())
+                    a[3] += int(w2.sum())
+                    a[4] += int(np.dot(u2, u2))
+                    a[5] += int(np.dot(u2, v2))
+                    a[6] += int(np.dot(v2, v2))
+                    a[7] += int(np.dot(u2, w2))
+                    a[8] += int(np.dot(v2, w2))
+                    a[9] += int(np.dot(w2, w2))
+        if not acc:
+            return
+        flags_out = sorted(acc)
+        cols: list = [pa.array(flags_out, type=pa.string())]
+        cols.append(
+            pa.array([acc[f][0] for f in flags_out], type=pa.int64())
+        )
+        for j in range(1, 10):
+            cols.append(
+                pa.array(
+                    [Decimal(acc[f][j]) for f in flags_out],
+                    type=pa.decimal128(28, 0),
+                )
+            )
+        yield pa.RecordBatch.from_arrays(
+            cols,
+            names=[
+                "l_returnflag", "pn", "px1", "px2", "py", "px1x1",
+                "px1x2", "px2x2", "px1y", "px2y", "pyy",
+            ],
+        )
+
+    cells = c.mapInArrow(
+        _moments,
+        "l_returnflag string, pn long, px1 decimal(28,0), "
+        "px2 decimal(28,0), py decimal(28,0), px1x1 decimal(28,0), "
+        "px1x2 decimal(28,0), px2x2 decimal(28,0), px1y decimal(28,0), "
+        "px2y decimal(28,0), pyy decimal(28,0)",
+    )
+    m = cells.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("px1").alias("sx1"),
+        F.sum("px2").alias("sx2"),
+        F.sum("py").alias("sy"),
+        F.sum("px1x1").alias("sx1x1"),
+        F.sum("px1x2").alias("sx1x2"),
+        F.sum("px2x2").alias("sx2x2"),
+        F.sum("px1y").alias("sx1y"),
+        F.sum("px2y").alias("sx2y"),
+        F.sum("pyy").alias("syy"),
     )
     d = m.select(
         "l_returnflag",

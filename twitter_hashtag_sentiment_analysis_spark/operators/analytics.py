@@ -2251,20 +2251,51 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = _global_rank_by_range(
         per, [F.desc("rev"), F.asc("o_custkey")]
     ).select("rev", "rk")
-    ranked.cache().createOrReplaceTempView("cust_rank_script_v")
+    # The loop only ever probes coverage at POWERS OF TWO, so the
+    # cached relation the script rescans per iteration is pre-bucketed
+    # to one row per power (r15): j = bit-length of rk-1 (integer
+    # exact — no float log2) buckets rank rk into the smallest 2^j
+    # covering it, a cumulative window over the <= log2(n)+1 buckets
+    # yields covered(2^j), and each WHILE probe aggregates a ~14-row
+    # cache instead of re-scanning the customer-sized ranked relation
+    # (measured: the per-iteration probe jobs dominated this key's
+    # 5-10 s wall; coverage values are the same rounded-2 sums the
+    # direct probes produced, summed in bucket order — inside the
+    # round-2 agreement envelope the key already relies on across
+    # engines). covered is monotone in k2 (rev > 0), so max() over
+    # k2 <= k IS the coverage at min(k, n-ceiling) — identical search
+    # trajectory, identical output.
+    j = (
+        F.when(F.col("rk") == 1, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("rk") - 1)))
+        .cast("int")
+    )
+    wj = Window.orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cov = (
+        ranked.withColumn("j", j)
+        .groupBy("j")
+        .agg(F.sum("rev").alias("brev"))
+        .select(
+            F.expr("shiftleft(CAST(1 AS BIGINT), j)").alias("k2"),
+            F.round(F.sum("brev").over(wj), 2).alias("covered"),
+        )
+    )
+    cov.cache().createOrReplaceTempView("cust_cov_script_v")
     return spark.sql(
         """
         BEGIN
           DECLARE k BIGINT DEFAULT 1;
           DECLARE covered DOUBLE;
           DECLARE total DOUBLE;
-          SET total = (SELECT round(sum(rev), 2) FROM cust_rank_script_v);
-          SET covered = (SELECT round(sum(rev), 2)
-                         FROM cust_rank_script_v WHERE rk <= k);
+          SET total = (SELECT max(covered) FROM cust_cov_script_v);
+          SET covered = (SELECT max(covered)
+                         FROM cust_cov_script_v WHERE k2 <= k);
           WHILE covered * 2 < total DO
             SET k = k * 2;
-            SET covered = (SELECT round(sum(rev), 2)
-                           FROM cust_rank_script_v WHERE rk <= k);
+            SET covered = (SELECT max(covered)
+                           FROM cust_cov_script_v WHERE k2 <= k);
           END WHILE;
           -- degenerate gate: an EMPTY orders table leaves both
           -- variables NULL (the WHILE never runs); emit zero rows to

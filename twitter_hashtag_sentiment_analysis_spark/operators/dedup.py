@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..io import spread, table
 from ..registry import register
-from ..session import shuffle_partitions_override
+from ..session import default_parallelism, shuffle_partitions_override
 from .cc_kernel import star_contraction_labels
 
 
@@ -1099,6 +1099,20 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("bucket_n", F.count("*").over(wb))
         .filter((F.col("bucket_n") >= 2) & (F.col("bucket_n") <= LEV_BUCKET_CAP))
         .drop("bucket_n")
+    )
+    # Pin the verify stage's parallelism (r15): the blocked relation is
+    # BYTE-small (AQE coalesced its ~1.5 MB shuffle to one partition at
+    # sf0.1) but the banded-DP verify downstream of it is CPU-heavy per
+    # pair, so byte-based coalescing serialized the whole edit-distance
+    # pass onto one core — measured 3.2 s exec with 31 cores idle. An
+    # explicit keyed repartition is exempt from AQE coalescing; keyed by
+    # the join key, the self-join reuses it with no further exchange,
+    # and the 4x-cores count keeps per-task verify cost balanced (pair
+    # fanout per bucket is bounded by LEV_BUCKET_CAP, so no task can
+    # own more than cap^2/2 DPs). Scales with cores via the same env
+    # the bench contract parameterizes.
+    blocked = blocked.repartition(
+        4 * default_parallelism(), "lang", "bin"
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     lev = F.levenshtein(F.col("a.text"), F.col("b.text"), LEV_MAX)

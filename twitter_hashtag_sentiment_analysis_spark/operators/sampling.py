@@ -1353,15 +1353,29 @@ def corpus_pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, the capped inverted-index decon join, a hash split, ONE
     (split, source) shuffle shared by the packing window and the
     final aggregate. Nothing quadratic, nothing driver-sized."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    ts = F.split("text", " ")
+    # Tokenize ONCE into a materialized column (r15): `ts` as a bare
+    # expression re-ran split(text) inside every consumer expression of
+    # every branch (quality gate x3, n_tokens, both shingle branches) —
+    # A/B at sf0.1/local[32]: 3.37 s -> 1.71 s min-of-3 just from
+    # carrying the array instead of the recipe. (A localCheckpoint of
+    # the deduped stage was also measured: no further gain, rejected.)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.split("text", " ").alias("toks")
+    )
+    ts = F.col("toks")
     quality = d.filter(
         (F.size(ts) >= BUILD_MIN_TOKENS)
         & (
             F.size(F.array_distinct(ts)) / F.size(ts)
             >= BUILD_DISTINCT_RATIO
         )
-    ).select("doc_id", "source", "text", F.size(ts).cast("long").alias("n_tokens"))
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        "toks",
+        F.size(ts).cast("long").alias("n_tokens"),
+    )
     wdup = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     deduped = (
         quality.withColumn("rn", F.row_number().over(wdup))
@@ -1382,7 +1396,7 @@ def corpus_pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh")
         .distinct()
     )
-    doc_sh = shingle(deduped.select("doc_id", "text"))
+    doc_sh = shingle(deduped.select("doc_id", "toks"))
     contaminated = (
         doc_sh.join(bench_sh, "sh")
         .groupBy("doc_id")

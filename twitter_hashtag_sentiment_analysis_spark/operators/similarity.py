@@ -584,12 +584,14 @@ def _lsh_topk5(
         return p.select(
             "probe_id",
             "pe",
+            "pnrm",
             "p_band_idx",
             F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"),
             F.col("p_band_val").alias("bv"),
         ).select(
             "probe_id",
             "pe",
+            "pnrm",
             "p_band_idx",
             F.col("bv").bitwiseXOR(F.col("m")).alias("p_band_val"),
         )
@@ -608,14 +610,23 @@ def _lsh_topk5(
     if n_rows < COLLAPSE_MIN_RATIO * n_distinct:
         # (near-)duplicate-free corpus: run the direct copy-level chain
         # with none of the bookkeeping
+        # norms hoisted to once-per-row before banding (r15): the pair
+        # projection's cosine re-ran both norm folds per candidate
+        # pair; per-pair work is now the single dot fold, with the
+        # denominator multiplying in cosine()'s (probe, candidate)
+        # order — bit-identical doubles
         sig = e.select(
-            "vec_id", "embedding", signature(F.col("embedding")).alias("sig")
+            "vec_id",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+            signature(F.col("embedding")).alias("sig"),
         )
-        banded = band_explode(sig, ["vec_id", "embedding"])
+        banded = band_explode(sig, ["vec_id", "embedding", "nrm"])
         probes = mask_probes(
             banded.filter(F.col("vec_id") < 20).select(
                 F.col("vec_id").alias("probe_id"),
                 F.col("embedding").alias("pe"),
+                F.col("nrm").alias("pnrm"),
                 F.col("band_idx").alias("p_band_idx"),
                 F.col("band_val").alias("p_band_val"),
             )
@@ -627,13 +638,17 @@ def _lsh_topk5(
                 & (F.col("band_val") == F.col("p_band_val"))
                 & (F.col("vec_id") != F.col("probe_id")),
             )
-            .select("probe_id", "pe", "vec_id", "embedding")
+            .select("probe_id", "pe", "pnrm", "vec_id", "embedding", "nrm")
             .distinct()
         )
         scored = cand.select(
             "probe_id",
             "vec_id",
-            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("pe"), F.col("embedding"))
+                / (F.col("pnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
         )
         return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
             F.col("rk") <= 5
@@ -665,9 +680,13 @@ def _lsh_topk5(
         .localCheckpoint(eager=True)
     )
     sig_g = grp.select(
-        "gid", "gh", "embedding", signature(F.col("embedding")).alias("sig")
+        "gid",
+        "gh",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        signature(F.col("embedding")).alias("sig"),
     )
-    banded_g = band_explode(sig_g, ["gid", "embedding"])
+    banded_g = band_explode(sig_g, ["gid", "embedding", "nrm"])
     # probes stay copy-level (their ids matter) but REUSE the group
     # signatures via a group-key join — every probe's vector is some
     # group's representative vector, and inlining signature() here
@@ -677,12 +696,13 @@ def _lsh_topk5(
         ec.filter(F.col("vec_id") < 20)
         .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "gh")
         .join(sig_g.select("gh", "sig"), "gh")
-        .select("probe_id", "pe", "sig")
+        .select("probe_id", "pe", _norm(F.col("pe")).alias("pnrm"), "sig")
     )
     probes = mask_probes(
-        band_explode(probe_sig, ["probe_id", "pe"]).select(
+        band_explode(probe_sig, ["probe_id", "pe", "pnrm"]).select(
             "probe_id",
             "pe",
+            "pnrm",
             F.col("band_idx").alias("p_band_idx"),
             F.col("band_val").alias("p_band_val"),
         )
@@ -693,13 +713,17 @@ def _lsh_topk5(
             (F.col("band_idx") == F.col("p_band_idx"))
             & (F.col("band_val") == F.col("p_band_val")),
         )
-        .select("probe_id", "pe", "gid", "embedding")
+        .select("probe_id", "pe", "pnrm", "gid", "embedding", "nrm")
         .dropDuplicates(["probe_id", "gid"])
     )
     scored = cand.select(
         "probe_id",
         "gid",
-        F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("pe"), F.col("embedding"))
+            / (F.col("pnrm") * F.col("nrm")),
+            6,
+        ).alias("cos_sim"),
     )
     expanded = (
         scored.join(grp.select("gid", "ids"), "gid")
@@ -858,15 +882,21 @@ def sim_lsh_multiprobe_recall_audit(
     reranks against the standalone operators."""
     truth = sim_cosine_topk(spark, sf_dir).select("probe_id", "vec_id")
     e = table(spark, sf_dir, "embeddings")
+    # norms hoisted to once-per-row before banding (r15) — per-pair
+    # work drops to the single dot fold; bit-identical doubles
     sig = e.select(
-        "vec_id", "embedding", _lsh_signature(F.col("embedding")).alias("sig")
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _lsh_signature(F.col("embedding")).alias("sig"),
     )
-    banded = _lsh_band_explode(sig, ["vec_id", "embedding"])
+    banded = _lsh_band_explode(sig, ["vec_id", "embedding", "nrm"])
     probes = (
         banded.filter(F.col("vec_id") < 20)
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("pe"),
+            F.col("nrm").alias("pnrm"),
             F.col("band_idx").alias("p_band_idx"),
             F.explode(
                 F.array(*[F.lit(m) for m in LSH_MULTIPROBE_MASKS])
@@ -876,6 +906,7 @@ def sim_lsh_multiprobe_recall_audit(
         .select(
             "probe_id",
             "pe",
+            "pnrm",
             "p_band_idx",
             (F.col("m") == 0).alias("exact_mask"),
             F.col("bv").bitwiseXOR(F.col("m")).alias("p_band_val"),
@@ -892,14 +923,20 @@ def sim_lsh_multiprobe_recall_audit(
         .agg(
             F.max("exact_mask").alias("is_exact"),
             F.first("pe").alias("pe"),
+            F.first("pnrm").alias("pnrm"),
             F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
         )
     )
     scored = pairs.select(
         "probe_id",
         "vec_id",
         "is_exact",
-        F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("pe"), F.col("embedding"))
+            / (F.col("pnrm") * F.col("nrm")),
+            6,
+        ).alias("cos_sim"),
     ).localCheckpoint(eager=True)  # scored once, reranked twice
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
@@ -1066,18 +1103,27 @@ def sim_lsh_recall_audit_sampled(
     sample = _sim_sample(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
     panel = e.filter(F.col("vec_id") < 20)
+    # norms hoisted to once-per-row before banding (r15) — per-pair
+    # work drops to the single dot fold; bit-identical doubles
     sig_s = sample.select(
-        "vec_id", "embedding", _lsh_signature(F.col("embedding")).alias("sig")
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _lsh_signature(F.col("embedding")).alias("sig"),
     )
-    banded_s = _lsh_band_explode(sig_s, ["vec_id", "embedding"])
+    banded_s = _lsh_band_explode(sig_s, ["vec_id", "embedding", "nrm"])
     psig = panel.select(
-        "vec_id", "embedding", _lsh_signature(F.col("embedding")).alias("sig")
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _lsh_signature(F.col("embedding")).alias("sig"),
     )
     probes = (
-        _lsh_band_explode(psig, ["vec_id", "embedding"])
+        _lsh_band_explode(psig, ["vec_id", "embedding", "nrm"])
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("pe"),
+            F.col("nrm").alias("pnrm"),
             F.col("band_idx").alias("p_band_idx"),
             F.explode(
                 F.array(*[F.lit(m) for m in LSH_MULTIPROBE_MASKS])
@@ -1087,6 +1133,7 @@ def sim_lsh_recall_audit_sampled(
         .select(
             "probe_id",
             "pe",
+            "pnrm",
             "p_band_idx",
             (F.col("m") == 0).alias("exact_mask"),
             F.col("bv").bitwiseXOR(F.col("m")).alias("p_band_val"),
@@ -1103,14 +1150,20 @@ def sim_lsh_recall_audit_sampled(
         .agg(
             F.max("exact_mask").alias("is_exact"),
             F.first("pe").alias("pe"),
+            F.first("pnrm").alias("pnrm"),
             F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
         )
     )
     scored = pairs.select(
         "probe_id",
         "vec_id",
         "is_exact",
-        F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("pe"), F.col("embedding"))
+            / (F.col("pnrm") * F.col("nrm")),
+            6,
+        ).alias("cos_sim"),
     ).localCheckpoint(eager=True)  # scored once, reranked twice
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
@@ -1127,11 +1180,15 @@ def sim_lsh_recall_audit_sampled(
         .select("probe_id", "vec_id", F.lit(True).alias("in_s"))
     )
     truth = (
-        sample.join(
+        sample.select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        )
+        .join(
             F.broadcast(
                 panel.select(
                     F.col("vec_id").alias("probe_id"),
                     F.col("embedding").alias("pe"),
+                    _norm(F.col("embedding")).alias("pnrm"),
                 )
             ),
             F.col("vec_id") != F.col("probe_id"),
@@ -1139,9 +1196,11 @@ def sim_lsh_recall_audit_sampled(
         .select(
             "probe_id",
             "vec_id",
-            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                _dot(F.col("pe"), F.col("embedding"))
+                / (F.col("pnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
@@ -1256,23 +1315,38 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches nprobe partitions instead of all of them. Centroids here
     are data vectors from a pinned id range (deterministic without an
     iterative k-means job; plug in trained centroids for production)."""
-    e = table(spark, sf_dir, "embeddings")
+    # norms hoisted to once-per-row (r15): per-pair work is the single
+    # dot fold; the denominator multiplies in cosine()'s order —
+    # bit-identical doubles
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
     cents = e.filter(
         F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)
-    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
 
     scored_cells = e.join(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
+        "nrm",
         "cid",
-        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("c_cos"),
+        F.round(
+            _dot(F.col("embedding"), F.col("ce"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ).alias("c_cos"),
     )
     # nearest cell per vector: max_by over (cos, cid) — ties broken by
     # cid so assignment is deterministic
     assign = scored_cells.groupBy("vec_id").agg(
         F.max(F.struct("c_cos", "cid")).alias("best"),
         F.first("embedding").alias("embedding"),
-    ).select("vec_id", "embedding", F.col("best.cid").alias("cell"))
+        F.first("nrm").alias("nrm"),
+    ).select("vec_id", "embedding", "nrm", F.col("best.cid").alias("cell"))
 
     # probe -> its nprobe nearest cells (WindowGroupLimit, 20 probes)
     wp = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
@@ -1283,19 +1357,24 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("pe"),
+            F.col("nrm").alias("pnrm"),
             F.col("cid").alias("cell"),
         )
     )
     cand = (
         assign.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "pe", "vec_id", "embedding")
+        .select("probe_id", "pe", "pnrm", "vec_id", "embedding", "nrm")
         .distinct()
     )
     scored = cand.select(
         "probe_id",
         "vec_id",
-        F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("pe"), F.col("embedding"))
+            / (F.col("pnrm") * F.col("nrm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
@@ -1409,20 +1488,40 @@ def sim_ivf_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces `sim_ann_ivf`'s operating point exactly (same
     assignment tie-breaks, same rerank order). Deterministic codebook
     (pinned id range) => exact value-hash oracle."""
-    e = table(spark, sf_dir, "embeddings")
+    # L2 norms hoisted out of every pair expression (r15): cosine()'s
+    # two norm folds depend on ONE side each, so evaluating them inside
+    # the corpus x centroids and candidates x probes projections re-ran
+    # 2/3 of the HOF work per pair. Each side now carries its norm as a
+    # column computed once per ROW; per-pair work drops to the single
+    # dot fold. Bit-identical: the hoisted norms are the same _norm()
+    # expression over the same array, and the denominator multiplies in
+    # cosine()'s exact (left_norm * right_norm) order.
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
     cents = e.filter(
         F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)
-    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
     scored_cells = e.join(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
+        "nrm",
         "cid",
-        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("c_cos"),
+        F.round(
+            _dot(F.col("embedding"), F.col("ce"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ).alias("c_cos"),
     )
     assign = scored_cells.groupBy("vec_id").agg(
         F.max(F.struct("c_cos", "cid")).alias("best"),
         F.first("embedding").alias("embedding"),
-    ).select("vec_id", "embedding", F.col("best.cid").alias("cell"))
+        F.first("nrm").alias("nrm"),
+    ).select("vec_id", "embedding", "nrm", F.col("best.cid").alias("cell"))
     wp = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
     probe_cells = (
         scored_cells.filter(F.col("vec_id") < 20)
@@ -1431,6 +1530,7 @@ def sim_ivf_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("pe"),
+            F.col("nrm").alias("pnrm"),
             F.col("cid").alias("cell"),
             F.col("rk").alias("cell_rank"),
         )
@@ -1442,9 +1542,11 @@ def sim_ivf_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             "cell_rank",
             "vec_id",
-            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                _dot(F.col("pe"), F.col("embedding"))
+                / (F.col("pnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     levels = spark.range(1).select(
@@ -1595,29 +1697,50 @@ def sim_ivf_recall_curve_sampled(
     codebook directly (pcells) — a probe need not be sampled."""
     sample = _sim_sample(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
+    # norms hoisted to once-per-row (r15) — single dot fold per pair,
+    # denominator in cosine()'s order; bit-identical doubles
     cents = e.filter(
         F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)
-    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    scored_cells = sample.join(F.broadcast(cents)).select(
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cnrm"),
+    )
+    sample_n = sample.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    scored_cells = sample_n.join(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
+        "nrm",
         "cid",
-        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("c_cos"),
+        F.round(
+            _dot(F.col("embedding"), F.col("ce"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ).alias("c_cos"),
     )
     assign = scored_cells.groupBy("vec_id").agg(
         F.max(F.struct("c_cos", "cid")).alias("best"),
         F.first("embedding").alias("embedding"),
-    ).select("vec_id", "embedding", F.col("best.cid").alias("cell"))
+        F.first("nrm").alias("nrm"),
+    ).select("vec_id", "embedding", "nrm", F.col("best.cid").alias("cell"))
     pcells = (
         e.filter(F.col("vec_id") < 20)
+        .select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("pnrm")
+        )
         .join(F.broadcast(cents))
         .select(
             "vec_id",
             "embedding",
+            "pnrm",
             "cid",
-            F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias(
-                "c_cos"
-            ),
+            F.round(
+                _dot(F.col("embedding"), F.col("ce"))
+                / (F.col("pnrm") * F.col("cnrm")),
+                6,
+            ).alias("c_cos"),
         )
     )
     wp = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
@@ -1627,6 +1750,7 @@ def sim_ivf_recall_curve_sampled(
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("pe"),
+            F.col("pnrm").alias("pnrm"),
             F.col("cid").alias("cell"),
             F.col("rk").alias("cell_rank"),
         )
@@ -1638,9 +1762,11 @@ def sim_ivf_recall_curve_sampled(
             "probe_id",
             "cell_rank",
             "vec_id",
-            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                _dot(F.col("pe"), F.col("embedding"))
+                / (F.col("pnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     levels = spark.range(1).select(
@@ -1663,11 +1789,12 @@ def sim_ivf_recall_curve_sampled(
         F.desc("cos_sim"), F.asc("vec_id")
     )
     truth = (
-        sample.join(
+        sample_n.join(
             F.broadcast(
                 e.filter(F.col("vec_id") < 20).select(
                     F.col("vec_id").alias("probe_id"),
                     F.col("embedding").alias("pe"),
+                    _norm(F.col("embedding")).alias("pnrm"),
                 )
             ),
             F.col("vec_id") != F.col("probe_id"),
@@ -1675,9 +1802,11 @@ def sim_ivf_recall_curve_sampled(
         .select(
             "probe_id",
             "vec_id",
-            F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                _dot(F.col("pe"), F.col("embedding"))
+                / (F.col("pnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rk", F.row_number().over(wt))
         .filter(F.col("rk") <= 5)
@@ -1914,13 +2043,20 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2sq(F.col("embedding"), F.col("ce")).alias("d2"),
     )
     # nearest cell per vector: min_by over (d2, cid), cid tie-break
+    # (norms hoisted to once-per-row for the cosine rerank, r15 —
+    # bit-identical doubles, single dot fold per pair)
     assign = (
         scored_cells.groupBy("vec_id")
         .agg(
             F.min(F.struct("d2", "cid")).alias("best"),
             F.first("embedding").alias("embedding"),
         )
-        .select("vec_id", "embedding", F.col("best.cid").alias("cell"))
+        .select(
+            "vec_id",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+            F.col("best.cid").alias("cell"),
+        )
     )
     wp = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
     probe_cells = (
@@ -1930,19 +2066,24 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("pe"),
+            _norm(F.col("embedding")).alias("pnrm"),
             F.col("cid").alias("cell"),
         )
     )
     cand = (
         assign.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "pe", "vec_id", "embedding")
+        .select("probe_id", "pe", "pnrm", "vec_id", "embedding", "nrm")
         .distinct()
     )
     scored = cand.select(
         "probe_id",
         "vec_id",
-        F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("pe"), F.col("embedding"))
+            / (F.col("pnrm") * F.col("nrm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
@@ -3117,21 +3258,34 @@ def _band_pair_score(
         .select("p.src", "p.dst")
         .distinct()
     )
-    emb = rel.select("gid", "embedding")
+    # norms hoisted to once-per-gid (r15): the raw cosine expression is
+    # factored as dot/(na*nb) with cosine()'s op order — bit-identical,
+    # and the per-pair hot loop does ONE fold instead of three (or six
+    # with raw_col, which previously repeated the whole kernel)
+    emb = rel.select("gid", "embedding", _norm("embedding").alias("nrm"))
+    raw = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     cols = [
         F.col("src"),
         F.col("dst"),
-        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        F.round(raw, 6).alias("cos_sim"),
     ]
     if raw_col is not None:
-        cols.append(cosine(F.col("ea"), F.col("eb")).alias(raw_col))
+        cols.append(raw.alias(raw_col))
     scored = (
         pairs.join(
-            emb.select(F.col("gid").alias("src"), F.col("embedding").alias("ea")),
+            emb.select(
+                F.col("gid").alias("src"),
+                F.col("embedding").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
             "src",
         )
         .join(
-            emb.select(F.col("gid").alias("dst"), F.col("embedding").alias("eb")),
+            emb.select(
+                F.col("gid").alias("dst"),
+                F.col("embedding").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
             "dst",
         )
         .select(*cols)
