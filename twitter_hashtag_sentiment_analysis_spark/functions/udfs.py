@@ -163,13 +163,15 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     into overlapping context windows (32 tokens, stride 16, stop once
     a chunk reaches end-of-doc). A generator expression could emit
     fixed windows, but the data-dependent stop rule is exactly the
-    imperative 1->N logic the UDTF surface exists for. Arrow-batched
-    (useArrow) so rows cross the Python boundary in columnar batches;
-    the lateral join keeps the expansion partition-local — no shuffle.
+    imperative 1->N logic the UDTF surface exists for. Pickled rows,
+    NOT Arrow (r15): eval() is per-row either way (guide §4.1) and the
+    Arrow wrapper's per-row pandas conversion measured ~5x slower on
+    the sibling udtf_polymorphic_csv at sf0.1; the lateral join keeps
+    the expansion partition-local — no shuffle.
     Exact oracle: the same windows via range/unnest in DuckDB."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx int, n_tokens int, chunk string", useArrow=True)
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk string")
     class ChunkText:
         def eval(self, text: str):
             toks = text.split(" ")
@@ -215,8 +217,9 @@ def udtf_polymorphic_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from the events table and values pre-rounded
     with the engine-identical floor form so the float survives the
     string roundtrip exactly; the oracle recomputes the same
-    projection relationally. Arrow-batched; the lateral expansion is
-    partition-local (no shuffle)."""
+    projection relationally. Pickled rows, NOT Arrow (r15 — see the
+    @udtf comment below); the lateral expansion is partition-local
+    (no shuffle)."""
     from pyspark.sql.functions import lit, udtf
     from pyspark.sql.types import (
         DoubleType,
@@ -237,7 +240,14 @@ def udtf_polymorphic_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double": DoubleType(),
     }
 
-    @udtf(useArrow=True)
+    # NOT Arrow-serialized (r15): a measured A/B at sf0.1 put the
+    # Arrow UDTF path at 3.4 s against 0.64 s for the default pickled
+    # path on this 14k-row lateral join — per-row eval() dominates a
+    # UDTF either way (guide §4.1), and the Arrow wrapper adds a
+    # pandas conversion per row on top. Values are identical: eval
+    # returns exactly the declared types, so pickle/Arrow coercion
+    # differences never engage.
+    @udtf
     class ParseCsv:
         @staticmethod
         def analyze(

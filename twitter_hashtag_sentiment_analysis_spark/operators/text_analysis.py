@@ -1782,14 +1782,29 @@ def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_milli"),
         )
     )
-    dist = per_doc.groupBy("score_milli").agg(F.count("*").alias("cnt"))
-    cum = dist.select(
+    # Per-DISTINCT-SCORE stats, computed in ONE pass over per_doc and
+    # checkpointed (r15): the threshold scan, the doc count, AND the
+    # final census all derive from this score-grid-bounded relation,
+    # so the bigram explode + corpus-frequency join + per-doc
+    # aggregate subtree runs exactly once (it previously re-ran per
+    # consumer, 3x). All regrouped quantities are exact long sums —
+    # reassociation cannot change them — and min/max per bucket over
+    # distinct scores equal min/max over docs.
+    stats = (
+        per_doc.groupBy("score_milli")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tokens").cast("long").alias("tok_sum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cum = stats.select(
         "score_milli",
         F.sum("cnt")
         .over(Window.orderBy(F.desc("score_milli")))
         .alias("cum_ge"),
     )
-    n = per_doc.agg(F.count("*").alias("n_docs"))
+    n = stats.agg(F.sum("cnt").cast("long").alias("n_docs"))
     thresholds = cum.crossJoin(F.broadcast(n)).agg(
         F.max(
             F.when(
@@ -1807,19 +1822,20 @@ def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t2"),
     )
     return (
-        per_doc.crossJoin(F.broadcast(thresholds))
+        stats.crossJoin(F.broadcast(thresholds))
         .select(
             F.when(F.col("score_milli") >= F.col("t1"), "head")
             .when(F.col("score_milli") >= F.col("t2"), "middle")
             .otherwise("tail")
             .alias("bucket"),
-            "n_tokens",
+            "cnt",
+            "tok_sum",
             "score_milli",
         )
         .groupBy("bucket")
         .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.sum("tok_sum").cast("long").alias("total_tokens"),
             F.min("score_milli").cast("long").alias("min_score_milli"),
             F.max("score_milli").cast("long").alias("max_score_milli"),
         )
