@@ -2458,3 +2458,39 @@ def test_ngram_lm_train_is_bounded_smoothed_and_broadcast(spark, sf_dir):
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_vector_moments_match_numpy_reference(spark, sf_dir):
+    """The Arrow moment kernel (r15: replaces the double-posexplode
+    covariance pass in embed_whitening) must reproduce numpy's exact
+    sum vector, second-moment matrix and count over the same
+    embeddings — the whitening eig consumes nothing else."""
+    import numpy as np
+
+    from twitter_hashtag_sentiment_analysis_spark.operators.similarity import (
+        _vector_moments,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    s, S, n = _vector_moments(emb)
+
+    X = np.array(
+        [r["v"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    assert n == X.shape[0]
+    assert np.allclose(s, X.sum(axis=0), rtol=1e-12, atol=1e-9)
+    assert np.allclose(S, X.T @ X, rtol=1e-12, atol=1e-9)
+    assert np.allclose(S, S.T)  # symmetry survives the combine
+
+
+def test_embed_whitening_contract_booleans_hold(spark, sf_dir):
+    """End-to-end through the Arrow moment pass: the distributed
+    post-whitening verify must find unit variance, decorrelation and
+    a PSD covariance at fixture scale."""
+    reg = load_all()
+    row = reg["embed_whitening"].fn(spark, sf_dir).collect()[0]
+    assert row["unit_variance_ok"] and row["decorrelated_ok"] and row["psd_ok"]
+    emb = table(spark, sf_dir, "embeddings")
+    assert row["n_vecs"] == emb.count()

@@ -3631,6 +3631,68 @@ WHITEN_TOL = 1e-6
 WHITEN_EPS = 1e-9
 
 
+def _vector_moments(df: DataFrame, col: str = "v"):
+    """One distributed pass over a vector column -> (sum vector s,
+    raw second-moment matrix S = sum x x^T, n).
+
+    r15 (guide §4.2, the embed_gram_matrix port): the old form
+    double-posexploded every vector into its d(d+1)/2 (i, j, x*y)
+    cells through a hash aggregate — ~4.2M exploded rows per pass at
+    sf0.1. Each task now hands its Arrow batches to BLAS (X^T X
+    accumulated per batch) and emits ONE row of flattened partials;
+    the driver combines the tasks x 1 rows in numpy. Partial sums add
+    in a different order than the hash agg — callers must own a
+    float-tolerance contract (embed_whitening's WHITEN_TOL booleans
+    feed an iterative eig the oracle never replays)."""
+    import numpy as np
+
+    def _task_moments(batches):
+        import numpy as np_
+        import pyarrow as pa
+
+        n_rows, d_dim, sv, SS = 0, None, None, None
+        for batch in batches:
+            col_ = batch.column(0)
+            if len(col_) == 0:
+                continue
+            if d_dim is None:
+                d_dim = len(col_[0])
+            X = (
+                col_.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np_.float64)
+                .reshape(-1, d_dim)
+            )
+            n_rows += X.shape[0]
+            if SS is None:
+                sv, SS = X.sum(axis=0), X.T @ X
+            else:
+                sv += X.sum(axis=0)
+                SS += X.T @ X
+        if SS is None:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([n_rows], type=pa.int64()),
+                pa.array([sv.tolist()]),
+                pa.array([SS.reshape(-1).tolist()]),
+            ],
+            names=["n", "s", "ss"],
+        )
+
+    parts = df.select(col).mapInArrow(
+        _task_moments, "n long, s array<double>, ss array<double>"
+    ).collect()
+    dim_ = len(parts[0]["s"])
+    n_ = sum(r["n"] for r in parts)
+    s = np.zeros(dim_)
+    S = np.zeros((dim_, dim_))
+    for r in parts:
+        s += np.asarray(r["s"])
+        S += np.asarray(r["ss"]).reshape(dim_, dim_)
+    return s, S, n_
+
+
 @register(
     "embed_whitening",
     sql="""
@@ -3674,38 +3736,11 @@ def embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
-    def moment_cells(df: DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
-        """One pass -> (sum vector s, raw second-moment matrix S, n)."""
-        d_ = df.select(F.posexplode("v").alias("i", "x"), F.col("v"))
-        cells = (
-            d_.select(
-                "i",
-                "x",
-                F.posexplode(
-                    F.slice(F.col("v"), F.col("i") + 1, F.size("v"))
-                ).alias("dj", "y"),
-            )
-            .groupBy("i", "dj")
-            .agg(F.sum(F.col("x") * F.col("y")).alias("sxy"))
-            .collect()
-        )
-        marg = (
-            d_.groupBy("i")
-            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
-            .collect()
-        )
-        dim_ = len(marg)
-        n_ = int(marg[0]["n"])
-        s = np.zeros(dim_)
-        for r in marg:
-            s[r["i"]] = r["sx"]
-        S = np.zeros((dim_, dim_))
-        for r in cells:
-            i, j = r["i"], r["i"] + r["dj"]
-            S[i, j] = S[j, i] = r["sxy"]
-        return s, S, n_
-
-    s, S, n = moment_cells(emb)
+    # Arrow moment pass (module-level `_vector_moments`, guide §4.2):
+    # replaces the old double-posexplode into d(d+1)/2 cells + hash
+    # agg (~4.2M exploded rows per pass at sf0.1, run TWICE here —
+    # raw + whitened verify).
+    s, S, n = _vector_moments(emb)
     dim = len(s)
     mean = s / n
     cov = S / n - np.outer(mean, mean)
@@ -3727,7 +3762,7 @@ def embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     whiten = F.pandas_udf(_whiten, "array<double>")
 
     white = emb.select("vec_id", whiten("v").alias("v"))
-    sw, Sw, nw = moment_cells(white)
+    sw, Sw, nw = _vector_moments(white)
     mw = sw / nw
     covw = Sw / nw - np.outer(mw, mw)
     unit_ok = bool(np.abs(np.diag(covw) - 1.0).max() < WHITEN_TOL)
