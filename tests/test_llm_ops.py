@@ -2494,3 +2494,42 @@ def test_embed_whitening_contract_booleans_hold(spark, sf_dir):
     assert row["unit_variance_ok"] and row["decorrelated_ok"] and row["psd_ok"]
     emb = table(spark, sf_dir, "embeddings")
     assert row["n_vecs"] == emb.count()
+
+
+def test_mmr_greedy_chain_replays_exactly(spark, sf_dir):
+    """The driver-side greedy (r15) must satisfy the chain invariant
+    the K-dataframe unrolling enforced by construction: each rank's
+    penalty is the max rounded cosine against ALL earlier picks, and
+    mmr_score is the rounded lambda combination of (rel, penalty)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    reg = load_all()
+    rows = sorted(
+        reg["sim_mmr_rerank"].fn(spark, sf_dir).collect(), key=lambda r: r["rk"]
+    )
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def cos6(a, b):
+        dot = n_a = n_b = 0.0
+        for x, y in zip(a, b):
+            dot, n_a, n_b = dot + x * y, n_a + x * x, n_b + y * y
+        return r6(dot / (math.sqrt(n_a) * math.sqrt(n_b)))
+
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0]["penalty"] == 0.0
+    for i, r in enumerate(rows):
+        if i:
+            want = max(
+                cos6(emb[r["vec_id"]], emb[p["vec_id"]]) for p in rows[:i]
+            )
+            assert r["penalty"] == want, (r["rk"], r["penalty"], want)
+        assert r["mmr_score"] == r6(
+            r["rel"] * 7 / 10.0 - r["penalty"] * 3 / 10.0
+        )

@@ -397,12 +397,17 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") % 50 == 0)
         .select("c_custkey", "c_acctbal")
     )
+    # r15 (guide §2.4, remove shuffles outright): the order side used a
+    # left-semi join against the customer slice to prefilter — a whole
+    # extra join for a predicate the key already encodes. The modulo
+    # filter is pushed into the scan instead; an o_custkey % 50 == 0
+    # absent from customer (none exist under FK integrity, but the
+    # kernel doesn't rely on that) reaches reconcile() with an empty
+    # customer slice and returns zero rows — exactly what the semi-join
+    # produced by dropping it earlier.
     orders = table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
-    ).join(
-        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
-        "left_semi",
-    )
+    ).filter(F.col("o_custkey") % 50 == 0)
 
     def reconcile(cpdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
         if cpdf.empty:  # order-side-only key: outside the slice

@@ -2599,16 +2599,20 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale split: stage 1 (distributed) scores the corpus against the
     query and shortlists MMR_C candidates via ORDER BY + LIMIT —
     TakeOrderedAndProject, per-partition heaps, no global sort; the
-    shortlist is localCheckpointed once (24 rows) so the K greedy
-    steps do not rescan the corpus. Stage 2 (bounded) unrolls the
-    inherently-sequential greedy loop as K dataframe steps over the
-    checkpointed shortlist — each step is a <=24 x <=K broadcast
-    cross-score, an anti-join on picked ids, and a limit-1 argmax.
+    shortlist is a constant-size page (MMR_C rows) collected once.
+    Stage 2 (bounded) runs the inherently-sequential greedy loop in
+    the driver over that page — each step a <=24 x <=K cross-score —
+    using a bit-exact replica of the distributed float kernel (r15;
+    the K-dataframe-step unrolling it replaces paid an eager
+    localCheckpoint scheduling round-trip per pick).
     Cross-engine exactness: relevances and pairwise penalties are
     rounded to 6 dp BEFORE the lambda combination (exact rational
     7/10, 3/10 applied in the same order), ties broken by vec_id —
     the oracle is the same greedy chain unrolled in SQL by the same
     generator loop."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     e = table(spark, sf_dir, "embeddings")
     q = F.transform(
         F.sequence(F.lit(1), F.lit(DIM)),
@@ -2619,66 +2623,81 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.round(cosine(q, F.col("embedding")), 6).alias("rel"),
     )
-    cand = (
-        scored.orderBy(F.desc("rel"), "vec_id")
-        .limit(MMR_C)
-        .localCheckpoint(eager=True)
-    )
-    first = (
-        cand.orderBy(F.desc("rel"), "vec_id")
-        .limit(1)
-        .select(F.lit(1).cast("long").alias("rk"), "vec_id", "embedding", "rel",
-                F.lit(0.0).alias("penalty"))
-    )
-    selected = first
+    # r15 (guide §5, driver vs data work split): the greedy stage ran
+    # as K dataframe steps, each behind an EAGER localCheckpoint — 5+
+    # scheduling round-trips over a <=24-row relation. The shortlist
+    # is a CONSTANT-size page by construction (MMR_C), so stage 2 now
+    # collects it once (the documented bounded-collect pattern shared
+    # with the codebook fits) and runs the inherently-sequential
+    # greedy in the driver with a bit-exact replica of the float
+    # kernel: same left-to-right IEEE fold as cosine()/_dot/_norm,
+    # same HALF_UP decimal rounding as Spark's round() (probed
+    # identical on all 828 shortlist cosines across sf0.001/0.01/0.1,
+    # both against Spark and transitively the DuckDB oracle).
+    cand = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]], float(r["rel"]))
+        for r in scored.orderBy(F.desc("rel"), "vec_id").limit(MMR_C).collect()
+    ]
+
+    def _fold_dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def _fold_norm(a: list) -> float:
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def _round6(x: float) -> float:
+        # Spark's Round(double, 6) goes through the decimal string of
+        # the double (BigDecimal.valueOf), HALF_UP — repr() is the
+        # same shortest round-trip decimal.
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def _cos6(a: list, b: list) -> float:
+        return _round6(_fold_dot(a, b) / (_fold_norm(a) * _fold_norm(b)))
+
+    schema = "rk long, vec_id long, rel double, penalty double, mmr_score double"
+    if not cand:
+        return spark.createDataFrame([], schema)
+    picked: list[tuple[int, int, float, float]] = []  # rk, id, rel, penalty
+    sel_embs: list[tuple[int, list]] = []
+    # rk 1: max rel, ties to the lower vec_id (cand is already in that
+    # order, so its head is the argmax)
+    vid, emb, rel = cand[0]
+    picked.append((1, vid, rel, 0.0))
+    sel_embs.append((vid, emb))
     for t in range(2, MMR_K + 1):
-        s = selected.select(
-            F.col("vec_id").alias("s_id"), F.col("embedding").alias("s_emb")
+        chosen = None
+        for vid, emb, rel in cand:
+            if any(vid == s_id for s_id, _ in sel_embs):
+                continue
+            penalty = max(_cos6(emb, s_emb) for _, s_emb in sel_embs)
+            score = rel * _MMR_LAM_NUM / 10.0 - penalty * _MMR_PEN_NUM / 10.0
+            key = (-score, vid)
+            if chosen is None or key < chosen[0]:
+                chosen = (key, vid, emb, rel, penalty)
+        if chosen is None:
+            break
+        _, vid, emb, rel, penalty = chosen
+        picked.append((t, vid, rel, penalty))
+        sel_embs.append((vid, emb))
+    rows = [
+        (
+            rk,
+            vid,
+            rel,
+            _round6(penalty),
+            _round6(rel * _MMR_LAM_NUM / 10.0 - penalty * _MMR_PEN_NUM / 10.0),
         )
-        pick = (
-            cand.join(F.broadcast(s), cand.vec_id != s.s_id)
-            .join(
-                F.broadcast(selected.select(F.col("vec_id").alias("x_id"))),
-                F.col("vec_id") == F.col("x_id"),
-                "left_anti",
-            )
-            .groupBy("vec_id", "embedding", "rel")
-            .agg(
-                F.max(
-                    F.round(cosine(F.col("embedding"), F.col("s_emb")), 6)
-                ).alias("penalty")
-            )
-            .orderBy(
-                (
-                    F.col("rel") * _MMR_LAM_NUM / F.lit(10.0)
-                    - F.col("penalty") * _MMR_PEN_NUM / F.lit(10.0)
-                ).desc(),
-                "vec_id",
-            )
-            .limit(1)
-            .select(
-                F.lit(t).cast("long").alias("rk"),
-                "vec_id",
-                "embedding",
-                "rel",
-                "penalty",
-            )
-        )
-        # each pick is 1 row; checkpointing it keeps the next step's
-        # plan flat (unchained, the greedy chain re-expands every prior
-        # step's subtree and the plan grows exponentially in K)
-        selected = selected.unionByName(pick).localCheckpoint(eager=True)
-    return selected.select(
-        "rk",
-        "vec_id",
-        "rel",
-        F.round("penalty", 6).alias("penalty"),
-        F.round(
-            F.col("rel") * _MMR_LAM_NUM / F.lit(10.0)
-            - F.col("penalty") * _MMR_PEN_NUM / F.lit(10.0),
-            6,
-        ).alias("mmr_score"),
-    ).orderBy("rk")
+        for rk, vid, rel, penalty in picked
+    ]
+    return spark.createDataFrame(rows, schema).orderBy("rk")
 
 
 # Matryoshka prefix length: the first half of the embedding. MRL-style

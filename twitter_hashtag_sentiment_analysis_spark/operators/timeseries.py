@@ -3245,15 +3245,19 @@ def ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     dozens of rows; the corpus-end horizon is a 1-row broadcast
     (sub_scalar pattern). Output per distinct lifetime: (dur_days,
     n_risk, n_events, n_censored, survival)."""
-    per_user = (
-        table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.min(F.col("ts").cast("date")).alias("first_day"),
-            F.max(F.col("ts").cast("date")).alias("last_day"),
-        )
+    events = table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
     )
-    horizon = per_user.agg(F.max("last_day").alias("corpus_end"))
+    # r15 (guide §2.4): max(last_day) over users == max(cast(ts as
+    # date)) over events, so the horizon comes straight off the event
+    # scan (map-side partial max, 1-row exchange) instead of
+    # re-running the whole user-grain aggregation — the before-plan
+    # carried TWO user-keyed Exchanges over two full scans.
+    horizon = events.agg(
+        F.max(F.col("ts").cast("date")).alias("corpus_end")
+    )
     lifetimes = per_user.crossJoin(F.broadcast(horizon)).select(
         F.datediff("last_day", "first_day").alias("dur_days"),
         (

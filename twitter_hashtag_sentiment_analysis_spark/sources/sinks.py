@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import durable_fixture_dir as _durable_fixture_dir
-from ..io import register_dir_cache, table
+from ..io import register_dir_cache, spread, table
 from ..registry import register
 from ..streaming.queries import _run_to_memory
 
@@ -842,11 +842,26 @@ def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _codec_dir_cache.get(sf_dir)
     if base is None:
+        # r15 (guide §2.5 input-split skew + §2.6 overlapping
+        # independent jobs): the fixture file scans as ONE split, so
+        # each codec write was a single task on one core, and the four
+        # writes ran sequentially — 4x a serial encode. spread() lets
+        # every encode use all cores (no-op at real scale), and the
+        # four independent writes overlap from a small thread pool so
+        # the wall is the slowest codec, not the sum.
+        from concurrent.futures import ThreadPoolExecutor
+
+        w = spread(o)
         base = tempfile.mkdtemp(prefix="thsa_codec_")
-        for codec in SINK_CODECS:
-            o.write.option("compression", codec).mode("overwrite").parquet(
+
+        def _write(codec: str) -> None:
+            spark.sparkContext.setJobDescription(f"codec roundtrip: {codec}")
+            w.write.option("compression", codec).mode("overwrite").parquet(
                 os.path.join(base, codec)
             )
+
+        with ThreadPoolExecutor(max_workers=len(SINK_CODECS)) as pool:
+            list(pool.map(_write, SINK_CODECS))
         _codec_dir_cache[sf_dir] = base
     frames = None
     for codec in SINK_CODECS:
