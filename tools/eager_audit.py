@@ -71,19 +71,51 @@ def _chain_attrs(node: ast.AST) -> set[str]:
             return out
 
 
+def _is_pool_ctor(call: ast.AST) -> bool:
+    """True for ``ThreadPoolExecutor(...)`` / ``x.ThreadPoolExecutor(...)``."""
+    if not isinstance(call, ast.Call):
+        return False
+    fn = call.func
+    name = fn.id if isinstance(fn, ast.Name) else (
+        fn.attr if isinstance(fn, ast.Attribute) else None
+    )
+    return name == "ThreadPoolExecutor"
+
+
 def _scan_fn(node: ast.AST) -> tuple[list, set]:
     """Scan one function body (nested defs excluded) for plan-time
     actions and outgoing calls. Calls are recorded as ('bare', name)
     for ``helper(...)`` and ('attr', recv, name) for ``mod.helper(...)``
     where the receiver is a plain name — the resolver maps both through
-    the defining module's namespace/imports."""
+    the defining module's namespace/imports.
+
+    Nested defs are normally UDF/build-closure bodies (executor-side or
+    lazily evaluated), so their actions do not count — EXCEPT when the
+    def is handed to a driver-side thread pool (``pool.submit(f, ...)``
+    / ``pool.map(f, ...)`` on a name bound from ``ThreadPoolExecutor``,
+    the guide §2.6 overlapping-independent-jobs pattern): those run at
+    fn() time on the driver, so their actions and outgoing calls merge
+    into the enclosing function's."""
     acts: list = []
     calls: set = set()
+    nested: dict[str, tuple[list, set]] = {}
+    pools: set[str] = set()
 
     def walk(n: ast.AST) -> None:
         for ch in ast.iter_child_nodes(n):
             if isinstance(ch, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                continue  # nested def = UDF/build-closure body, not driver
+                nested[ch.name] = _scan_fn(ch)
+                continue  # UDF/build-closure body unless pool-dispatched
+            if isinstance(ch, ast.With):
+                for item in ch.items:
+                    if _is_pool_ctor(item.context_expr) and isinstance(
+                        item.optional_vars, ast.Name
+                    ):
+                        pools.add(item.optional_vars.id)
+            elif isinstance(ch, ast.Assign) and _is_pool_ctor(ch.value):
+                for tgt in ch.targets:
+                    if isinstance(tgt, ast.Name):
+                        pools.add(tgt.id)
             if isinstance(ch, ast.Call):
                 fn = ch.func
                 if isinstance(fn, ast.Attribute):
@@ -108,6 +140,16 @@ def _scan_fn(node: ast.AST) -> tuple[list, set]:
                         acts.append((fn.attr, ch.lineno))
                     if isinstance(recv, ast.Name):
                         calls.add(("attr", recv.id, fn.attr))
+                        if recv.id in pools and fn.attr in ("submit", "map"):
+                            for arg in ch.args:
+                                if not isinstance(arg, ast.Name):
+                                    continue
+                                if arg.id in nested:
+                                    sub_acts, sub_calls = nested[arg.id]
+                                    acts.extend(sub_acts)
+                                    calls.update(sub_calls)
+                                else:
+                                    calls.add(("bare", arg.id))
                 elif isinstance(fn, ast.Name):
                     if fn.id == "await_drain":
                         acts.append(("await_drain", ch.lineno))

@@ -3722,6 +3722,10 @@ def _vector_moments(df: DataFrame, col: str = "v"):
                TRUE AS psd_ok
         FROM embeddings
     """,
+    # r15: the _vector_moments Arrow kernel collects the d(d+1)/2
+    # moment cells at plan time (driver-side eig over a bounded 64x64
+    # matrix), so fn() now performs plan-time jobs.
+    eager=True,
 )
 def embed_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCA WHITENING of the embedding corpus — the standard

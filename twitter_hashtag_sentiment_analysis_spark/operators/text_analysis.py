@@ -1739,6 +1739,10 @@ CCNET_SCALE = 1000
         FROM per_doc, thresholds
         GROUP BY 1
     """,
+    # r15: the single-pass distinct-score census is localCheckpointed
+    # at plan time (score-grid-bounded), so fn() performs a plan-time
+    # job.
+    eager=True,
 )
 def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail bucketing: every document gets a
