@@ -3064,6 +3064,15 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("b").alias("v")))
         .distinct()
     )
+    # NOTE (r15): the per-round eager localCheckpoint below is
+    # LOAD-BEARING at every graph size, unlike graph_pagerank/LPA's
+    # size-gated truncation. A peel round references `surv` FOUR times
+    # (both semi-joins, each duplicated by the degree unionAll), so an
+    # un-truncated chain grows the logical plan ~4x per round — 4^6
+    # subtree copies by round 6, and Catalyst planning alone ran >20
+    # minutes at sf0.001 when the gate was tried. Pagerank/LPA rounds
+    # reference their iterated relation once, which is why lazy
+    # chaining wins there and cannot here.
     with shuffle_partitions_override(spark, "8"):
         for _ in range(KCORE_ROUNDS):
             alive = (

@@ -1404,6 +1404,13 @@ def dedup_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        # r15 (guide §1.2(1)): truth feeds BOTH n_truth and the found
+        # join; un-truncated, each branch re-ran the sample build (a
+        # corpus scan + TakeOrdered + the 256^2/2 pair join). The
+        # relation is bounded by AUDIT_K^2/2 pairs of two longs at ANY
+        # corpus size, so one eager checkpoint halves the audit's
+        # corpus passes.
+        .localCheckpoint(eager=True)
     )
     mh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     found = truth.join(mh, ["doc_a", "doc_b"])
