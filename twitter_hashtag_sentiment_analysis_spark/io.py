@@ -115,6 +115,33 @@ def fixture_sig(sf_dir: str, name: str) -> str:
         return "missing"
 
 
+#: Input-bytes floor above which a reused subtree is worth an eager
+#: localCheckpoint (r15, guide §5): the checkpoint costs one scheduling
+#: round-trip + a materialization (~0.1-1 s fixed), so it only pays once
+#: re-running the shared subtree costs multiples of that — i.e. once the
+#: subtree's SOURCE is at least tens of MB. Below the floor the natural
+# lazy plan (duplicate subtrees and all) is faster.
+SUBTREE_CKPT_MIN_BYTES = 64 * 1024 * 1024
+
+
+def fixture_bytes(sf_dir: str, name: str) -> int:
+    """Total on-disk bytes of one fixture parquet (file or dir) — a
+    no-job input-size probe for scale-gated plan decisions (the
+    ``spread()`` discipline applied to lineage truncation): operators
+    checkpoint a multiply-consumed subtree only when the input is big
+    enough that recomputing it dominates the checkpoint's fixed cost."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(src)
+        if not os.path.isdir(src):
+            return st.st_size
+        return sum(
+            os.stat(os.path.join(src, n)).st_size for n in os.listdir(src)
+        )
+    except OSError:
+        return 0
+
+
 #: Retired memo generations awaiting unpersist, one slot per
 #: (applicationId, sf_dir) scope. Deferring by ONE generation keeps any
 #: handle a caller obtained from the immediately-prior memo hit usable

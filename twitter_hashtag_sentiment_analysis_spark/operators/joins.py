@@ -838,6 +838,9 @@ HOT_KEY_MIN = 80
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY e.user_id, c.c_name
     """,
+    # r15: the bounded hot-key set is localCheckpointed at plan time
+    # (see fn body), so fn() performs a plan-time job.
+    eager=True,
 )
 def join_skew_hotcold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-split (hot/cold) join — the production fix when one join
@@ -863,11 +866,18 @@ def join_skew_hotcold(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_name"
     )
+    # r15 (guide §1.2(1)): hot_keys feeds THREE branches (fact semi,
+    # fact anti, dimension semi) and each re-ran the per-key count
+    # aggregate over the fact table (5 event scans in the before-plan).
+    # The set is bounded by rows/HOT_KEY_MIN — the same bound that
+    # makes it broadcastable — so one eager checkpoint leaves the
+    # count aggregate a single pass.
     hot_keys = (
         ev.groupBy("user_id")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > HOT_KEY_MIN)
         .select("user_id")
+        .localCheckpoint(eager=True)
     )
     hot_facts = ev.join(F.broadcast(hot_keys), "user_id", "left_semi")
     cold_facts = ev.join(F.broadcast(hot_keys), "user_id", "left_anti")

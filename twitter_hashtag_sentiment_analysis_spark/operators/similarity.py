@@ -3872,6 +3872,9 @@ ANN_PQ_TOPK = 5
             FROM adc
         ) WHERE rk <= {ANN_PQ_TOPK}
     """,
+    # r15: the KB-sized ADC distance table is localCheckpointed at
+    # plan time (see fn body), so fn() performs a plan-time job.
+    eager=True,
 )
 def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ASYMMETRIC DISTANCE COMPUTATION serving — the third leg of
@@ -3952,6 +3955,13 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("probe_id"), "j", "code", d2.alias("d")
         )
+        # r15 (guide §1.2(1)): the table feeds PQ_M broadcast joins
+        # below; un-truncated, each join re-ran the probe scan + the
+        # codebook join (the before-plan scanned embeddings 10x). The
+        # relation is probes x PQ_M x 256 rows — KB-sized at ANY corpus
+        # size (that is the ADC design) — so one eager checkpoint makes
+        # all four lookups read the same tiny page.
+        .localCheckpoint(eager=True)
     )
     out = pv
     for j in range(PQ_M):

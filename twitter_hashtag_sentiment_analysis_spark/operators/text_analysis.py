@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import spread, table
+from ..io import SUBTREE_CKPT_MIN_BYTES, fixture_bytes, spread, table
 from ..registry import register
 from .dedup import COLLAPSE_MIN_RATIO
 
@@ -645,6 +645,10 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, token, tf, lift, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= 5
     """,
+    # r15: the (source, token) count relation is localCheckpointed at
+    # plan time above the input-size floor (see fn body), so fn() may
+    # perform a plan-time job.
+    eager=True,
 )
 def text_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinctive terms per SOURCE by lift — the corpus-audit twin of
@@ -663,11 +667,22 @@ def text_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit over vocab-sized groups. At 100 TB the corpus
     pass dominates; the report stage is constant."""
     d = table(spark, sf_dir, "documents")
+    # r15 (guide §1.2(1)/§5): src feeds FOUR branches (per-source
+    # totals, corpus term counts, the grand total, and the scored join)
+    # and each re-ran the corpus explode+aggregate — 4 document scans
+    # in the before-plan. The relation is |sources| x |vocab|-bounded,
+    # so a checkpoint makes the docstring's "ONE data-sized shuffle"
+    # literally true in the executed plan — but only above the input
+    # floor: at fixture scale the re-explodes are cheaper than the
+    # checkpoint's scheduling round-trip (A/B: +0.25 s at sf0.1), while
+    # at corpus scale they are three extra full passes.
     src = (
         d.select("source", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count("*").alias("tf"))
     )
+    if fixture_bytes(sf_dir, "documents") > SUBTREE_CKPT_MIN_BYTES:
+        src = src.localCheckpoint(eager=True)
     stot = src.groupBy("source").agg(F.sum("tf").alias("s_total"))
     corpus = src.groupBy("token").agg(F.sum("tf").alias("ctf"))
     ctot = src.agg(F.sum("tf").alias("c_total"))
@@ -1618,6 +1633,10 @@ def quality_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY pmi_lift DESC, w1, w2
         LIMIT 50
     """,
+    # r15: the vocabulary-sized unigram/bigram count relations are
+    # localCheckpointed at plan time above the input-size floor (see fn
+    # body), so fn() may perform plan-time jobs.
+    eager=True,
 )
 def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top bigram collocations by pointwise mutual information — the
@@ -1638,12 +1657,23 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = table(spark, sf_dir, "documents").select(
         F.split("text", " ").alias("ts")
     )
+    # r15 (guide §1.2(1)/§5): uni feeds THREE branches (u1, u2, the
+    # total) and bi feeds two — before, every branch re-ran the corpus
+    # tokenize+explode+aggregate (10 scans in the plan). Both relations
+    # are vocabulary-sized (uni: |V|; bi: distinct bigrams), so a
+    # checkpoint each leaves exactly two corpus passes — but only above
+    # the input floor: at fixture scale the re-explodes are cheaper
+    # than two checkpoint scheduling round-trips (A/B: +0.25 s at
+    # sf0.1), while at corpus scale they are three extra full passes.
+    ckpt_counts = fixture_bytes(sf_dir, "documents") > SUBTREE_CKPT_MIN_BYTES
     uni = (
         toks.select(F.explode("ts").alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("c_tok"))
     )
+    if ckpt_counts:
+        uni = uni.localCheckpoint(eager=True)
     bigrams = F.expr(
         "IF(size(ts) >= 2, "
         "transform(sequence(1, size(ts) - 1), "
@@ -1657,6 +1687,8 @@ def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("c_pair"))
     )
+    if ckpt_counts:
+        bi = bi.localCheckpoint(eager=True)
     tot = uni.agg(F.sum("c_tok").cast("long").alias("t_uni")).crossJoin(
         bi.agg(F.sum("c_pair").cast("long").alias("t_bi"))
     )

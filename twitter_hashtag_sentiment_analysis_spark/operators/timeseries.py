@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import epoch_us, table
+from ..io import SUBTREE_CKPT_MIN_BYTES, epoch_us, fixture_bytes, table
 from ..registry import REGISTRY, register
 
 #: Session gap: a pause longer than this starts a new session (micros).
@@ -248,6 +248,10 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                      4) AS conv_from_first
         FROM counts
     """,
+    # r15: the per-stage user-grain relations are localCheckpointed at
+    # plan time above the input-size floor (see fn body), so fn() may
+    # perform plan-time jobs.
+    eager=True,
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel (signup -> click -> purchase): a user counts
@@ -270,12 +274,27 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("ts").alias(out))
         )
 
+    # r15 (guide §1.2(1)/§5): each stage relation feeds TWO consumers
+    # (the next stage's join and its own count branch), and the count
+    # union re-ran the whole upstream chain per branch — the
+    # before-plan scanned events 7x. s1/s2 are (user_id, ts) pairs —
+    # one row per surviving user, the funnel's own state — so a
+    # checkpoint each leaves exactly one event scan per step (3 total).
+    # Identical arithmetic; checkpointing never changes values. Gated
+    # on the input floor: at fixture scale the re-scans and the two
+    # checkpoint round-trips measured a wash, so the natural lazy plan
+    # stays; at corpus scale the four saved event passes dominate.
+    ckpt_stages = fixture_bytes(sf_dir, "events") > SUBTREE_CKPT_MIN_BYTES
     s1 = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
+    if ckpt_stages:
+        s1 = s1.localCheckpoint(eager=True)
     s2 = first_after(s1.select("user_id", "t1"), "click", "t1", "t2")
+    if ckpt_stages:
+        s2 = s2.localCheckpoint(eager=True)
     s3 = first_after(s2, "purchase", "t2", "t3")
     counts = (
         s1.agg(F.count("*").alias("n_users")).select(
@@ -1666,6 +1685,9 @@ LTTB_BUCKETS = 60
         SELECT day_idx, rev, CAST(bucket AS BIGINT) AS bucket
         FROM (SELECT * FROM chosen UNION ALL SELECT * FROM edges)
     """,
+    # r15: the day-sized bucketed-points relation is localCheckpointed
+    # at plan time (see fn body), so fn() performs a plan-time job.
+    eager=True,
 )
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling of the daily-revenue
@@ -1707,9 +1729,15 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_rn).alias("rn"),
         F.count("*").over(Window.partitionBy()).alias("n"),
     )
+    # r15 (guide §1.2(1)): pts feeds the bucket-stats aggregate (read
+    # twice more as the left/right anchor relations) and the final
+    # argmax join — before, every branch re-ran the order scan + daily
+    # aggregate + the global numbering window (4 scans in the plan).
+    # The relation is day-sized at any corpus scale, so one eager
+    # checkpoint leaves a single upstream pass.
     pts = numbered.withColumn(
         "bucket", F.expr(f"CAST((rn - 1) * {LTTB_BUCKETS} DIV n AS BIGINT)")
-    )
+    ).localCheckpoint(eager=True)
     bstats = pts.groupBy("bucket").agg(
         (F.sum("day_idx").cast("double") / F.count("*").cast("double")).alias(
             "mx"
@@ -2936,6 +2964,9 @@ _STL_BASE_SQL = REGISTRY["ts_stl_decompose"].sql
                abs(d.r - d.med) > {STL_ANOM_K} * m.mad AS is_anomaly
         FROM dev d JOIN mad m ON d.event_type = m.event_type
     """,
+    # r15: the calendar-bounded residual relation is localCheckpointed
+    # at plan time (see fn body), so fn() performs a plan-time job.
+    eager=True,
 )
 def ts_anomaly_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEASONALITY-AWARE anomaly detection — the detector the
@@ -2956,8 +2987,18 @@ def ts_anomaly_stl_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded, never the event log), everything upstream is the
     decomposition's one-pass plan."""
     base = ts_stl_decompose(spark, sf_dir)
-    r = base.filter(F.col("residual_cents").isNotNull()).select(
-        "event_type", "day", F.col("residual_cents").alias("r")
+    # r15 (guide §1.2(1)/§5): the residual relation feeds FIVE plan
+    # branches (med; dev inside mad, with med again; the final dev,
+    # with med a third time), and AQE did not dedupe the repeated
+    # decomposition subtrees — the before-plan re-ran the event-log
+    # aggregation + trend/seasonal windows 8x (16 scans, 46
+    # Exchanges). The relation is |types| x |days| — calendar-bounded
+    # at ANY corpus size — so one eager checkpoint makes every
+    # downstream branch read a tiny cached page instead.
+    r = (
+        base.filter(F.col("residual_cents").isNotNull())
+        .select("event_type", "day", F.col("residual_cents").alias("r"))
+        .localCheckpoint(eager=True)
     )
 
     def _median_of(df: DataFrame, col: str, out: str) -> DataFrame:
