@@ -8,9 +8,11 @@ LAST (r14 verdict item 2): the driver parses the FINAL stdout JSON
 line into BENCH_rN.json's `parsed` section, so the last line must
 carry every per-key wall — with the full map first, only the ~70 keys
 inside the 2000-char stdout tail were driver-adjudicable. A durable
-twin of the same map is also written to BENCH_LAST_RUN.json on every
-full sweep (any fixture/core config, config recorded inside), so the
-per-key walls survive even a capture path that keeps only the tail.
+twin of the same map is also written on every full sweep: canonical
+sweeps (sf0.1, 32 cores) to BENCH_LAST_RUN.json, off-axis sweeps
+(core-scaling, stress fixtures — config recorded inside) to
+BENCH_LAST_RUN_offaxis.json, so the canonical twin always mirrors the
+headline sweep and per-key walls survive a tail-only capture path.
 
 Each query is timed as plan-build + execution to completion. Results are
 drained with a count-style action (``df.foreach(noop)`` would skip
@@ -396,8 +398,15 @@ def main() -> None:
     # sweep — canonical or not, config recorded inside — leaves its
     # whole per-key map on disk next to the totals, so a capture path
     # that keeps only a stdout tail still can't lose per-key walls.
+    # Off-axis sweeps (core-scaling, stress fixtures) get their own
+    # file so the canonical 32-core twin always mirrors the headline
+    # sweep regardless of run order (r15 verdict item 9: the c8
+    # scaling run used to overwrite the canonical twin).
     if not only:
-        with open(os.path.join(repo_dir, "BENCH_LAST_RUN.json"), "w") as f:
+        twin = (
+            "BENCH_LAST_RUN.json" if canonical else "BENCH_LAST_RUN_offaxis.json"
+        )
+        with open(os.path.join(repo_dir, twin), "w") as f:
             json.dump(
                 {
                     **summary,

@@ -141,7 +141,12 @@ def _scan_fn(node: ast.AST) -> tuple[list, set]:
                     if isinstance(recv, ast.Name):
                         calls.add(("attr", recv.id, fn.attr))
                         if recv.id in pools and fn.attr in ("submit", "map"):
-                            for arg in ch.args:
+                            # Only the FIRST positional arg is the
+                            # dispatched callable; the rest are data
+                            # (pool.map(_write, SINK_CODECS) must not
+                            # record the codec list as an outgoing
+                            # call — r15 advisor finding).
+                            for arg in ch.args[:1]:
                                 if not isinstance(arg, ast.Name):
                                     continue
                                 if arg.id in nested:

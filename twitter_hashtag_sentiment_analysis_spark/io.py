@@ -120,7 +120,7 @@ def fixture_sig(sf_dir: str, name: str) -> str:
 #: round-trip + a materialization (~0.1-1 s fixed), so it only pays once
 #: re-running the shared subtree costs multiples of that — i.e. once the
 #: subtree's SOURCE is at least tens of MB. Below the floor the natural
-# lazy plan (duplicate subtrees and all) is faster.
+#: lazy plan (duplicate subtrees and all) is faster.
 SUBTREE_CKPT_MIN_BYTES = 64 * 1024 * 1024
 
 
@@ -135,9 +135,16 @@ def fixture_bytes(sf_dir: str, name: str) -> int:
         st = os.stat(src)
         if not os.path.isdir(src):
             return st.st_size
-        return sum(
-            os.stat(os.path.join(src, n)).st_size for n in os.listdir(src)
-        )
+        # os.walk, not a flat listdir: a nested layout (e.g. a
+        # hive-partitioned fixture) must contribute its file bytes,
+        # not ~4 KB of directory inodes — under-counting here leaves
+        # the SUBTREE_CKPT_MIN_BYTES gate off at real scale (r15
+        # advisor finding).
+        total = 0
+        for root, _dirs, files in os.walk(src):
+            for n in files:
+                total += os.stat(os.path.join(root, n)).st_size
+        return total
     except OSError:
         return 0
 
