@@ -191,7 +191,9 @@ KM_TRAIN_CAP = 2048
 KM_K = 8
 
 
-def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_assign_dim(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
     """MLlib KMeans over the embeddings table, the learned counterpart
     of `sim_ann_ivf_trained`'s hand-rolled codebook: fit on a BOUNDED
     deterministic hash-priority sample (same TakeOrderedAndProject +
@@ -202,8 +204,9 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmin over K squared distances is a zip_with/aggregate fold
     inside codegen. MLlib exists only at fit time; the corpus-sized
     assignment pass has no Python boundary and no MLlib closure.
-    Report: per-cluster membership count and mean distance-to-center
-    (the inertia decomposition a clustering health check reads).
+    Returns (assignment DataFrame, embedding dimension) — the
+    dimension is free from the fitted centers, so callers never need
+    a probe job for it.
     Rows-only by design: Lloyd's is an iterative float fixpoint (same
     class as graph_pagerank); determinism + assignment-optimality are
     property-tested instead (tests/test_llm_ops.py)."""
@@ -221,10 +224,8 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = KMeans(k=KM_K, seed=42, maxIter=10).fit(train)
 
-    centers = [
-        F.array(*[F.lit(float(x)) for x in c])
-        for c in (c.tolist() for c in model.clusterCenters())
-    ]
+    raw_centers = [c.tolist() for c in model.clusterCenters()]
+    centers = [F.array(*[F.lit(float(x)) for x in c]) for c in raw_centers]
     def d2(center):
         return F.aggregate(
             F.zip_with("v", center, lambda a, b: (a - b) * (a - b)),
@@ -232,7 +233,7 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     dists = F.array(*[d2(c) for c in centers])
-    return emb.select(
+    assigned = emb.select(
         "vec_id",
         "v",
         (F.array_position(dists, F.array_min(dists)) - 1)
@@ -240,6 +241,13 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cluster"),
         F.sqrt(F.array_min(dists)).alias("dist"),
     )
+    return assigned, len(raw_centers[0])
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment-only view of _kmeans_assign_dim (property tests and
+    the per-cluster report consume just the DataFrame)."""
+    return _kmeans_assign_dim(spark, sf_dir)[0]
 
 
 def kmeans_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,26 +286,37 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     [0, K); and the K-center assignment's mean squared distance beats
     the single-global-centroid inertia (the one-cluster lower bar any
     useful clustering must clear — computed in the same distributed
-    pass, global centroid collected as one dimension-sized row). The
+    pass, global centroid riding in as a broadcast 1-row relation). The
     per-cluster report stays available as kmeans_cluster_report() and
     is property-tested in tests/test_llm_ops.py."""
-    assigned = _kmeans_assign(spark, sf_dir).cache()
-    # Global centroid: dimension-sized collect (64 doubles), same
-    # bounded-collect discipline as embed_centroid_stats.
-    cent = (
-        assigned.select(F.posexplode("v").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.avg("x").alias("m"))
-        .orderBy("pos")
-        .collect()
+    assigned, dim = _kmeans_assign_dim(spark, sf_dir)
+    assigned = assigned.cache()
+    # Global centroid as one broadcast aggregate, not a plan-time
+    # collect (r16): the old shape posexploded every vector into
+    # n_vecs x dim (pos, x) rows through a hash-agg shuffle AND pulled
+    # the result to the driver at plan-build time — two extra passes
+    # for 64 doubles. Per-dimension avg columns aggregate map-side off
+    # the cached assignment with no explode, and ride back in as a
+    # broadcast 1-row relation, so the whole report is ONE distributed
+    # action (dimension is free from the fitted centers). Float-sum
+    # order inside avg() differs from the exploded hash-agg's by ulps;
+    # the only consumer is the inertia_beats_global boolean, whose
+    # margin is the k-centers-vs-one-center inertia gap — orders of
+    # magnitude above ulp drift (same tolerance-contract absorption as
+    # embed_whitening's r15 kernel swap).
+    cent = assigned.agg(
+        *[
+            F.avg(F.element_at("v", i + 1)).alias(f"m{i}")
+            for i in range(dim)
+        ]
     )
-    cent_lit = F.array(*[F.lit(float(r["m"])) for r in cent])
+    cent_arr = F.array(*[F.col(f"m{i}") for i in range(dim)])
     gd2 = F.aggregate(
-        F.zip_with("v", cent_lit, lambda a, b: (a - b) * (a - b)),
+        F.zip_with("v", cent_arr, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    out = assigned.agg(
+    out = assigned.crossJoin(F.broadcast(cent)).agg(
         F.count("*").alias("n_vecs"),
         F.max(F.size("v")).cast("int").alias("dim"),
         (

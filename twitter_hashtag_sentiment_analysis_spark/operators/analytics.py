@@ -2478,6 +2478,21 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Per-round lineage truncation gated on graph size, the
+    # graph_pagerank r15 rule ported here (r15 verdict item 3): on a
+    # small graph the BFS_ROUNDS rounds chain into ONE lazy job off the
+    # checkpointed edge relation, while each eager checkpoint costs a
+    # scheduling round-trip (~0.3-1 s at the fixture's 930-edge graph,
+    # 4 rounds = 4 round-trips for one job's worth of work; measured
+    # 3.23 -> 1.99 s same-hour min at sf0.1). The gate is 4x tighter
+    # than pagerank's 100k because BFS references labels TWICE per
+    # round (frontier + union) and the executed plan shows NO
+    # ReusedExchange across those branches (verified), so the lazy
+    # chain replicates up to 2^BFS_ROUNDS = 16 subtrees — affordable
+    # only while a full round costs less than a scheduling round-trip.
+    # Identical min-hop integers either way; checkpointing never
+    # changes values.
+    ck_rounds = edges.count() > 25_000
     labels = edges.agg(F.min("src").alias("word")).select(
         "word", F.lit(0).alias("hop")
     )
@@ -2491,8 +2506,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionAll(step)
             .groupBy("word")
             .agg(F.min("hop").cast("int").alias("hop"))
-            .localCheckpoint(eager=True)
         )
+        if ck_rounds:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select("word", F.col("hop").alias("hops"))
 
 

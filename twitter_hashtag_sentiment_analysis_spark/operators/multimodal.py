@@ -409,9 +409,8 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha2) is the CPU hot spot and a small fixture file scans as ONE
     split — re-split so the projection uses every core (no-op at real
     scale where the input has thousands of row groups)."""
-    d = spread(
-        table(spark, sf_dir, "documents").filter(F.col("text") != "")
-    )
+    raw = table(spark, sf_dir, "documents").filter(F.col("text") != "")
+    d = spread(raw)
 
     def with_ph(rel: DataFrame, keep: list[str]) -> DataFrame:
         """Append the 32-bit blockhash `ph` computed from `text`.
@@ -476,12 +475,24 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(*keep, "bd.band_idx", "bd.band_val")
 
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
-    n_docs, n_distinct = d.agg(
-        F.count("*"), F.count_distinct(F.sha2("text", 256))
+    # Routing probe on the RAW scan with single-pass HLL (the
+    # dedup_minhash / sim_ann_lsh / text_paragraph_dedup probe shape,
+    # r16): the old exact count_distinct(sha2(text)) ran a full sha2
+    # pass + exact-distinct shuffle THROUGH spread()'s payload
+    # repartition, at plan time, just to pick a branch. BOTH branches
+    # are copy-level exact (the direct chain is the definitional
+    # semantics; the collapsed chain is equivalence-proven above), so
+    # sketch error only ever flips WHICH exact branch runs — the same
+    # tolerance argument as the other three probes, sharing their
+    # COLLAPSE_MIN_RATIO constant.
+    from .dedup import COLLAPSE_MIN_RATIO
+
+    n_docs, n_distinct = raw.agg(
+        F.count("*"), F.approx_count_distinct(F.xxhash64("text"))
     ).first()
-    if n_docs == n_distinct:
-        # duplicate-free corpus: the collapse is the identity — run the
-        # direct copy-level chain with none of the bookkeeping
+    if n_docs < COLLAPSE_MIN_RATIO * n_distinct:
+        # (near-)duplicate-free corpus: the collapse buys nothing — run
+        # the direct copy-level chain with none of the bookkeeping
         hashed = with_ph(d, ["doc_id"])
         bands = band_explode(hashed, ["doc_id", "ph"])
         wb = Window.partitionBy("band_idx", "band_val")

@@ -1549,7 +1549,12 @@ def quality_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_b = (
         occ.groupBy("chash", "w_all", "w_tgt", "bucket")
         .agg(F.count("*").cast("long").alias("c"))
-        # consumed twice below (model aggregate + per-rep score join)
+        # consumed twice below (model aggregate + per-rep score join),
+        # and model/tot nest inside scored, so the lazy plan re-runs
+        # this tokenize-explode-aggregate subtree ~6x. UNCONDITIONAL
+        # checkpoint: unlike the size-gated subtrees, the recompute
+        # dominates even at fixture scale (r16 A/B, gate forced both
+        # ways: lazy 3.25 s vs checkpointed 1.70 s min-of-4 at sf0.1).
         .localCheckpoint(eager=True)
     )
     model = rep_b.groupBy("bucket").agg(
@@ -1573,7 +1578,7 @@ def quality_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term) / F.sum("c"), 4).alias("logw"),
         )
         # consumed twice (threshold scalar + final join): one content-
-        # sized relation, materialized once
+        # sized relation, materialized once (same A/B as rep_b)
         .localCheckpoint(eager=True)
     )
     # selection cut = the corpus-mean affinity (per-DOC mean, so the
@@ -2265,6 +2270,9 @@ SPLITCON_TRAIN_HI = "cd"
         FROM labeled l LEFT JOIN hits h ON l.doc_id = h.doc_id
         WHERE NOT l.is_train
     """,
+    # size-gated shingle checkpoint: MAY run a plan-time job above the
+    # SUBTREE_CKPT_MIN_BYTES input floor (registry eager contract)
+    eager=True,
 )
 def quality_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPLIT-CONTAMINATION audit: for every EVAL document (the ~20%
@@ -2302,6 +2310,14 @@ def quality_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
+    # The shingle relation feeds BOTH sides (train index + eval probe),
+    # so the lazy plan tokenizes + joins K-gram strings twice. Above
+    # the input-size floor the recompute dominates and the relation is
+    # truncated once (guide §5, the text_ccnet_bucket discipline); at
+    # fixture scale the checkpoint's fixed cost loses, so the natural
+    # lazy plan stays (r15-measured pattern, same gate).
+    if fixture_bytes(sf_dir, "documents") > SUBTREE_CKPT_MIN_BYTES:
+        sh = sh.localCheckpoint(eager=True)
     train_idx = (
         sh.filter("is_train")
         .groupBy("sh")

@@ -1773,13 +1773,19 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", f"{root}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    # drain at _DRAIN_PARTS like every other streaming drain (r16): the
+    # per-batch merge window otherwise shuffles at the session default
+    # (32 at local[32]), so each of the three batches ran 32 tasks and
+    # wrote 32 tiny state files for a ~2k-row state — partition sizing
+    # is physical, results are partition-count-invariant.
+    with shuffle_partitions_override(spark, _DRAIN_PARTS):
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", f"{root}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_drain(q)
     final = _latest_state()
     return final.filter(F.col("op") != "D").select(
         F.col("k").alias("o_orderkey"), "cents"
@@ -1863,12 +1869,22 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
                 }
             )
             return
+        # The sentinel user (-1) owns every wm_flush row and never emits
+        # a session; skip its per-row work entirely (the watermark
+        # advance happens in the plan's watermark node, not here). Real
+        # users therefore need no event_type mask — their slices hold
+        # only real events, so the handler is pure numpy on the ts
+        # column (~1500 per-key calls per batch at fixture scale; the
+        # per-call pandas mask + per-value int() loop was the cost).
+        if key[0] == -1:
+            for _ in pdfs:
+                pass
+            return
         ts_list = []
         for pdf in pdfs:
-            sub = pdf[pdf["event_type"] != "wm_flush"]
             # ns -> us integer event times
             ts_list.extend(
-                int(v) // 1000 for v in sub["ts"].astype("int64").tolist()
+                (pdf["ts"].to_numpy(dtype="int64") // 1000).tolist()
             )
         if not ts_list:
             return
