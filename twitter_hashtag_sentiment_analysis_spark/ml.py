@@ -104,13 +104,25 @@ def sentiment_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ML_TRAIN_CAP docs by md5(doc_id) — a TakeOrderedAndProject at any
     # corpus size — on ONE partition so gradient aggregation order (and
     # therefore every coefficient) is run-to-run identical. Sample
-    # FIRST, featurize AFTER the limit, so the count vectors (and the
-    # Arrow batch hop) exist only for ML_TRAIN_CAP rows, never the
-    # corpus — Catalyst does not push a projection below a sort.
+    # FIRST; BOTH the lexicon label and the count vectors are computed
+    # AFTER the limit, so the label CASE expression and the Arrow batch
+    # hop exist only for ML_TRAIN_CAP rows, never the corpus — Catalyst
+    # does not push a projection below a sort, so sampling from
+    # `labeled` evaluated the whole lexicon scorer corpus-wide at fit
+    # time just to pick 4,096 rows (r16; the label is a deterministic
+    # per-row function of text, so labeling after the limit fits the
+    # identical model). The serve pass labels the corpus exactly once,
+    # where it is actually consumed.
     train = (
-        labeled.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        docs.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(ML_TRAIN_CAP)
         .coalesce(1)
+        .withColumn(
+            "label",
+            (
+                sentiment_columns(F.col("text"))["sentiment"] == "POSITIVE"
+            ).cast("double"),
+        )
         .withColumn("features", array_to_vector(to_counts(buckets)))
     )
 
@@ -275,7 +287,10 @@ def kmeans_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                TRUE AS inertia_beats_global
         FROM embeddings
     """,
-    eager=True,
+    # The r16 broadcast-centroid rewrite removed the plan-time collect;
+    # the remaining plan-time work is the MLlib fit, which the eager
+    # auditor deliberately does not track (same treatment as
+    # ml_sentiment_mllib's fit).
 )
 def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-gated surface of the KMeans pipeline. Lloyd's is an

@@ -2270,9 +2270,6 @@ SPLITCON_TRAIN_HI = "cd"
         FROM labeled l LEFT JOIN hits h ON l.doc_id = h.doc_id
         WHERE NOT l.is_train
     """,
-    # size-gated shingle checkpoint: MAY run a plan-time job above the
-    # SUBTREE_CKPT_MIN_BYTES input floor (registry eager contract)
-    eager=True,
 )
 def quality_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPLIT-CONTAMINATION audit: for every EVAL document (the ~20%
@@ -2311,13 +2308,15 @@ def quality_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh"),
     )
     # The shingle relation feeds BOTH sides (train index + eval probe),
-    # so the lazy plan tokenizes + joins K-gram strings twice. Above
-    # the input-size floor the recompute dominates and the relation is
-    # truncated once (guide §5, the text_ccnet_bucket discipline); at
-    # fixture scale the checkpoint's fixed cost loses, so the natural
-    # lazy plan stays (r15-measured pattern, same gate).
-    if fixture_bytes(sf_dir, "documents") > SUBTREE_CKPT_MIN_BYTES:
-        sh = sh.localCheckpoint(eager=True)
+    # so the lazy plan tokenizes twice. A localCheckpoint here was
+    # measured and REJECTED on both axes (r16): the subtree is
+    # explode-AMPLIFIED — its output (~50 K-gram strings per doc) is
+    # orders of magnitude larger than its source, so materializing it
+    # costs more than recomputing from the scan (sf0.1: 1.54 s lazy vs
+    # 1.63 s checkpointed; x100: 19.4 s vs 24.8 s min-of-3, first
+    # checkpointed run 109 s under memory pressure). The §5 truncation
+    # rule only pays when the reused subtree is SMALLER than the work
+    # that rebuilds it — the inverse of this shape.
     train_idx = (
         sh.filter("is_train")
         .groupBy("sh")
