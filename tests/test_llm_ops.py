@@ -2533,3 +2533,24 @@ def test_mmr_greedy_chain_replays_exactly(spark, sf_dir):
         assert r["mmr_score"] == r6(
             r["rel"] * 7 / 10.0 - r["penalty"] * 3 / 10.0
         )
+
+
+def test_mann_whitney_counts_form_equals_row_rank_form(spark, sf_dir, monkeypatch):
+    """stat_mann_whitney's size-gated counts-from-prefix-sum form must
+    emit exactly the row-level rank form's integers: force the gate
+    both ways on the same fixture and compare collected rows (the
+    doubled tie-averaged rank identity 2*C(v) + c(v) + 1 is exact, so
+    the two branches are bit-identical, not approximately equal)."""
+    from twitter_hashtag_sentiment_analysis_spark.operators import (
+        aggregates as agg,
+    )
+
+    rows = {}
+    for mode, gate in (("rowrank", 1 << 60), ("counts", 0)):
+        monkeypatch.setattr(agg, "SUBTREE_CKPT_MIN_BYTES", gate)
+        rows[mode] = sorted(
+            map(tuple, agg.stat_mann_whitney(spark, sf_dir).collect())
+        )
+    assert rows["rowrank"] == rows["counts"]
+    (n1, n2, u1, z) = rows["counts"][0]
+    assert n1 > 0 and n2 > 0 and u1 >= 0

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import table
+from ..io import SUBTREE_CKPT_MIN_BYTES, fixture_bytes, table
 from ..registry import register
 
 
@@ -1806,10 +1806,25 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic, and both engines' comparisons are integer-exact; only
     the final z renders through one fixed double expression (normal
     approximation WITHOUT the tie variance correction — documented
-    simplification, fine at these tie densities). Scale shape: one
-    global rank over the filtered pool. Ranking a corpus-sized pool
-    would range-partition the sort (as sql_scripting does); the
-    two-priority slice here is a bounded fraction of orders."""
+    simplification, fine at these tie densities).
+
+    Scale shape (r16, size-gated): above the input floor the rank sum
+    is computed from PER-VALUE counts, never a row-level rank — the
+    old plan ranked every pooled row through one UNPARTITIONED window,
+    a single-task global sort of a corpus-sized slice (§2.5's serial
+    wall). Per distinct cents value v with c(v) pooled rows, c1(v) of
+    them group 1, and C(v) = rows with cents < v, every group-1 row at
+    v contributes 2*rk_min + tie_n - 1 = 2*C(v) + c(v) + 1, so
+    r1_doubled = sum_v c1(v) * (2*C(v) + c(v) + 1) — integers all the
+    way, identical to the row-level formulation (oracle-proven at all
+    three SFs). C(v) comes from the distributed prefix-sum over $50k
+    price buckets (the stat_ks_test decomposition), so the corpus-
+    sized pool is touched by exactly one map-side-combined aggregate
+    and every window runs on the bounded distinct-cents grid. Below
+    the floor the row-level two-window form stays: at fixture scale
+    its one 60k-row sort costs less than the bucket machinery's extra
+    exchanges (r16 A/B: 0.68 vs 1.34 s min at sf0.1; x100 inverts it,
+    see SCALING.md)."""
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
     )
@@ -1819,27 +1834,66 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("grp"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )
-    ranked = pool.select(
-        "grp",
-        F.rank().over(Window.orderBy("cents")).alias("rk_min"),
-        F.count("*").over(Window.partitionBy("cents")).alias("tie_n"),
-    )
-    s = ranked.agg(
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n1"),
-        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
-        .cast("long")
-        .alias("n2"),
-        F.sum(
-            F.when(
-                F.col("grp") == 1,
-                2 * F.col("rk_min") + F.col("tie_n") - 1,
-            ).otherwise(0)
+    if fixture_bytes(sf_dir, "orders") > SUBTREE_CKPT_MIN_BYTES:
+        cnt = pool.groupBy("cents").agg(
+            F.count("*").cast("long").alias("c"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
         )
-        .cast("long")
-        .alias("r1_doubled"),
-    )
+        g = cnt.withColumn(
+            "bucket", (F.col("cents") / F.lit(5_000_000)).cast("long")
+        )
+        bucket_tot = g.groupBy("bucket").agg(F.sum("c").alias("b"))
+        w_b = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = bucket_tot.select(
+            "bucket",
+            F.coalesce(F.sum("b").over(w_b), F.lit(0)).alias("off"),
+        )
+        w_in = (
+            Window.partitionBy("bucket")
+            .orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = g.join(F.broadcast(offsets), "bucket").select(
+            "c",
+            "c1",
+            # C(v) = all pooled rows strictly below v
+            (F.sum("c").over(w_in) - F.col("c") + F.col("off")).alias(
+                "below"
+            ),
+        )
+        s = cum.agg(
+            F.sum("c1").cast("long").alias("n1"),
+            F.sum(F.col("c") - F.col("c1")).cast("long").alias("n2"),
+            F.sum(F.col("c1") * (2 * F.col("below") + F.col("c") + 1))
+            .cast("long")
+            .alias("r1_doubled"),
+        )
+    else:
+        ranked = pool.select(
+            "grp",
+            F.rank().over(Window.orderBy("cents")).alias("rk_min"),
+            F.count("*").over(Window.partitionBy("cents")).alias("tie_n"),
+        )
+        s = ranked.agg(
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+            F.sum(
+                F.when(
+                    F.col("grp") == 1,
+                    2 * F.col("rk_min") + F.col("tie_n") - 1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("r1_doubled"),
+        )
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
     u1 = (
