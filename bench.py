@@ -206,19 +206,28 @@ def main() -> None:
         except (OSError, ValueError):
             reference = {}
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
-    # Global retry budget: jitter concentrates on a handful of keys
-    # (6 of 381 in r12); a machine-day that is globally slow would
-    # otherwise trip the guard on hundreds of keys and triple the
-    # sweep's wall-clock. 60 retries covers 10x the observed blast
-    # radius while bounding the worst case.
-    retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "60"))
+    # Global retry budget: jitter concentrates on a handful of keys on
+    # a quiet day (6 of 381 in r12), but this host's degraded
+    # machine-eras inflate HUNDREDS of keys at once and its quiet
+    # windows are shorter than a full sweep (r15 driver run: 234 keys
+    # >1.4x pin, budget exhausted mid-alphabet, the tail scored on
+    # single inflated samples). Retries are full honest re-runs and
+    # MIN-of-runs can only remove load, never work, so the budget is
+    # sized for the observed era blast radius (r16: the 60/15 sweep
+    # read 602.6 s on a window that degraded mid-run; the 150/75 sweep
+    # on a comparable era read 394.3 s with 110 retries spent —
+    # geomean 1.13x pin vs 1.58x). Worst case it adds ~150 key-runs
+    # (~4-8 min) to a sweep; env-overridable either way.
+    retry_budget = int(
+        os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "150")
+    )
     # Reserved slice of the budget for a post-sweep second pass
     # (second_pass_order above): the in-loop spend is alphabetical, so
     # without a reserve a globally slow day leaves the alphabet tail
     # entirely unprotected while early keys burn retries that mostly
     # fail to improve (global slowness is not local jitter).
     retry_reserve = min(
-        int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_RESERVE", "15")),
+        int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_RESERVE", "75")),
         retry_budget,
     )
     # In-process-memo-backed keys: a re-run reads the memo the first
